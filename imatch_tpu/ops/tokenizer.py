@@ -220,7 +220,7 @@ class CLIPTokenizer:
             if i not in (self.bos_id, self.eos_id)
         )
         raw = bytearray(
-            self.byte_decoder[c] for c in text.replace("</w>", " ") if c in self.byte_decoder
+            self.byte_decoder.get(c, 0x20) for c in text.replace("</w>", " ")
         )
         return raw.decode("utf-8", errors="replace").strip()
 
