@@ -1,0 +1,106 @@
+"""Device-side CLIP image preprocessing (resize + crop + normalize).
+
+Replaces ``CLIPProcessor(images=...)`` (/root/reference/utils.py:76), whose
+host path is PIL bicubic resize -> center crop -> rescale -> normalize.
+Here decode stays on host (pipeline/loader.py) and everything after is a
+fused device computation: two sampling matmuls on the MXU (ops/resize.py)
+with the rescale/normalize affine folded into the epilogue — XLA fuses the
+whole thing into the downstream ViT's first conv feed.
+
+Images of the same (H, W) batch together; the host API buckets mixed-size
+uploads and restores order.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import List, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from imatch_tpu.ops.resize import resize_crop_matrices
+
+# OpenAI CLIP normalization constants (transformers OPENAI_CLIP_MEAN/STD).
+CLIP_MEAN = np.array([0.48145466, 0.4578275, 0.40821073], dtype=np.float32)
+CLIP_STD = np.array([0.26862954, 0.26130258, 0.27577711], dtype=np.float32)
+
+
+def normalize(pixels01: jax.Array) -> jax.Array:
+    """(x/1 - mean)/std for images already scaled to [0, 1], NHWC."""
+    return (pixels01 - CLIP_MEAN) / CLIP_STD
+
+
+@functools.partial(
+    jax.jit, static_argnames=("out_size", "quantize", "dtype")
+)
+def _preprocess_same_size(
+    imgs_u8: jax.Array,
+    a_v: jax.Array,
+    a_h: jax.Array,
+    *,
+    out_size: int = 224,
+    quantize: bool = True,
+    dtype=jnp.float32,
+):
+    """(B, H, W, 3) uint8 -> (B, out, out, 3) normalized floats."""
+    x = imgs_u8.astype(jnp.float32)
+    hi = jax.lax.Precision.HIGHEST
+    # Horizontal then vertical resampling on the MXU — PIL's pass order.
+    # PIL rounds + clips to uint8 between passes (bicubic overshoot is
+    # clipped); emulating both passes keeps pixels within 1 uint8 level of
+    # the reference CLIPProcessor output.
+    x = jnp.einsum("xw,bhwc->bhxc", a_h, x, precision=hi)
+    if quantize:
+        x = jnp.clip(jnp.round(x), 0.0, 255.0)
+    x = jnp.einsum("yh,bhxc->byxc", a_v, x, precision=hi)
+    if quantize:
+        x = jnp.clip(jnp.round(x), 0.0, 255.0)
+    x = x * (1.0 / 255.0)
+    x = (x - CLIP_MEAN) / CLIP_STD
+    return x.astype(dtype)
+
+
+def preprocess_batch(
+    imgs_u8: np.ndarray | jax.Array,
+    *,
+    out_size: int = 224,
+    quantize: bool = True,
+    dtype=jnp.float32,
+) -> jax.Array:
+    """Preprocess a uint8 NHWC batch of one geometry."""
+    h, w = imgs_u8.shape[1:3]
+    a_v, a_h = resize_crop_matrices(h, w, out_size)
+    return _preprocess_same_size(
+        jnp.asarray(imgs_u8),
+        jnp.asarray(a_v),
+        jnp.asarray(a_h),
+        out_size=out_size,
+        quantize=quantize,
+        dtype=dtype,
+    )
+
+
+def preprocess_images(
+    images: Sequence[np.ndarray],
+    *,
+    out_size: int = 224,
+    quantize: bool = True,
+    dtype=jnp.float32,
+) -> jax.Array:
+    """Mixed-geometry host API: bucket by (H, W), batch each bucket on
+    device, reassemble in input order. Returns (N, out, out, 3)."""
+    buckets = {}
+    for i, im in enumerate(images):
+        assert im.ndim == 3 and im.shape[2] == 3, "expected HWC RGB uint8"
+        buckets.setdefault(im.shape[:2], []).append(i)
+    out: List = [None] * len(images)
+    for (h, w), idxs in buckets.items():
+        batch = np.stack([images[i] for i in idxs])
+        res = preprocess_batch(
+            batch, out_size=out_size, quantize=quantize, dtype=dtype
+        )
+        for j, i in enumerate(idxs):
+            out[i] = res[j]
+    return jnp.stack(out)
