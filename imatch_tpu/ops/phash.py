@@ -1,0 +1,131 @@
+"""Perceptual hash (pHash) for duplicate detection.
+
+The reference dedups uploads with ``imagehash.phash`` defaults
+(/root/reference/backend/app/main.py:581-585): grayscale -> 32x32 LANCZOS
+resize -> 2D DCT-II -> top-left 8x8 block -> median threshold -> 64 bits,
+serialized as 16 hex chars; v2 image ids are ``img_<hex>``.
+
+Two implementations:
+- ``phash_host``  — authoritative, built from the published algorithm on
+  the same primitives (PIL convert('L')/LANCZOS resize, scipy DCT), so ids
+  are bit-identical to ``imagehash.phash`` and stable across migration.
+- ``phash_batch`` — batched device version for bulk ingest: grayscale +
+  LANCZOS resample + DCT all as matmuls on the MXU. Matches the host hash
+  exactly except when DCT coefficients sit within float rounding of the
+  median; pipeline/ingest.py uses it for bulk scoring and the host hash
+  for the canonical id.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import List
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from PIL import Image
+
+from imatch_tpu.ops.resize import resample_matrix
+
+
+def _scipy_dct2(pixels: np.ndarray) -> np.ndarray:
+    import scipy.fftpack
+
+    return scipy.fftpack.dct(scipy.fftpack.dct(pixels, axis=0), axis=1)
+
+
+def bits_to_hex(bits: np.ndarray) -> str:
+    """64 bools (row-major 8x8) -> 16 hex chars, imagehash serialization."""
+    flat = np.asarray(bits, dtype=np.uint8).flatten()
+    val = 0
+    for b in flat:
+        val = (val << 1) | int(b)
+    return f"{val:0{len(flat) // 4}x}"
+
+
+def hex_to_bits(h: str) -> np.ndarray:
+    n = len(h) * 4
+    val = int(h, 16)
+    return np.array([(val >> (n - 1 - i)) & 1 for i in range(n)], dtype=bool)
+
+
+def hamming(h1: str, h2: str) -> int:
+    return int((hex_to_bits(h1) != hex_to_bits(h2)).sum())
+
+
+def phash_host(
+    image: Image.Image, hash_size: int = 8, highfreq_factor: int = 4
+) -> str:
+    """Bit-identical to imagehash.phash defaults."""
+    img_size = hash_size * highfreq_factor
+    small = image.convert("L").resize(
+        (img_size, img_size), Image.Resampling.LANCZOS
+    )
+    pixels = np.asarray(small, dtype=np.float64)
+    dct = _scipy_dct2(pixels)
+    low = dct[:hash_size, :hash_size]
+    med = np.median(low)
+    return bits_to_hex(low > med)
+
+
+def image_id(image: Image.Image) -> str:
+    """v2 content-addressed id (/root/reference/backend/app/main.py:585)."""
+    return f"img_{phash_host(image)}"
+
+
+# ---------------------------------------------------------------------------
+# Batched device path
+# ---------------------------------------------------------------------------
+
+
+@functools.lru_cache()
+def _dct2_matrix(n: int) -> np.ndarray:
+    """scipy.fftpack.dct type-II (norm=None) as a matrix: y = C @ x."""
+    k = np.arange(n)[:, None]
+    m = np.arange(n)[None, :]
+    return (2.0 * np.cos(np.pi * k * (2 * m + 1) / (2 * n))).astype(np.float32)
+
+
+# PIL convert('L') ITU-R 601-2 integer weights: (R*19595+G*38470+B*7471+0x8000)>>16
+_L_WEIGHTS = np.array([19595.0, 38470.0, 7471.0], dtype=np.float32) / 65536.0
+
+
+@functools.partial(jax.jit, static_argnames=("hash_size", "highfreq_factor"))
+def _phash_batch_jit(imgs, a_v, a_h, *, hash_size=8, highfreq_factor=4):
+    hi = jax.lax.Precision.HIGHEST
+    gray = jnp.einsum("bhwc,c->bhw", imgs.astype(jnp.float32), _L_WEIGHTS)
+    gray = jnp.floor(gray + 0.5)  # PIL integer rounding of the L conversion
+    # LANCZOS resample to 32x32 with PIL's two-pass uint8 rounding
+    x = jnp.einsum("xw,bhw->bhx", a_h, gray, precision=hi)
+    x = jnp.clip(jnp.round(x), 0.0, 255.0)
+    x = jnp.einsum("yh,bhx->byx", a_v, x, precision=hi)
+    x = jnp.clip(jnp.round(x), 0.0, 255.0)
+    # 2D DCT-II via matmuls, crop the low-frequency block
+    C = jnp.asarray(_dct2_matrix(hash_size * highfreq_factor))
+    d = jnp.einsum("kh,bhx->bkx", C, x, precision=hi)
+    d = jnp.einsum("lx,bkx->bkl", C, d, precision=hi)
+    low = d[:, :hash_size, :hash_size]
+    flat = low.reshape(low.shape[0], -1)
+    med = jnp.median(flat, axis=1, keepdims=True)
+    return (flat > med).reshape(low.shape)
+
+
+def phash_batch(
+    imgs_u8: np.ndarray,
+    hash_size: int = 8,
+    highfreq_factor: int = 4,
+) -> List[str]:
+    """Device pHash for a same-geometry uint8 RGB batch (B, H, W, 3)."""
+    h, w = imgs_u8.shape[1:3]
+    n = hash_size * highfreq_factor
+    a_v = resample_matrix(h, n, "lanczos")
+    a_h = resample_matrix(w, n, "lanczos")
+    bits = _phash_batch_jit(
+        jnp.asarray(imgs_u8),
+        jnp.asarray(a_v),
+        jnp.asarray(a_h),
+        hash_size=hash_size,
+        highfreq_factor=highfreq_factor,
+    )
+    return [bits_to_hex(b) for b in np.asarray(bits)]

@@ -35,7 +35,15 @@ def _bilinear(x: np.ndarray) -> np.ndarray:
     return np.clip(1 - ax, 0.0, None)
 
 
-_FILTERS = {"bicubic": (_bicubic, 2.0), "bilinear": (_bilinear, 1.0)}
+def _lanczos(x: np.ndarray, a: float = 3.0) -> np.ndarray:
+    return np.where(np.abs(x) < a, np.sinc(x) * np.sinc(x / a), 0.0)
+
+
+_FILTERS = {
+    "bicubic": (_bicubic, 2.0),
+    "bilinear": (_bilinear, 1.0),
+    "lanczos": (_lanczos, 3.0),
+}
 
 
 def resample_matrix(
