@@ -1,0 +1,296 @@
+"""In-HBM vector store with ChromaDB-collection semantics.
+
+Drop-in for the subset of the ChromaDB collection API the reference uses
+(add/get/query/update/delete/count — call sites
+/root/reference/backend/app/main.py:630,735,761,503,1030,1069 and
+utils.py:104-138):
+
+- ``query`` returns cosine *distance* ``1 - cos`` like a chroma cosine
+  collection; the search engine maps similarity ``1 - d/2`` on top
+  (pipeline/search.py), matching backend/app/main.py:779-782.
+- Host-side master copy (fp32 numpy + metadata lists) is the source of
+  truth; a padded fp32 device buffer + validity mask is rebuilt lazily and
+  reused across queries, so steady-state search is one device matmul.
+- Deletes are tombstones; compaction rewrites the buffer when more than
+  half the slots are dead.
+- Durable snapshots (save/load): embeddings.npy + records.jsonl +
+  manifest.json, written atomically — the restart-recovery story the
+  reference gets from chroma's sqlite persistence (SURVEY.md §5).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import tempfile
+import threading
+from typing import Dict, List, Optional, Sequence
+
+import jax.numpy as jnp
+import numpy as np
+
+from imatch_tpu.index.search import cosine_topk
+
+_MIN_CAP = 1024
+
+
+class VectorStore:
+    def __init__(self, dim: Optional[int] = None):
+        self.dim = dim
+        self._lock = threading.RLock()
+        self._ids: List[str] = []
+        self._slot: Dict[str, int] = {}
+        self._meta: List[Optional[dict]] = []
+        self._docs: List[Optional[str]] = []
+        self._emb: Optional[np.ndarray] = None  # (cap, D) fp32
+        self._alive: Optional[np.ndarray] = None  # (cap,) bool
+        self._n = 0  # slots in use (incl. tombstones)
+        self._dead = 0
+        self._device = None  # cached (corpus jnp, valid jnp)
+
+    # -- capacity -----------------------------------------------------------
+
+    def _ensure_capacity(self, extra: int):
+        need = self._n + extra
+        cap = 0 if self._emb is None else self._emb.shape[0]
+        if need <= cap:
+            return
+        new_cap = max(_MIN_CAP, cap or _MIN_CAP)
+        while new_cap < need:
+            new_cap *= 2
+        emb = np.zeros((new_cap, self.dim), dtype=np.float32)
+        alive = np.zeros((new_cap,), dtype=bool)
+        if self._emb is not None:
+            emb[: self._n] = self._emb[: self._n]
+            alive[: self._n] = self._alive[: self._n]
+        self._emb, self._alive = emb, alive
+        self._device = None
+
+    def _maybe_compact(self):
+        if self._dead * 2 > self._n and self._n >= _MIN_CAP:
+            keep = [i for i in range(self._n) if self._alive[i]]
+            self._ids = [self._ids[i] for i in keep]
+            self._meta = [self._meta[i] for i in keep]
+            self._docs = [self._docs[i] for i in keep]
+            emb = np.zeros_like(self._emb)
+            emb[: len(keep)] = self._emb[keep]
+            self._emb = emb
+            self._alive = np.zeros_like(self._alive)
+            self._alive[: len(keep)] = True
+            self._n = len(keep)
+            self._dead = 0
+            self._slot = {d: i for i, d in enumerate(self._ids)}
+            self._device = None
+
+    # -- chroma-like API ----------------------------------------------------
+
+    def add(
+        self,
+        ids: Sequence[str],
+        embeddings: Sequence[Sequence[float]],
+        metadatas: Optional[Sequence[dict]] = None,
+        documents: Optional[Sequence[Optional[str]]] = None,
+    ):
+        with self._lock:
+            embeddings = np.asarray(embeddings, dtype=np.float32)
+            if embeddings.ndim == 1:
+                embeddings = embeddings[None]
+            if self.dim is None:
+                self.dim = int(embeddings.shape[1])
+            metadatas = metadatas or [None] * len(ids)
+            documents = documents or [None] * len(ids)
+            for i in ids:
+                if i in self._slot:
+                    raise ValueError(f"duplicate id {i}")
+            self._ensure_capacity(len(ids))
+            for i, (id_, md, doc) in enumerate(zip(ids, metadatas, documents)):
+                slot = self._n
+                self._emb[slot] = embeddings[i]
+                self._alive[slot] = True
+                self._ids.append(id_)
+                self._meta.append(md)
+                self._docs.append(doc)
+                self._slot[id_] = slot
+                self._n += 1
+            self._device = None
+
+    def get(
+        self,
+        ids: Optional[Sequence[str]] = None,
+        include: Sequence[str] = ("metadatas", "documents"),
+    ) -> dict:
+        with self._lock:
+            if ids is None:
+                slots = [i for i in range(self._n) if self._alive[i]]
+            else:
+                slots = [
+                    self._slot[i]
+                    for i in ids
+                    if i in self._slot and self._alive[self._slot[i]]
+                ]
+            out = {"ids": [self._ids[s] for s in slots]}
+            if "metadatas" in include:
+                out["metadatas"] = [self._meta[s] for s in slots]
+            if "documents" in include:
+                out["documents"] = [self._docs[s] for s in slots]
+            if "embeddings" in include:
+                out["embeddings"] = (
+                    self._emb[slots].copy() if slots else np.zeros((0, self.dim or 0))
+                )
+            return out
+
+    def update(
+        self,
+        ids: Sequence[str],
+        embeddings: Optional[Sequence[Sequence[float]]] = None,
+        metadatas: Optional[Sequence[dict]] = None,
+    ):
+        with self._lock:
+            for i, id_ in enumerate(ids):
+                slot = self._slot.get(id_)
+                if slot is None or not self._alive[slot]:
+                    raise KeyError(id_)
+                if metadatas is not None:
+                    self._meta[slot] = metadatas[i]
+                if embeddings is not None:
+                    self._emb[slot] = np.asarray(
+                        embeddings[i], dtype=np.float32
+                    )
+                    self._device = None
+
+    def delete(self, ids: Sequence[str]):
+        with self._lock:
+            for id_ in ids:
+                slot = self._slot.pop(id_, None)
+                if slot is not None and self._alive[slot]:
+                    self._alive[slot] = False
+                    self._dead += 1
+            self._maybe_compact()
+            self._device = None
+
+    def count(self) -> int:
+        with self._lock:
+            return self._n - self._dead
+
+    # -- search -------------------------------------------------------------
+
+    def _device_state(self):
+        if self._device is None:
+            cap = 0 if self._emb is None else self._emb.shape[0]
+            if cap == 0:
+                return None
+            self._device = (
+                jnp.asarray(self._emb),
+                jnp.asarray(self._alive),
+            )
+        return self._device
+
+    def query(
+        self,
+        query_embeddings: Sequence[Sequence[float]],
+        n_results: int = 10,
+        include: Sequence[str] = ("metadatas", "distances"),
+    ) -> dict:
+        """Chroma-shaped result: lists-of-lists, ascending cosine distance."""
+        with self._lock:
+            live = self.count()
+            q = np.asarray(query_embeddings, dtype=np.float32)
+            if q.ndim == 1:
+                q = q[None]
+            k = min(n_results, live)
+            out = {
+                "ids": [],
+                "distances": [],
+                "metadatas": [],
+                "documents": [],
+            }
+            if live == 0 or k == 0:
+                for key in out:
+                    out[key] = [[] for _ in range(len(q))]
+                return out
+            corpus, valid = self._device_state()
+            scores, idx = cosine_topk(jnp.asarray(q), corpus, valid, k=k)
+            scores = np.asarray(scores)[:, :k]
+            idx = np.asarray(idx)[:, :k]
+            for qi in range(len(q)):
+                row_ids, row_d, row_m, row_doc = [], [], [], []
+                for s, i in zip(scores[qi], idx[qi]):
+                    if i < 0:
+                        continue
+                    row_ids.append(self._ids[i])
+                    row_d.append(float(1.0 - s))  # chroma cosine distance
+                    row_m.append(self._meta[i])
+                    row_doc.append(self._docs[i])
+                out["ids"].append(row_ids)
+                out["distances"].append(row_d)
+                out["metadatas"].append(row_m)
+                out["documents"].append(row_doc)
+            if "metadatas" not in include:
+                out.pop("metadatas")
+            if "documents" not in include:
+                out.pop("documents")
+            if "distances" not in include:
+                out.pop("distances")
+            return out
+
+    # -- persistence --------------------------------------------------------
+
+    def save(self, path: str):
+        """Atomic durable snapshot (compacted)."""
+        with self._lock:
+            os.makedirs(path, exist_ok=True)
+            slots = [i for i in range(self._n) if self._alive[i]]
+            tmp = tempfile.mkdtemp(dir=path, prefix=".snapshot-")
+            try:
+                np.save(
+                    os.path.join(tmp, "embeddings.npy"),
+                    self._emb[slots] if slots else np.zeros((0, self.dim or 0), np.float32),
+                )
+                with open(
+                    os.path.join(tmp, "records.jsonl"), "w", encoding="utf-8"
+                ) as f:
+                    for s in slots:
+                        f.write(
+                            json.dumps(
+                                {
+                                    "id": self._ids[s],
+                                    "metadata": self._meta[s],
+                                    "document": self._docs[s],
+                                }
+                            )
+                            + "\n"
+                        )
+                with open(os.path.join(tmp, "manifest.json"), "w") as f:
+                    json.dump({"dim": self.dim, "count": len(slots)}, f)
+                for name in ("embeddings.npy", "records.jsonl", "manifest.json"):
+                    os.replace(
+                        os.path.join(tmp, name), os.path.join(path, name)
+                    )
+            finally:
+                for leftover in os.listdir(tmp):
+                    os.unlink(os.path.join(tmp, leftover))
+                os.rmdir(tmp)
+
+    @classmethod
+    def load(cls, path: str) -> "VectorStore":
+        manifest_path = os.path.join(path, "manifest.json")
+        store = cls()
+        if not os.path.exists(manifest_path):
+            return store
+        with open(manifest_path) as f:
+            manifest = json.load(f)
+        store.dim = manifest["dim"]
+        emb = np.load(os.path.join(path, "embeddings.npy"))
+        records = []
+        with open(os.path.join(path, "records.jsonl"), encoding="utf-8") as f:
+            for line in f:
+                if line.strip():
+                    records.append(json.loads(line))
+        if records:
+            store.add(
+                ids=[r["id"] for r in records],
+                embeddings=emb,
+                metadatas=[r["metadata"] for r in records],
+                documents=[r["document"] for r in records],
+            )
+        return store

@@ -1,0 +1,143 @@
+"""Vector index: exact ordering parity vs numpy brute force (the
+ChromaDB-equivalent ordering gate from BASELINE.md), store semantics,
+tombstones, persistence."""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from imatch_tpu.index.search import cosine_topk
+from imatch_tpu.index.store import VectorStore
+
+
+def norm_rows(x):
+    return x / np.linalg.norm(x, axis=-1, keepdims=True)
+
+
+@pytest.mark.parametrize("n,q,k,chunk", [(1000, 4, 10, 256), (100, 1, 200, 64), (5000, 8, 50, 4096), (3, 2, 10, 256)])
+def test_cosine_topk_matches_numpy(n, q, k, chunk):
+    rng = np.random.default_rng(0)
+    corpus = norm_rows(rng.standard_normal((n, 64)).astype(np.float32))
+    queries = norm_rows(rng.standard_normal((q, 64)).astype(np.float32))
+    valid = np.ones(n, dtype=bool)
+    scores, idx = cosine_topk(
+        jnp.asarray(queries), jnp.asarray(corpus), jnp.asarray(valid), k=k, chunk=chunk
+    )
+    scores, idx = np.asarray(scores), np.asarray(idx)
+    ref = queries.astype(np.float64) @ corpus.astype(np.float64).T
+    kk = min(k, n)
+    for i in range(q):
+        order = np.argsort(-ref[i], kind="stable")[:kk]
+        assert idx[i, :kk].tolist() == order.tolist()
+        np.testing.assert_allclose(scores[i, :kk], ref[i][order], atol=1e-5)
+        # padding slots
+        assert (idx[i, kk:] == -1).all()
+
+
+def test_cosine_topk_respects_mask():
+    rng = np.random.default_rng(1)
+    corpus = norm_rows(rng.standard_normal((50, 16)).astype(np.float32))
+    queries = corpus[:2]
+    valid = np.ones(50, dtype=bool)
+    valid[0] = False  # exact match of query 0 is masked out
+    scores, idx = cosine_topk(
+        jnp.asarray(queries), jnp.asarray(corpus), jnp.asarray(valid), k=5
+    )
+    assert 0 not in np.asarray(idx)[0]
+    assert np.asarray(idx)[1][0] == 1  # query 1 still finds itself
+
+
+def make_store(n=100, dim=32, seed=0):
+    rng = np.random.default_rng(seed)
+    emb = norm_rows(rng.standard_normal((n, dim)).astype(np.float32))
+    store = VectorStore()
+    store.add(
+        ids=[f"img_{i:04d}" for i in range(n)],
+        embeddings=emb,
+        metadatas=[{"i": i} for i in range(n)],
+        documents=[f"doc {i}" for i in range(n)],
+    )
+    return store, emb
+
+
+def test_store_add_get_count():
+    store, emb = make_store()
+    assert store.count() == 100
+    got = store.get(ids=["img_0003", "img_0042", "missing"])
+    assert got["ids"] == ["img_0003", "img_0042"]
+    assert got["metadatas"][1] == {"i": 42}
+    all_ids = store.get(include=[])["ids"]
+    assert len(all_ids) == 100
+    with pytest.raises(ValueError):
+        store.add(ids=["img_0003"], embeddings=emb[:1])
+
+
+def test_store_query_chroma_shape_and_distance():
+    store, emb = make_store()
+    res = store.query(query_embeddings=[emb[7]], n_results=5)
+    assert res["ids"][0][0] == "img_0007"
+    # chroma cosine distance of an exact match is ~0
+    assert abs(res["distances"][0][0]) < 1e-5
+    assert res["metadatas"][0][0] == {"i": 7}
+    # ascending distances
+    d = res["distances"][0]
+    assert d == sorted(d)
+    # similarity mapping used by the reference API: 1 - d/2 in [0, 1]
+    sims = [1 - x / 2 for x in d]
+    assert all(0 <= s <= 1.0000001 for s in sims)
+
+
+def test_store_query_ordering_matches_numpy():
+    store, emb = make_store(n=500)
+    rng = np.random.default_rng(3)
+    q = norm_rows(rng.standard_normal((1, 32)).astype(np.float32))[0]
+    res = store.query(query_embeddings=[q], n_results=20)
+    ref = np.argsort(-(emb.astype(np.float64) @ q), kind="stable")[:20]
+    assert res["ids"][0] == [f"img_{i:04d}" for i in ref]
+
+
+def test_store_update_delete_tombstone_query():
+    store, emb = make_store()
+    store.update(ids=["img_0001"], metadatas=[{"i": 1, "tag": "x"}])
+    assert store.get(ids=["img_0001"])["metadatas"][0]["tag"] == "x"
+    store.delete(ids=["img_0007"])
+    assert store.count() == 99
+    res = store.query(query_embeddings=[emb[7]], n_results=3)
+    assert "img_0007" not in res["ids"][0]
+    # re-point embedding of another record onto emb[7]
+    store.update(ids=["img_0002"], embeddings=[emb[7]])
+    res = store.query(query_embeddings=[emb[7]], n_results=1)
+    assert res["ids"][0] == ["img_0002"]
+
+
+def test_store_compaction_preserves_results():
+    store, emb = make_store(n=2048)
+    victims = [f"img_{i:04d}" for i in range(2, 1202)]
+    store.delete(victims)  # > half dead -> compaction
+    assert store.count() == 2048 - 1200
+    res = store.query(query_embeddings=[emb[1]], n_results=1)
+    assert res["ids"][0] == ["img_0001"]
+
+
+def test_store_empty_query():
+    store = VectorStore()
+    res = store.query(query_embeddings=[[0.0, 1.0]], n_results=5)
+    assert res["ids"] == [[]]
+
+
+def test_save_load_roundtrip(tmp_path):
+    store, emb = make_store(n=64)
+    store.delete(["img_0000"])
+    store.save(str(tmp_path))
+    loaded = VectorStore.load(str(tmp_path))
+    assert loaded.count() == 63
+    res = store.query(query_embeddings=[emb[5]], n_results=3)
+    res2 = loaded.query(query_embeddings=[emb[5]], n_results=3)
+    assert res["ids"] == res2["ids"]
+    np.testing.assert_allclose(res["distances"], res2["distances"], atol=1e-6)
+
+
+def test_load_missing_dir_is_empty(tmp_path):
+    store = VectorStore.load(str(tmp_path / "nope"))
+    assert store.count() == 0
