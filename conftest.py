@@ -1,13 +1,13 @@
-# Root conftest: configure JAX for CPU testing with a virtual 8-device mesh
-# BEFORE jax is imported anywhere. Multi-chip sharding tests (shard_map/pjit)
-# run against this fake mesh, per the standard JAX pattern for testing
-# distributed code without a cluster.
+# Root conftest: force tests onto CPU with a virtual 8-device mesh.
+# Multi-chip sharding tests (shard_map/pjit) run against this fake mesh,
+# the standard JAX pattern for testing distributed code without a cluster.
+#
+# NOTE: this environment's jax build ignores the JAX_PLATFORMS env var (an
+# 'axon' TPU plugin self-registers), so the platform must be selected via
+# jax.config. XLA_FLAGS is still read from the environment at backend init.
 import os
 import sys
 
-# Force CPU even if the env preselects the TPU platform: unit tests need
-# deterministic fp32 numerics and fast compiles; bench.py uses the real chip.
-os.environ["JAX_PLATFORMS"] = "cpu"
 _flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in _flags:
     os.environ["XLA_FLAGS"] = (
@@ -15,3 +15,7 @@ if "xla_force_host_platform_device_count" not in _flags:
     ).strip()
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import jax
+
+jax.config.update("jax_platforms", "cpu")

@@ -251,14 +251,18 @@ def encode_text(
     dtype=jnp.float32,
     normalize: bool = True,
     attn_impl: str = "auto",
+    eos_token_id: int = None,
 ) -> jax.Array:
     """Text tower. ``token_ids``: (B, S) int32, eos-padded to a fixed S.
 
     Mirrors ``CLIPModel.get_text_features`` + L2 norm
     (/root/reference/utils.py:83-99); pooling at the FIRST eos token, which
     with eos-padding and a causal mask is exactly HF's argmax pooling.
+    ``eos_token_id`` overrides the config (used with alternate vocabs,
+    e.g. the offline byte-fallback tokenizer).
     """
     tc = cfg.text
+    eos_id = tc.eos_token_id if eos_token_id is None else eos_token_id
     tp = params["text"]
     b, s = token_ids.shape
     x = tp["token_embedding"][token_ids].astype(dtype)
@@ -273,7 +277,7 @@ def encode_text(
         attn_impl=attn_impl,
     )
     x = _layer_norm(x, tp["final_ln"], tc.layer_norm_eps)
-    eos_pos = jnp.argmax((token_ids == tc.eos_token_id).astype(jnp.int32), axis=-1)
+    eos_pos = jnp.argmax((token_ids == eos_id).astype(jnp.int32), axis=-1)
     pooled = x[jnp.arange(b), eos_pos]
     feats = _dense(pooled, tp["projection"], None, _prec(dtype))
     feats = feats.astype(jnp.float32)

@@ -1,0 +1,245 @@
+"""Ingest pipeline: the reference's ``process_image`` chain, batched.
+
+Reference serial chain (/root/reference/backend/app/main.py:613-746):
+phash -> dup check -> caption+encode -> save encoded -> optional rembg ->
+save processed png -> description fallback -> caption into custom_metadata
+-> CLIP embed -> apply existing filters -> collection.add -> cache.
+
+``process_image`` preserves those semantics per image (including the
+(metadata, is_new) return and dup short-circuit). ``process_batch`` is the
+TPU-shaped path: it runs dedup + segmentation + preprocessing + CLIP
+embedding for a whole upload batch in device-sized chunks, which is where
+the >=5k img/s/chip BASELINE.md target comes from.
+"""
+
+from __future__ import annotations
+
+import datetime
+import logging
+import os
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import numpy as np
+from PIL import Image
+
+from imatch_tpu.ops.phash import image_id as phash_image_id
+from imatch_tpu.pipeline.captioner import save_encoded
+from imatch_tpu.pipeline.filters import format_filter_query
+from imatch_tpu.pipeline.state import AppState
+
+logger = logging.getLogger("imatch.ingest")
+
+
+def _now_iso() -> str:
+    return datetime.datetime.now().isoformat()
+
+
+def _caption_and_encode(state: AppState, image_np: np.ndarray):
+    """generate_image_caption equivalent (main.py:587-611)."""
+    cap = state.captioner
+    if not getattr(cap, "available", False):
+        return None, None
+    try:
+        encoded = cap.encode_image(image_np)
+        caption = cap.caption(encoded)["caption"]
+        return caption, encoded
+    except Exception as e:
+        logger.error("error generating caption: %s", e)
+        return None, None
+
+
+def _apply_existing_filters(state: AppState, encoded) -> Optional[Dict[str, str]]:
+    """Apply all saved filters to a new image (main.py:707-731)."""
+    if encoded is None or not getattr(state.captioner, "available", False):
+        return None
+    filters = state.load_filters()
+    if not filters:
+        return None
+    results: Dict[str, str] = {}
+    for fq in filters:
+        try:
+            ans = state.captioner.query(encoded, format_filter_query(fq))["answer"]
+            results[fq] = ans.strip() if isinstance(ans, str) else ans
+        except Exception as e:
+            logger.error("error applying filter %r: %s", fq, e)
+            results[fq] = "error"
+    return results
+
+
+def process_image(
+    state: AppState,
+    image: Image.Image,
+    filename: str,
+    description: Optional[str] = None,
+    custom_metadata: Optional[str] = None,
+    remove_bg: bool = False,
+) -> Tuple[dict, bool]:
+    """Single-image ingest with reference semantics. Returns
+    (metadata, is_new_upload); duplicates return the stored metadata."""
+    image = image.convert("RGB") if image.mode != "RGB" else image
+    img_id = phash_image_id(image)
+
+    existing = state.store.get(ids=[img_id], include=["metadatas"])
+    if existing["ids"]:
+        logger.info("image %s already exists, skipping", img_id)
+        return existing["metadatas"][0], False
+
+    image_np = np.asarray(image)
+    caption, encoded = _caption_and_encode(state, image_np)
+    if encoded is not None:
+        save_encoded(state.encoded_dir, img_id, encoded)
+
+    clean_np = image_np
+    if remove_bg and state.segmenter is not None:
+        try:
+            clean_np = state.segmenter.remove_background(image_np)
+        except Exception as e:
+            logger.error("background removal error: %s", e)
+            clean_np = image_np
+
+    processed_path = os.path.join(state.processed_dir, f"{img_id}.png")
+    Image.fromarray(clean_np).save(processed_path)
+
+    if not description:
+        description = os.path.splitext(filename)[0]
+
+    processed_custom = custom_metadata or ""
+    if caption:
+        if processed_custom:
+            processed_custom += "\n\n"
+        processed_custom += caption
+
+    # RGB for embedding even if the segmenter produced RGBA
+    embed_np = clean_np[..., :3] if clean_np.shape[-1] == 4 else clean_np
+    embedding = state.get_embedder().embed_image(embed_np)
+
+    url = f"/static/processed/{img_id}.png"
+    metadata = {
+        "id": img_id,
+        "filename": filename,
+        "description": description,
+        "custom_metadata": processed_custom,
+        "url": url,
+        "thumbnail_url": url,
+        "processed_url": processed_path,
+        "created_at": _now_iso(),
+    }
+    filter_results = _apply_existing_filters(state, encoded)
+    if filter_results:
+        import json
+
+        metadata["filter_results_json"] = json.dumps(filter_results)
+
+    with state.lock:
+        state.store.add(
+            ids=[img_id],
+            embeddings=[embedding],
+            metadatas=[metadata],
+            documents=[description],
+        )
+        state.image_metadata[img_id] = metadata
+    return metadata, True
+
+
+def process_batch(
+    state: AppState,
+    images: Sequence[Image.Image],
+    filenames: Sequence[str],
+    remove_bg: bool = False,
+) -> List[dict]:
+    """Batched ingest: one device pass for embeddings instead of the
+    reference's per-file serial loop (main.py:1124-1188).
+
+    Returns per-file results: {"filename", "status": success|skipped|error,
+    "id"?, "metadata"?, "error"?}.
+    """
+    results: List[dict] = [None] * len(images)
+    fresh: List[int] = []
+    ids: List[Optional[str]] = [None] * len(images)
+    arrays: List[Optional[np.ndarray]] = [None] * len(images)
+
+    seen_batch = set()
+    for i, (im, name) in enumerate(zip(images, filenames)):
+        try:
+            im = im.convert("RGB") if im.mode != "RGB" else im
+            img_id = phash_image_id(im)
+            ids[i] = img_id
+            if img_id in seen_batch or state.store.get(ids=[img_id], include=[])["ids"]:
+                results[i] = {
+                    "filename": name,
+                    "status": "skipped",
+                    "id": img_id,
+                    "message": "Duplicate image detected",
+                }
+                continue
+            seen_batch.add(img_id)
+            arrays[i] = np.asarray(im)
+            fresh.append(i)
+        except Exception as e:
+            results[i] = {"filename": name, "status": "error", "error": str(e)}
+
+    if not fresh:
+        return results
+
+    # captions (autoregressive — stays per-image but batched upstream later)
+    captions: Dict[int, str] = {}
+    for i in fresh:
+        caption, encoded = _caption_and_encode(state, arrays[i])
+        if encoded is not None:
+            save_encoded(state.encoded_dir, ids[i], encoded)
+        if caption:
+            captions[i] = caption
+
+    if remove_bg and state.segmenter is not None:
+        for i in fresh:
+            try:
+                arrays[i] = state.segmenter.remove_background(arrays[i])
+            except Exception as e:
+                logger.error("background removal error: %s", e)
+
+    embed_inputs = [
+        a[..., :3] if a.shape[-1] == 4 else a
+        for a in (arrays[i] for i in fresh)
+    ]
+    embeddings = state.get_embedder().embed_images(embed_inputs)
+
+    add_ids, add_embs, add_mds, add_docs = [], [], [], []
+    for j, i in enumerate(fresh):
+        img_id = ids[i]
+        name = filenames[i]
+        Image.fromarray(arrays[i]).save(
+            os.path.join(state.processed_dir, f"{img_id}.png")
+        )
+        description = os.path.splitext(name)[0]
+        url = f"/static/processed/{img_id}.png"
+        metadata = {
+            "id": img_id,
+            "filename": name,
+            "description": description,
+            "custom_metadata": captions.get(i, ""),
+            "url": url,
+            "thumbnail_url": url,
+            "processed_url": os.path.join(state.processed_dir, f"{img_id}.png"),
+            "created_at": _now_iso(),
+        }
+        add_ids.append(img_id)
+        add_embs.append(embeddings[j])
+        add_mds.append(metadata)
+        add_docs.append(description)
+        results[i] = {
+            "filename": name,
+            "status": "success",
+            "id": img_id,
+            "metadata": metadata,
+        }
+
+    with state.lock:
+        state.store.add(
+            ids=add_ids,
+            embeddings=add_embs,
+            metadatas=add_mds,
+            documents=add_docs,
+        )
+        for md in add_mds:
+            state.image_metadata[md["id"]] = md
+    return results

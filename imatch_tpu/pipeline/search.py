@@ -1,0 +1,131 @@
+"""Search engine: similarity, text, multimodal, listing.
+
+Reference: /root/reference/backend/app/main.py:748-867,1225-1243.
+Similarity mapping is the v2 one: ``1 - distance/2`` (main.py:779-782);
+``limit <= 0`` caps at 1000 (main.py:757). The legacy caption-enhanced
+multimodal variant (app.py:2583-2691) is exposed as
+``enhance_query_with_caption``.
+"""
+
+from __future__ import annotations
+
+import logging
+from typing import List, Optional
+
+import numpy as np
+from PIL import Image
+
+from imatch_tpu.pipeline.state import AppState
+
+logger = logging.getLogger("imatch.search")
+
+ALL_LIMIT = 1000
+
+
+def search_similar(
+    state: AppState, embedding: np.ndarray, limit: int = 10
+) -> List[dict]:
+    """Vector search returning metadata dicts with ``similarity_score``."""
+    actual_limit = ALL_LIMIT if limit <= 0 else limit
+    res = state.store.query(
+        query_embeddings=[np.asarray(embedding, dtype=np.float32)],
+        n_results=actual_limit,
+        include=["metadatas", "distances"],
+    )
+    if not res["ids"] or not res["ids"][0]:
+        return []
+    out = []
+    for img_id, md, dist in zip(
+        res["ids"][0], res["metadatas"][0], res["distances"][0]
+    ):
+        md = dict(md or {})
+        md["similarity_score"] = 1 - (dist / 2)
+        md.setdefault("url", f"/static/processed/{img_id}.png")
+        md.setdefault("thumbnail_url", f"/static/processed/{img_id}.png")
+        out.append(md)
+    return out
+
+
+def search_by_text(state: AppState, query_text: str, limit: int = 10) -> List[dict]:
+    emb = state.get_embedder().embed_text(query_text)
+    return search_similar(state, emb, limit)
+
+
+def search_by_image(
+    state: AppState, image: Image.Image, limit: int = 10
+) -> List[dict]:
+    image = image.convert("RGB") if image.mode != "RGB" else image
+    emb = state.get_embedder().embed_image(np.asarray(image))
+    return search_similar(state, emb, limit)
+
+
+def combine_embeddings(
+    image_emb: np.ndarray, text_emb: np.ndarray, weight_image: float
+) -> np.ndarray:
+    """Normalized weighted blend (main.py:852-860)."""
+    i = image_emb / np.linalg.norm(image_emb)
+    t = text_emb / np.linalg.norm(text_emb)
+    c = weight_image * i + (1 - weight_image) * t
+    return c / np.linalg.norm(c)
+
+
+def search_multimodal(
+    state: AppState,
+    image: Image.Image,
+    query_text: str,
+    weight_image: float = 0.5,
+    limit: int = 10,
+) -> List[dict]:
+    image = image.convert("RGB") if image.mode != "RGB" else image
+    embedder = state.get_embedder()
+    img_emb = embedder.embed_image(np.asarray(image))
+    txt_emb = embedder.embed_text(query_text)
+    combined = combine_embeddings(img_emb, txt_emb, weight_image)
+    return search_similar(state, combined, limit)
+
+
+def get_all_images_with_limit(state: AppState, limit: int = 10) -> List[dict]:
+    """Newest-first listing for empty-query+filters search
+    (main.py:1225-1243)."""
+    actual_limit = ALL_LIMIT if limit <= 0 else limit
+    items = sorted(
+        state.image_metadata.values(),
+        key=lambda m: m.get("created_at", ""),
+        reverse=True,
+    )
+    out = []
+    for md in items[:actual_limit]:
+        md = dict(md)
+        md["similarity_score"] = 1.0
+        out.append(md)
+    return out
+
+
+def enhance_query_with_caption(
+    state: AppState,
+    image: Image.Image,
+    query_text: str,
+    max_tokens: int = 248,
+    chars_per_token: int = 4,
+) -> str:
+    """Legacy v1 capability (app.py:2653-2689): caption the QUERY image
+    and append as much of the caption as fits the token budget, truncated
+    at a word boundary."""
+    cap = state.captioner
+    if not getattr(cap, "available", False):
+        return query_text
+    try:
+        encoded = cap.encode_image(np.asarray(image.convert("RGB")))
+        caption = cap.caption(encoded)["caption"]
+    except Exception as e:
+        logger.error("caption enhancement failed: %s", e)
+        return query_text
+    budget_chars = max_tokens * chars_per_token - len(query_text) - 2
+    if budget_chars <= 0 or not caption:
+        return query_text
+    if len(caption) > budget_chars:
+        cut = caption[:budget_chars]
+        if " " in cut:
+            cut = cut.rsplit(" ", 1)[0]
+        caption = cut
+    return f"{query_text}. {caption}" if query_text else caption

@@ -1,0 +1,144 @@
+"""End-to-end pipeline tests on the reference drill corpus: ingest,
+dedup, search semantics, persistence, reset. Runs with the TINY CLIP
+config + deterministic random weights (no checkpoint offline), so checks
+are mechanical (self-similarity, ordering, contracts), not semantic."""
+
+import json
+import os
+
+import numpy as np
+import pytest
+from PIL import Image
+
+from imatch_tpu.models.clip.configs import TINY
+from imatch_tpu.pipeline.captioner import NullCaptioner
+from imatch_tpu.pipeline.embedder import ClipEmbedder
+from imatch_tpu.pipeline.ingest import process_batch, process_image
+from imatch_tpu.pipeline.search import (
+    combine_embeddings,
+    get_all_images_with_limit,
+    search_by_image,
+    search_by_text,
+    search_multimodal,
+    search_similar,
+)
+from imatch_tpu.pipeline.state import AppState
+
+CORPUS = "/root/reference/images"
+
+
+@pytest.fixture(scope="module")
+def embedder():
+    return ClipEmbedder(config=TINY)
+
+
+@pytest.fixture()
+def state(tmp_path, embedder):
+    return AppState(
+        root=str(tmp_path), embedder=embedder, captioner=NullCaptioner()
+    )
+
+
+def corpus_images():
+    for f in sorted(os.listdir(CORPUS)):
+        yield f, Image.open(os.path.join(CORPUS, f)).convert("RGB")
+
+
+def test_ingest_and_dedup(state):
+    name, img = next(corpus_images())
+    md, is_new = process_image(state, img, name)
+    assert is_new
+    assert md["id"].startswith("img_")
+    assert md["description"] == os.path.splitext(name)[0]
+    assert os.path.exists(md["processed_url"])
+    # duplicate upload short-circuits
+    md2, is_new2 = process_image(state, img, "other name.jpg")
+    assert not is_new2
+    assert md2["id"] == md["id"]
+    assert state.store.count() == 1
+
+
+def test_batch_ingest_and_search(state):
+    items = list(corpus_images())
+    results = process_batch(
+        state, [im for _, im in items], [n for n, _ in items]
+    )
+    assert all(r["status"] == "success" for r in results)
+    assert state.store.count() == len(items)
+
+    # re-ingest: everything skipped as duplicate
+    results2 = process_batch(
+        state, [im for _, im in items], [n for n, _ in items]
+    )
+    assert all(r["status"] == "skipped" for r in results2)
+
+    # image search: the query image ranks itself first with sim ~1
+    name0, img0 = items[0]
+    hits = search_by_image(state, img0, limit=3)
+    assert hits[0]["filename"] == name0
+    assert hits[0]["similarity_score"] > 0.999
+    # v2 similarity mapping bounds
+    assert all(0 <= h["similarity_score"] <= 1.0000001 for h in hits)
+
+    # limit semantics: 0 means all
+    assert len(search_by_image(state, img0, limit=0)) == len(items)
+    assert len(search_by_image(state, img0, limit=2)) == 2
+
+    # text search runs end-to-end and returns scored hits
+    hits = search_by_text(state, "a red drill", limit=5)
+    assert len(hits) == 5
+    d = [h["similarity_score"] for h in hits]
+    assert d == sorted(d, reverse=True)
+
+
+def test_multimodal_blend_math():
+    rng = np.random.default_rng(0)
+    a = rng.standard_normal(8).astype(np.float32)
+    b = rng.standard_normal(8).astype(np.float32)
+    c = combine_embeddings(a, b, 1.0)
+    np.testing.assert_allclose(c, a / np.linalg.norm(a), atol=1e-6)
+    c = combine_embeddings(a, b, 0.0)
+    np.testing.assert_allclose(c, b / np.linalg.norm(b), atol=1e-6)
+    assert abs(np.linalg.norm(combine_embeddings(a, b, 0.3)) - 1) < 1e-6
+
+
+def test_multimodal_search(state):
+    items = list(corpus_images())[:3]
+    process_batch(state, [im for _, im in items], [n for n, _ in items])
+    hits = search_multimodal(state, items[1][1], "drill", weight_image=1.0, limit=1)
+    assert hits[0]["filename"] == items[1][0]
+
+
+def test_get_all_images_newest_first(state):
+    items = list(corpus_images())[:3]
+    for n, im in items:
+        process_image(state, im, n)
+    lst = get_all_images_with_limit(state, limit=2)
+    assert len(lst) == 2
+    created = [m["created_at"] for m in lst]
+    assert created == sorted(created, reverse=True)
+    assert all(m["similarity_score"] == 1.0 for m in lst)
+
+
+def test_persistence_roundtrip(tmp_path, embedder):
+    state = AppState(root=str(tmp_path), embedder=embedder, captioner=NullCaptioner())
+    items = list(corpus_images())[:2]
+    process_batch(state, [im for _, im in items], [n for n, _ in items])
+    state.snapshot()
+
+    state2 = AppState(root=str(tmp_path), embedder=embedder, captioner=NullCaptioner())
+    assert state2.store.count() == 2
+    assert len(state2.image_metadata) == 2
+    hits = search_by_image(state2, items[0][1], limit=1)
+    assert hits[0]["filename"] == items[0][0]
+
+
+def test_reset(state):
+    items = list(corpus_images())[:2]
+    process_batch(state, [im for _, im in items], [n for n, _ in items])
+    state.save_filters(["is it red?"])
+    state.reset()
+    assert state.store.count() == 0
+    assert state.image_metadata == {}
+    assert state.load_filters() == []
+    assert os.listdir(state.processed_dir) == []
