@@ -87,18 +87,14 @@ def search_multimodal(
 def get_all_images_with_limit(state: AppState, limit: int = 10) -> List[dict]:
     """Newest-first listing for empty-query+filters search
     (main.py:1225-1243)."""
-    actual_limit = ALL_LIMIT if limit <= 0 else limit
     items = sorted(
         state.image_metadata.values(),
         key=lambda m: m.get("created_at", ""),
         reverse=True,
     )
-    out = []
-    for md in items[:actual_limit]:
-        md = dict(md)
-        md["similarity_score"] = 1.0
-        out.append(md)
-    return out
+    if limit > 0:
+        items = items[:limit]
+    return [dict(md) for md in items]
 
 
 def enhance_query_with_caption(

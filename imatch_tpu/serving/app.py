@@ -1,0 +1,419 @@
+"""REST API application — the reference's v2 backend contract.
+
+Route-for-route port of /root/reference/backend/app/main.py:124-545,
+1100-1243 (see SURVEY.md §2.4), plus the legacy-only capabilities worth
+preserving (§2.4 tail): unified /search dispatch (app.py:3118),
+/upload-samples bulk ingest (app.py:1190), comma-separated batch filter
+add (app.py:2490).
+
+Response shapes, status codes (409 duplicate, 404s), empty-query+filters
+semantics, limit=0 behavior, and the AND filter post-pass match the
+reference; contract tests in tests/test_api.py pin them.
+"""
+
+from __future__ import annotations
+
+import io
+import json
+import logging
+import os
+from typing import List, Optional
+
+from PIL import Image
+
+from imatch_tpu.pipeline import search as search_mod
+from imatch_tpu.pipeline.backfill import process_filter_on_all_images
+from imatch_tpu.pipeline.ingest import process_batch, process_image
+from imatch_tpu.pipeline.state import AppState
+from imatch_tpu.serving.asgi import App, JSONResponse, UploadFile
+
+logger = logging.getLogger("imatch.api")
+
+CORS_ORIGINS = [
+    "http://localhost:3000",
+    "http://127.0.0.1:3000",
+    "http://localhost:8000",
+    "*",
+]
+
+
+def _parse_bool(v, default=False) -> bool:
+    if v is None:
+        return default
+    if isinstance(v, bool):
+        return v
+    return str(v).strip().lower() in ("true", "1", "yes", "on")
+
+
+def _parse_int(v, default: int) -> int:
+    try:
+        return int(v)
+    except (TypeError, ValueError):
+        return default
+
+
+def _parse_float(v, default: float) -> float:
+    try:
+        return float(v)
+    except (TypeError, ValueError):
+        return default
+
+
+def _open_upload(file: UploadFile) -> Image.Image:
+    image = Image.open(io.BytesIO(file.content))
+    if image.mode not in ("RGB", "L"):
+        image = image.convert("RGB")
+    return image
+
+
+def apply_search_filters(results: List[dict], filters: List[str]) -> List[dict]:
+    """Route-level AND post-pass (backend/app/main.py:202-222)."""
+    if not filters:
+        return results
+    out = []
+    for r in results:
+        fr = {}
+        if "filter_results_json" in r:
+            try:
+                fr = json.loads(r["filter_results_json"])
+            except (json.JSONDecodeError, TypeError):
+                logger.warning("bad filter_results_json for %s", r.get("id"))
+        if all(str(fr.get(f, "")).lower().strip() == "yes" for f in filters):
+            out.append(r)
+    return out
+
+
+def create_app(state: Optional[AppState] = None, root: str = ".") -> App:
+    if state is None:
+        state = AppState(root=root)
+    app = App(cors_origins=CORS_ORIGINS)
+    app.state = state
+    app.mount_static("/static", state.static_dir)
+
+    # -- upload ------------------------------------------------------------
+
+    @app.post("/api/upload")
+    def upload(req):
+        form = req.form()
+        file = form.get("file")
+        if not isinstance(file, UploadFile):
+            return JSONResponse(
+                {"success": False, "error": "file field required"}, 422
+            )
+        try:
+            image = _open_upload(file)
+            metadata, is_new = process_image(
+                state,
+                image=image,
+                filename=file.filename,
+                description=form.get("description"),
+                custom_metadata=form.get("custom_metadata"),
+                remove_bg=_parse_bool(form.get("remove_bg")),
+            )
+        except Exception as e:
+            logger.error("upload error: %s", e)
+            return JSONResponse({"success": False, "error": str(e)}, 500)
+        if is_new:
+            state.snapshot()
+            return {"success": True, "metadata": metadata}
+        return JSONResponse(
+            {
+                "success": False,
+                "error": "Duplicate image",
+                "message": "This image already exists in the database",
+                "metadata": metadata,
+            },
+            409,
+        )
+
+    @app.post("/api/upload-folder")
+    def upload_folder(req):
+        form = req.form()
+        files = [f for f in form.getlist("files") if isinstance(f, UploadFile)]
+        remove_bg = _parse_bool(form.get("remove_bg"))
+        results = []
+        images, names, slots = [], [], []
+        for i, f in enumerate(files):
+            if not f.content:
+                results.append(
+                    {
+                        "filename": f.filename,
+                        "status": "skipped",
+                        "reason": "Empty file",
+                    }
+                )
+                continue
+            try:
+                images.append(_open_upload(f).convert("RGB"))
+                names.append(f.filename)
+                slots.append(i)
+            except Exception as e:
+                results.append(
+                    {
+                        "filename": f.filename,
+                        "status": "error",
+                        "reason": f"Cannot open image: {e}",
+                    }
+                )
+        batch = process_batch(state, images, names, remove_bg=remove_bg)
+        for r in batch:
+            entry = {"filename": r["filename"], "status": r["status"]}
+            if r["status"] == "success":
+                entry["id"] = r["id"]
+            elif r["status"] == "skipped":
+                entry["reason"] = r.get("message", "Duplicate image")
+                entry["id"] = r.get("id")
+            else:
+                entry["reason"] = r.get("error", "error")
+            results.append(entry)
+        successful = sum(1 for r in results if r["status"] == "success")
+        skipped = sum(1 for r in results if r["status"] == "skipped")
+        failed = sum(1 for r in results if r["status"] == "error")
+        if successful:
+            state.snapshot()
+        return {
+            "success": True,
+            "total": len(files),
+            "successful": successful,
+            "skipped": skipped,
+            "failed": failed,
+            "results": results,
+        }
+
+    # -- search ------------------------------------------------------------
+
+    @app.post("/api/search/image")
+    def search_image(req):
+        form = req.form()
+        file = form.get("file")
+        if not isinstance(file, UploadFile):
+            return JSONResponse(
+                {"success": False, "error": "file field required"}, 422
+            )
+        filters = form.getlist("filters")
+        limit = _parse_int(form.get("limit"), 10)
+        image = Image.open(io.BytesIO(file.content)).convert("RGB")
+        results = search_mod.search_by_image(state, image, limit=limit)
+        return {"results": apply_search_filters(results, filters)}
+
+    @app.post("/api/search/text")
+    def search_text(req):
+        form = req.form()
+        query = form.get("query", "")
+        filters = form.getlist("filters")
+        limit = _parse_int(form.get("limit"), 10)
+        if not query.strip() and filters:
+            # empty query + filters -> list all, newest first (main.py:245)
+            results = search_mod.get_all_images_with_limit(state, limit=limit)
+        else:
+            results = search_mod.search_by_text(state, query, limit=limit)
+        return {"results": apply_search_filters(results, filters)}
+
+    @app.post("/api/search/multimodal")
+    def search_multimodal(req):
+        form = req.form()
+        file = form.get("file")
+        if not isinstance(file, UploadFile):
+            return JSONResponse(
+                {"success": False, "error": "file field required"}, 422
+            )
+        query = form.get("query", "")
+        weight_image = _parse_float(form.get("weight_image"), 0.5)
+        filters = form.getlist("filters")
+        limit = _parse_int(form.get("limit"), 10)
+        image = Image.open(io.BytesIO(file.content)).convert("RGB")
+        results = search_mod.search_multimodal(
+            state, image, query, weight_image=weight_image, limit=limit
+        )
+        return {"results": apply_search_filters(results, filters)}
+
+    # -- listing / metadata --------------------------------------------------
+
+    @app.get("/api/images")
+    def get_images(req):
+        return {"images": list(state.image_metadata.values())}
+
+    @app.get("/api/image/{image_id}")
+    def get_image(req, image_id):
+        md = state.image_metadata.get(image_id)
+        if md is None:
+            return JSONResponse(
+                {"success": False, "error": "Image not found"}, 404
+            )
+        return {"success": True, "image": md}
+
+    @app.put("/api/metadata/{image_id}")
+    def update_metadata(req, image_id):
+        form = req.form()
+        if image_id not in state.image_metadata:
+            return JSONResponse(
+                {"success": False, "error": "Image not found"}, 404
+            )
+        description = form.get("description")
+        custom_metadata = form.get("custom_metadata")
+        with state.lock:
+            metadata = dict(state.image_metadata[image_id])
+            metadata["description"] = description
+            metadata["custom_metadata"] = custom_metadata
+            state.image_metadata[image_id] = metadata
+            # Unlike the reference (which overwrites the stored metadata
+            # with a 3-field subset, main.py:503-510 — losing id/url on
+            # restart), persist the full updated record.
+            state.store.update(ids=[image_id], metadatas=[metadata])
+        state.snapshot()
+        return {"success": True, "metadata": metadata}
+
+    # -- filters -------------------------------------------------------------
+
+    @app.get("/api/filters")
+    def get_filters(req):
+        return {"filters": state.load_filters()}
+
+    @app.post("/api/filters")
+    def add_filter(req):
+        form = req.form()
+        filter_query = form.get("filter_query")
+        if not filter_query:
+            return JSONResponse(
+                {"success": False, "error": "filter_query required"}, 422
+            )
+        filters = state.load_filters()
+        if filter_query in filters:
+            return {
+                "success": True,
+                "message": "Filter already exists",
+                "filters": filters,
+            }
+        filters.append(filter_query)
+        state.save_filters(filters)
+        app.add_background_task(
+            process_filter_on_all_images, state, filter_query
+        )
+        return {"success": True, "filters": filters}
+
+    @app.post("/api/filters/batch")
+    def add_filters_batch(req):
+        """Legacy capability: comma-separated batch add (app.py:2489-2515)."""
+        form = req.form()
+        raw = form.get("filter_queries", "")
+        queries = [q.strip() for q in raw.split(",") if q.strip()]
+        filters = state.load_filters()
+        added = []
+        for q in queries:
+            if q not in filters:
+                filters.append(q)
+                added.append(q)
+        state.save_filters(filters)
+        for q in added:
+            app.add_background_task(process_filter_on_all_images, state, q)
+        return {"success": True, "added": added, "filters": filters}
+
+    @app.delete("/api/filters/{filter_query}")
+    def delete_filter(req, filter_query):
+        filters = state.load_filters()
+        if filter_query in filters:
+            filters.remove(filter_query)
+            state.save_filters(filters)
+            return {"success": True, "filters": filters}
+        return JSONResponse(
+            {"success": False, "error": "Filter not found"}, 404
+        )
+
+    @app.get("/api/filter-progress")
+    def filter_progress(req):
+        q = req.query_param("filter_query")
+        if q not in state.filter_progress:
+            return {"status": "not_found"}
+        return state.filter_progress[q]
+
+    # -- admin ---------------------------------------------------------------
+
+    @app.post("/api/reset")
+    def reset(req):
+        try:
+            state.reset()
+        except Exception as e:
+            return JSONResponse({"success": False, "error": str(e)}, 500)
+        return {"success": True}
+
+    # -- legacy capabilities -------------------------------------------------
+
+    @app.post("/search")
+    def unified_search(req):
+        """Legacy v1 auto-dispatch (app.py:3118-3574): text / image /
+        multimodal chosen by which inputs are present; optional
+        caption-enhancement of the query (app.py:2583-2691)."""
+        form = req.form()
+        file = form.get("file")
+        query = (form.get("query") or "").strip()
+        weight_image = _parse_float(form.get("weight_image"), 0.5)
+        limit = _parse_int(form.get("limit"), 10)
+        filters = form.getlist("filters")
+        enhance = _parse_bool(form.get("enhance_with_caption"))
+        has_image = isinstance(file, UploadFile) and file.content
+        if has_image and query:
+            image = Image.open(io.BytesIO(file.content)).convert("RGB")
+            if enhance:
+                query = search_mod.enhance_query_with_caption(
+                    state, image, query
+                )
+            results = search_mod.search_multimodal(
+                state, image, query, weight_image=weight_image, limit=limit
+            )
+            mode = "multimodal"
+        elif has_image:
+            image = Image.open(io.BytesIO(file.content)).convert("RGB")
+            results = search_mod.search_by_image(state, image, limit=limit)
+            mode = "image"
+        elif query:
+            results = search_mod.search_by_text(state, query, limit=limit)
+            mode = "text"
+        else:
+            return JSONResponse(
+                {"success": False, "error": "provide a query or an image"},
+                422,
+            )
+        return {
+            "mode": mode,
+            "results": apply_search_filters(results, filters),
+        }
+
+    @app.post("/upload-samples")
+    def upload_samples(req):
+        """Legacy sample-corpus ingest (app.py:1190-1281). Samples dir from
+        IMATCH_SAMPLES_DIR or ./images under the app root."""
+        samples_dir = os.environ.get(
+            "IMATCH_SAMPLES_DIR", os.path.join(state.root, "images")
+        )
+        if not os.path.isdir(samples_dir):
+            return JSONResponse(
+                {"success": False, "error": "no samples directory"}, 404
+            )
+        images, names = [], []
+        for f in sorted(os.listdir(samples_dir)):
+            path = os.path.join(samples_dir, f)
+            try:
+                images.append(Image.open(path).convert("RGB"))
+                names.append(f)
+            except Exception:
+                continue
+        results = process_batch(state, images, names)
+        state.snapshot()
+        return {
+            "success": True,
+            "total": len(names),
+            "successful": sum(1 for r in results if r["status"] == "success"),
+            "skipped": sum(1 for r in results if r["status"] == "skipped"),
+            "results": results,
+        }
+
+    @app.get("/api/health")
+    def health(req):
+        return {
+            "status": "ok",
+            "images": state.store.count(),
+            "captioner": getattr(state.captioner, "available", False),
+            "model": state.embedder.cfg.name if state.embedder else None,
+        }
+
+    return app

@@ -1,0 +1,340 @@
+"""Minimal ASGI web framework.
+
+Feature set sized to the reference's API surface: path routing with
+``{param}`` captures, query strings, urlencoded + multipart/form-data
+bodies (repeated fields -> lists, file parts -> UploadFile), JSON/file
+responses, CORS middleware with preflight, static directory mounts,
+startup hooks, and thread-pool background tasks (the reference's
+``BackgroundTasks`` runs the filter back-fill cooperatively,
+backend/app/main.py:409; here it runs on a worker thread so device-bound
+back-fills never stall the event loop).
+
+Any ASGI server can host the app; tests drive it in-process through
+``httpx.ASGITransport`` and production uses serving/server.py.
+"""
+
+from __future__ import annotations
+
+import asyncio
+import json
+import logging
+import mimetypes
+import os
+import re
+import threading
+import traceback
+import urllib.parse
+from typing import Any, Callable, Dict, List, Optional, Tuple
+
+logger = logging.getLogger("imatch.asgi")
+
+
+class UploadFile:
+    def __init__(self, filename: str, content: bytes, content_type: str = ""):
+        self.filename = filename
+        self.content = content
+        self.content_type = content_type
+
+    async def read(self) -> bytes:
+        return self.content
+
+
+class FormData:
+    """Ordered multi-dict over parsed form fields."""
+
+    def __init__(self):
+        self._items: List[Tuple[str, Any]] = []
+
+    def append(self, key: str, value: Any):
+        self._items.append((key, value))
+
+    def get(self, key: str, default=None):
+        for k, v in self._items:
+            if k == key:
+                return v
+        return default
+
+    def getlist(self, key: str) -> List[Any]:
+        return [v for k, v in self._items if k == key]
+
+    def __contains__(self, key: str) -> bool:
+        return any(k == key for k, _ in self._items)
+
+
+class Request:
+    def __init__(self, scope: dict, body: bytes):
+        self.method = scope["method"].upper()
+        self.path = scope["path"]
+        self.headers = {
+            k.decode("latin-1").lower(): v.decode("latin-1")
+            for k, v in scope.get("headers", [])
+        }
+        self.query = urllib.parse.parse_qs(
+            scope.get("query_string", b"").decode("latin-1")
+        )
+        self.body = body
+        self.path_params: Dict[str, str] = {}
+
+    def query_param(self, name: str, default: Optional[str] = None):
+        vals = self.query.get(name)
+        return vals[0] if vals else default
+
+    def form(self) -> FormData:
+        ctype = self.headers.get("content-type", "")
+        if ctype.startswith("multipart/form-data"):
+            return _parse_multipart(self.body, ctype)
+        form = FormData()
+        if ctype.startswith("application/x-www-form-urlencoded"):
+            for k, vs in urllib.parse.parse_qs(
+                self.body.decode("utf-8", "replace"), keep_blank_values=True
+            ).items():
+                for v in vs:
+                    form.append(k, v)
+        return form
+
+    def json(self):
+        return json.loads(self.body)
+
+
+def _parse_multipart(body: bytes, content_type: str) -> FormData:
+    form = FormData()
+    m = re.search(r'boundary="?([^";]+)"?', content_type)
+    if not m:
+        return form
+    boundary = b"--" + m.group(1).encode("latin-1")
+    # split into parts; parts are delimited by \r\n--boundary
+    segments = body.split(boundary)
+    for seg in segments[1:-1]:
+        seg = seg.strip(b"\r\n")
+        if not seg or seg == b"--":
+            continue
+        if b"\r\n\r\n" in seg:
+            raw_headers, content = seg.split(b"\r\n\r\n", 1)
+        else:
+            raw_headers, content = seg, b""
+        headers = {}
+        for line in raw_headers.split(b"\r\n"):
+            if b":" in line:
+                k, v = line.split(b":", 1)
+                headers[k.decode("latin-1").strip().lower()] = v.decode(
+                    "latin-1"
+                ).strip()
+        disp = headers.get("content-disposition", "")
+        name_m = re.search(r'name="([^"]*)"', disp)
+        if not name_m:
+            continue
+        name = name_m.group(1)
+        file_m = re.search(r'filename="([^"]*)"', disp)
+        if file_m:
+            form.append(
+                name,
+                UploadFile(
+                    filename=file_m.group(1),
+                    content=content,
+                    content_type=headers.get("content-type", ""),
+                ),
+            )
+        else:
+            form.append(name, content.decode("utf-8", "replace"))
+    return form
+
+
+class Response:
+    def __init__(
+        self,
+        content: bytes = b"",
+        status: int = 200,
+        headers: Optional[List[Tuple[str, str]]] = None,
+        media_type: str = "text/plain",
+    ):
+        self.body = content
+        self.status = status
+        self.headers = headers or []
+        self.media_type = media_type
+
+
+class JSONResponse(Response):
+    def __init__(self, content: Any, status_code: int = 200):
+        super().__init__(
+            json.dumps(content).encode("utf-8"),
+            status=status_code,
+            media_type="application/json",
+        )
+
+
+class HTMLResponse(Response):
+    def __init__(self, content: str, status_code: int = 200):
+        super().__init__(
+            content.encode("utf-8"),
+            status=status_code,
+            media_type="text/html; charset=utf-8",
+        )
+
+
+class FileResponse(Response):
+    def __init__(self, path: str):
+        with open(path, "rb") as f:
+            data = f.read()
+        media = mimetypes.guess_type(path)[0] or "application/octet-stream"
+        super().__init__(data, status=200, media_type=media)
+
+
+class App:
+    def __init__(self, cors_origins: Optional[List[str]] = None):
+        # routes: (method, regex, param_names, handler)
+        self._routes: List[Tuple[str, re.Pattern, List[str], Callable]] = []
+        self._static: List[Tuple[str, str]] = []  # (url_prefix, directory)
+        self._startup: List[Callable] = []
+        self._started = False
+        self._start_lock = threading.Lock()
+        self.cors_origins = cors_origins
+
+    # -- registration -------------------------------------------------------
+
+    def route(self, path: str, methods: List[str] = ("GET",)):
+        param_names = re.findall(r"\{(\w+)\}", path)
+        pattern = re.compile(
+            "^" + re.sub(r"\{(\w+)\}", r"(?P<\1>[^/]+)", path) + "$"
+        )
+
+        def deco(fn):
+            for m in methods:
+                self._routes.append((m.upper(), pattern, param_names, fn))
+            return fn
+
+        return deco
+
+    def get(self, path):
+        return self.route(path, ["GET"])
+
+    def post(self, path):
+        return self.route(path, ["POST"])
+
+    def put(self, path):
+        return self.route(path, ["PUT"])
+
+    def delete(self, path):
+        return self.route(path, ["DELETE"])
+
+    def mount_static(self, prefix: str, directory: str):
+        self._static.append((prefix.rstrip("/") + "/", directory))
+
+    def on_startup(self, fn):
+        self._startup.append(fn)
+        return fn
+
+    def add_background_task(self, fn, *args):
+        """Run fn on a daemon worker thread (device-bound jobs allowed)."""
+        t = threading.Thread(target=fn, args=args, daemon=True)
+        t.start()
+        return t
+
+    # -- dispatch -----------------------------------------------------------
+
+    def _run_startup(self):
+        with self._start_lock:
+            if not self._started:
+                for fn in self._startup:
+                    fn()
+                self._started = True
+
+    def _cors_headers(self) -> List[Tuple[str, str]]:
+        if self.cors_origins is None:
+            return []
+        origin = (
+            "*" if "*" in self.cors_origins else ", ".join(self.cors_origins)
+        )
+        return [
+            ("access-control-allow-origin", origin),
+            ("access-control-allow-methods", "GET, POST, PUT, DELETE, OPTIONS"),
+            ("access-control-allow-headers", "*"),
+            ("access-control-allow-credentials", "true"),
+        ]
+
+    async def _handle(self, scope, body: bytes) -> Response:
+        self._run_startup()
+        method = scope["method"].upper()
+        path = urllib.parse.unquote(scope["path"])
+
+        if method == "OPTIONS":
+            return Response(b"", status=204, headers=self._cors_headers())
+
+        # static mounts
+        if method in ("GET", "HEAD"):
+            for prefix, directory in self._static:
+                if path.startswith(prefix):
+                    rel = os.path.normpath(path[len(prefix) :])
+                    if rel.startswith(".."):
+                        return JSONResponse({"error": "forbidden"}, 403)
+                    full = os.path.join(directory, rel)
+                    if os.path.isfile(full):
+                        return FileResponse(full)
+                    return JSONResponse({"error": "not found"}, 404)
+
+        for m, pattern, names, handler in self._routes:
+            if m != method:
+                continue
+            match = pattern.match(path)
+            if not match:
+                continue
+            req = Request(scope, body)
+            req.path_params = match.groupdict()
+            try:
+                result = handler(req, **req.path_params)
+                if asyncio.iscoroutine(result):
+                    result = await result
+            except Exception as e:  # route-level 500, like FastAPI
+                logger.error(
+                    "handler error on %s %s: %s\n%s",
+                    method,
+                    path,
+                    e,
+                    traceback.format_exc(),
+                )
+                return JSONResponse({"success": False, "error": str(e)}, 500)
+            if isinstance(result, Response):
+                return result
+            return JSONResponse(result)
+        return JSONResponse({"detail": "Not Found"}, 404)
+
+    # -- ASGI entry ---------------------------------------------------------
+
+    async def __call__(self, scope, receive, send):
+        if scope["type"] == "lifespan":
+            while True:
+                message = await receive()
+                if message["type"] == "lifespan.startup":
+                    self._run_startup()
+                    await send({"type": "lifespan.startup.complete"})
+                elif message["type"] == "lifespan.shutdown":
+                    await send({"type": "lifespan.shutdown.complete"})
+                    return
+            return
+        assert scope["type"] == "http"
+        body = b""
+        while True:
+            message = await receive()
+            if message["type"] == "http.request":
+                body += message.get("body", b"")
+                if not message.get("more_body"):
+                    break
+            elif message["type"] == "http.disconnect":
+                return
+        resp = await self._handle(scope, body)
+        headers = [
+            ("content-type", resp.media_type),
+            ("content-length", str(len(resp.body))),
+        ]
+        headers += resp.headers
+        headers += self._cors_headers()
+        await send(
+            {
+                "type": "http.response.start",
+                "status": resp.status,
+                "headers": [
+                    (k.encode("latin-1"), v.encode("latin-1"))
+                    for k, v in headers
+                ],
+            }
+        )
+        await send({"type": "http.response.body", "body": resp.body})

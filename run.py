@@ -1,0 +1,27 @@
+#!/usr/bin/env python
+"""Launcher — the reference's backend/run.py equivalent.
+
+Env config (SURVEY.md §5 config table):
+  PORT                  server port (default 8000)
+  IMATCH_ROOT           app data root (static/, index_data/, filters.json)
+  IMATCH_CLIP_CONFIG    vit-b32 | vit-l14 | longclip-l14-248 (default vit-b32)
+  IMATCH_CLIP_CHECKPOINT  local HF checkpoint dir for real weights
+  IMATCH_CAPTIONER      auto | moondream | null
+  IMATCH_SAMPLES_DIR    sample corpus for /upload-samples
+"""
+
+import logging
+import os
+
+from imatch_tpu.serving.app import create_app
+from imatch_tpu.serving.server import serve
+
+logging.basicConfig(
+    level=logging.INFO, format="%(asctime)s %(name)s %(levelname)s %(message)s"
+)
+
+if __name__ == "__main__":
+    root = os.environ.get("IMATCH_ROOT", ".")
+    port = int(os.environ.get("PORT", "8000"))
+    app = create_app(root=root)
+    serve(app, port=port)

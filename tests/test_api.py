@@ -1,0 +1,336 @@
+"""REST contract tests, in-process via httpx.ASGITransport.
+
+Pins the v2 behavioral contract from SURVEY.md §2.4: 409 duplicates,
+empty-query+filters semantics, limit=0, result shapes, 404s, reset, plus
+legacy capabilities (unified /search, /upload-samples, batch filter add).
+"""
+
+import asyncio
+import io
+import json
+import os
+import time
+
+import httpx
+import numpy as np
+import pytest
+from PIL import Image
+
+from imatch_tpu.models.clip.configs import TINY
+from imatch_tpu.pipeline.captioner import NullCaptioner
+from imatch_tpu.pipeline.embedder import ClipEmbedder
+from imatch_tpu.pipeline.state import AppState
+from imatch_tpu.serving.app import create_app
+
+CORPUS = "/root/reference/images"
+
+
+class FakeCaptioner:
+    """Deterministic VLM stand-in: exercises caption + filter plumbing."""
+
+    available = True
+
+    def encode_image(self, image_np):
+        return {"feat": np.asarray(image_np, dtype=np.float32).mean(axis=(0, 1))}
+
+    def caption(self, encoded):
+        return {"caption": "a power drill on a table"}
+
+    def query(self, encoded, question):
+        return {"answer": "Yes" if "drill" in question.lower() else "No"}
+
+
+@pytest.fixture(scope="module")
+def embedder():
+    return ClipEmbedder(config=TINY)
+
+
+@pytest.fixture()
+def client(tmp_path, embedder):
+    state = AppState(
+        root=str(tmp_path), embedder=embedder, captioner=FakeCaptioner()
+    )
+    app = create_app(state)
+    transport = httpx.ASGITransport(app=app)
+    c = httpx.AsyncClient(transport=transport, base_url="http://test")
+
+    class Sync:
+        def __init__(self):
+            self.state = state
+            self.app = app
+
+        def request(self, method, url, **kw):
+            return asyncio.run(c.request(method, url, **kw))
+
+        def get(self, url, **kw):
+            return self.request("GET", url, **kw)
+
+        def post(self, url, **kw):
+            return self.request("POST", url, **kw)
+
+        def put(self, url, **kw):
+            return self.request("PUT", url, **kw)
+
+        def delete(self, url, **kw):
+            return self.request("DELETE", url, **kw)
+
+    return Sync()
+
+
+def jpg_bytes(name="red drill.jpg"):
+    with open(os.path.join(CORPUS, name), "rb") as f:
+        return f.read()
+
+
+def upload(client, name="red drill.jpg", **data):
+    return client.post(
+        "/api/upload",
+        files={"file": (name, jpg_bytes(name), "image/jpeg")},
+        data=data,
+    )
+
+
+def test_upload_and_duplicate_409(client):
+    r = upload(client, description="my drill", custom_metadata="note")
+    assert r.status_code == 200
+    body = r.json()
+    assert body["success"] is True
+    md = body["metadata"]
+    assert md["id"].startswith("img_")
+    assert md["description"] == "my drill"
+    # FakeCaptioner caption appended to custom_metadata
+    assert "power drill" in md["custom_metadata"]
+    assert md["url"] == f"/static/processed/{md['id']}.png"
+
+    r2 = upload(client, description="again")
+    assert r2.status_code == 409
+    b2 = r2.json()
+    assert b2["success"] is False
+    assert b2["error"] == "Duplicate image"
+    assert b2["metadata"]["id"] == md["id"]
+
+
+def test_static_serving_after_upload(client):
+    md = upload(client).json()["metadata"]
+    r = client.get(md["url"])
+    assert r.status_code == 200
+    assert r.headers["content-type"] == "image/png"
+    assert client.get("/static/processed/nope.png").status_code == 404
+
+
+def test_upload_folder_counts(client):
+    names = ["red drill.jpg", "red drill match.jpg"]
+    files = [
+        ("files", (n, jpg_bytes(n), "image/jpeg")) for n in names + [names[0]]
+    ]
+    r = client.post("/api/upload-folder", files=files)
+    assert r.status_code == 200
+    body = r.json()
+    assert body["total"] == 3
+    assert body["successful"] == 2
+    assert body["skipped"] == 1
+    assert body["failed"] == 0
+    skipped = [x for x in body["results"] if x["status"] == "skipped"]
+    assert skipped[0]["reason"] == "Duplicate image detected" or "Duplicate" in skipped[0]["reason"]
+
+
+def test_search_text_and_limits(client):
+    for n in os.listdir(CORPUS):
+        upload(client, n)
+    r = client.post("/api/search/text", data={"query": "red drill", "limit": 3})
+    assert r.status_code == 200
+    results = r.json()["results"]
+    assert len(results) == 3
+    scores = [x["similarity_score"] for x in results]
+    assert scores == sorted(scores, reverse=True)
+    # limit 0 -> all
+    r = client.post("/api/search/text", data={"query": "red drill", "limit": 0})
+    assert len(r.json()["results"]) == 6
+
+
+def test_search_image_self_match(client):
+    upload(client, "red drill.jpg")
+    upload(client, "orange drill.avif")
+    r = client.post(
+        "/api/search/image",
+        files={"file": ("q.jpg", jpg_bytes("red drill.jpg"), "image/jpeg")},
+        data={"limit": 1},
+    )
+    assert r.json()["results"][0]["filename"] == "red drill.jpg"
+    assert r.json()["results"][0]["similarity_score"] > 0.999
+
+
+def test_search_multimodal_route(client):
+    upload(client, "red drill.jpg")
+    r = client.post(
+        "/api/search/multimodal",
+        files={"file": ("q.jpg", jpg_bytes("red drill.jpg"), "image/jpeg")},
+        data={"query": "red drill", "weight_image": 1.0, "limit": 1},
+    )
+    assert r.status_code == 200
+    assert r.json()["results"][0]["filename"] == "red drill.jpg"
+
+
+def test_images_listing_and_get_by_id(client):
+    md = upload(client).json()["metadata"]
+    r = client.get("/api/images")
+    assert len(r.json()["images"]) == 1
+    r = client.get(f"/api/image/{md['id']}")
+    assert r.json()["image"]["id"] == md["id"]
+    assert client.get("/api/image/img_nope").status_code == 404
+
+
+def test_metadata_update(client):
+    md = upload(client).json()["metadata"]
+    r = client.put(
+        f"/api/metadata/{md['id']}",
+        data={"description": "new desc", "custom_metadata": "cm"},
+    )
+    assert r.status_code == 200
+    assert r.json()["metadata"]["description"] == "new desc"
+    r = client.get(f"/api/image/{md['id']}")
+    assert r.json()["image"]["description"] == "new desc"
+    assert (
+        client.put("/api/metadata/img_nope", data={"description": "x"}).status_code
+        == 404
+    )
+
+
+def test_filter_lifecycle_and_backfill(client):
+    upload(client, "red drill.jpg")
+    upload(client, "orange drill.avif")
+    # add filter -> background back-fill with FakeCaptioner (answers Yes
+    # to questions containing 'drill')
+    r = client.post("/api/filters", data={"filter_query": "is there a drill?"})
+    assert r.json()["filters"] == ["is there a drill?"]
+    # duplicate add
+    r = client.post("/api/filters", data={"filter_query": "is there a drill?"})
+    assert r.json()["message"] == "Filter already exists"
+
+    # wait for backfill thread
+    for _ in range(100):
+        p = client.get(
+            "/api/filter-progress", params={"filter_query": "is there a drill?"}
+        ).json()
+        if p.get("status") == "completed":
+            break
+        time.sleep(0.05)
+    assert p["status"] == "completed"
+    assert p["progress"] == 100
+
+    # filter results stored per image
+    imgs = client.get("/api/images").json()["images"]
+    fr = json.loads(imgs[0]["filter_results_json"])
+    assert fr["is there a drill?"].lower() == "yes"
+
+    # search with the filter applied keeps both
+    r = client.post(
+        "/api/search/text",
+        data={"query": "drill", "limit": 10, "filters": "is there a drill?"},
+    )
+    assert len(r.json()["results"]) == 2
+
+    # unknown progress
+    assert (
+        client.get(
+            "/api/filter-progress", params={"filter_query": "nope"}
+        ).json()["status"]
+        == "not_found"
+    )
+
+    # delete (path segment URL-encoded, as the frontend client does)
+    from urllib.parse import quote
+
+    enc = quote("is there a drill?", safe="")
+    assert client.delete(f"/api/filters/{enc}").status_code == 200
+    assert client.delete(f"/api/filters/{enc}").status_code == 404
+
+
+def test_empty_query_with_filters_lists_all(client):
+    upload(client, "red drill.jpg")
+    upload(client, "red drill match.jpg")
+    client.state.save_filters(["f1"])
+    # one image answers yes
+    imgs = client.get("/api/images").json()["images"]
+    target = imgs[0]["id"]
+    with client.state.lock:
+        md = dict(client.state.image_metadata[target])
+        md["filter_results_json"] = json.dumps({"f1": "yes"})
+        client.state.image_metadata[target] = md
+        client.state.store.update(ids=[target], metadatas=[md])
+    r = client.post(
+        "/api/search/text", data={"query": "  ", "limit": 10, "filters": "f1"}
+    )
+    results = r.json()["results"]
+    assert [x["id"] for x in results] == [target]
+    # no similarity_score on the listing path (reference main.py:245-249)
+    assert "similarity_score" not in results[0]
+
+
+def test_new_upload_gets_existing_filters_applied(client):
+    client.state.save_filters(["is there a drill?", "is it blue?"])
+    md = upload(client, "red drill.jpg").json()["metadata"]
+    fr = json.loads(md["filter_results_json"])
+    assert fr["is there a drill?"] == "Yes"
+    assert fr["is it blue?"] == "No"
+
+
+def test_reset(client):
+    upload(client)
+    client.state.save_filters(["x"])
+    r = client.post("/api/reset")
+    assert r.json()["success"] is True
+    assert client.get("/api/images").json()["images"] == []
+    assert client.get("/api/filters").json()["filters"] == []
+
+
+def test_unified_search_dispatch(client):
+    upload(client, "red drill.jpg")
+    r = client.post("/search", data={"query": "drill"})
+    assert r.json()["mode"] == "text"
+    r = client.post(
+        "/search",
+        files={"file": ("q.jpg", jpg_bytes(), "image/jpeg")},
+    )
+    assert r.json()["mode"] == "image"
+    r = client.post(
+        "/search",
+        files={"file": ("q.jpg", jpg_bytes(), "image/jpeg")},
+        data={"query": "drill", "enhance_with_caption": "true"},
+    )
+    assert r.json()["mode"] == "multimodal"
+    assert client.post("/search", data={}).status_code == 422
+
+
+def test_upload_samples(client, monkeypatch):
+    monkeypatch.setenv("IMATCH_SAMPLES_DIR", CORPUS)
+    r = client.post("/upload-samples")
+    body = r.json()
+    assert body["successful"] == 6
+    r2 = client.post("/upload-samples")
+    assert r2.json()["skipped"] == 6
+
+
+def test_batch_filter_add(client):
+    r = client.post(
+        "/api/filters/batch",
+        data={"filter_queries": "has a drill?, is outdoors? , has a drill?"},
+    )
+    body = r.json()
+    assert body["added"] == ["has a drill?", "is outdoors?"]
+    assert client.get("/api/filters").json()["filters"] == [
+        "has a drill?",
+        "is outdoors?",
+    ]
+
+
+def test_health(client):
+    r = client.get("/api/health")
+    assert r.json()["status"] == "ok"
+    assert r.json()["captioner"] is True
+
+
+def test_cors_preflight(client):
+    r = client.request("OPTIONS", "/api/images")
+    assert r.status_code == 204
+    assert "access-control-allow-origin" in r.headers

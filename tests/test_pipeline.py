@@ -117,7 +117,7 @@ def test_get_all_images_newest_first(state):
     assert len(lst) == 2
     created = [m["created_at"] for m in lst]
     assert created == sorted(created, reverse=True)
-    assert all(m["similarity_score"] == 1.0 for m in lst)
+    assert len(get_all_images_with_limit(state, limit=0)) == 3
 
 
 def test_persistence_roundtrip(tmp_path, embedder):
