@@ -29,7 +29,7 @@ from typing import Dict, List, Optional, Sequence
 import jax.numpy as jnp
 import numpy as np
 
-from imatch_tpu.index.search import cosine_topk
+from imatch_tpu.index.search import prepare_device_corpus, tilemax_topk
 
 _MIN_CAP = 1024
 
@@ -179,9 +179,10 @@ class VectorStore:
             cap = 0 if self._emb is None else self._emb.shape[0]
             if cap == 0:
                 return None
-            self._device = (
-                jnp.asarray(self._emb),
-                jnp.asarray(self._alive),
+            # Prepared once per mutation: bf16 scoring copy + fp32 rescore
+            # copy + validity, padded to the tile size (search.py).
+            self._device = prepare_device_corpus(
+                jnp.asarray(self._emb), jnp.asarray(self._alive)
             )
         return self._device
 
@@ -208,8 +209,8 @@ class VectorStore:
                 for key in out:
                     out[key] = [[] for _ in range(len(q))]
                 return out
-            corpus, valid = self._device_state()
-            scores, idx = cosine_topk(jnp.asarray(q), corpus, valid, k=k)
+            dc = self._device_state()
+            scores, idx = tilemax_topk(jnp.asarray(q), dc, k=k)
             scores = np.asarray(scores)[:, :k]
             idx = np.asarray(idx)[:, :k]
             for qi in range(len(q)):

@@ -1,0 +1,130 @@
+"""Autoregressive generation and the yes/no VQA fast path.
+
+Generation is a ``lax.while_loop`` over single-token decoder calls with
+the KV cache threaded through — zero host round-trips inside the loop,
+per-row EOS masking for batched decode (the reference pays one network
+call per caption, /root/reference/backend/app/main.py:600-603).
+
+The filter subsystem only needs yes/no answers
+(backend/app/main.py:1001-1002 "Yes or No: <q>"), so ``vqa_yes_no``
+skips generation entirely: one prefill, compare the yes/no token logits.
+That turns the N_images x N_filters back-fill into pure batched prefill
+— the single biggest algorithmic win over the reference's design.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from imatch_tpu.models.moondream.configs import MoondreamConfig
+from imatch_tpu.models.moondream.model import (
+    KVCache,
+    decoder_forward,
+    embed_tokens,
+    init_cache,
+    lm_logits,
+)
+
+
+def prefill(
+    params,
+    cfg: MoondreamConfig,
+    image_embeds: jax.Array,
+    token_ids: jax.Array,
+    *,
+    dtype=jnp.float32,
+    cache_dtype=None,
+) -> Tuple[jax.Array, KVCache, jax.Array]:
+    """Run [image patches; prompt tokens] through the decoder.
+
+    image_embeds: (B, P, D) projected vision features (prefix).
+    token_ids: (B, S) prompt token ids (fixed length, no padding).
+    Returns (last-position logits (B, V), cache, next start_pos (B,)).
+    """
+    b = token_ids.shape[0]
+    tok = embed_tokens(params, token_ids, dtype)
+    seq = jnp.concatenate([image_embeds.astype(tok.dtype), tok], axis=1)
+    cache = init_cache(cfg, b, cache_dtype or dtype)
+    start = jnp.zeros((b,), jnp.int32)
+    hidden, cache = decoder_forward(
+        params, seq, cache, start, cfg, dtype=dtype
+    )
+    logits = lm_logits(params, hidden[:, -1:, :], cfg)[:, 0]
+    pos = jnp.full((b,), seq.shape[1], jnp.int32)
+    return logits, cache, pos
+
+
+class GenResult(NamedTuple):
+    tokens: jax.Array  # (B, max_new) int32, eos-padded
+    lengths: jax.Array  # (B,) produced tokens per row (incl. eos)
+
+
+def greedy_generate(
+    params,
+    cfg: MoondreamConfig,
+    first_logits: jax.Array,
+    cache: KVCache,
+    start_pos: jax.Array,
+    *,
+    max_new: int = 64,
+    dtype=jnp.float32,
+) -> GenResult:
+    """Greedy decode from a prefilled cache; stops per-row at EOS."""
+    t = cfg.text
+    b = first_logits.shape[0]
+    eos = t.eos_token_id
+
+    first_tok = jnp.argmax(first_logits, axis=-1).astype(jnp.int32)
+    out0 = jnp.full((b, max_new), eos, jnp.int32)
+    out0 = out0.at[:, 0].set(first_tok)
+    done0 = first_tok == eos
+
+    def cond(state):
+        i, _, _, _, done, _ = state
+        return jnp.logical_and(i < max_new, ~jnp.all(done))
+
+    def step(state):
+        i, last, pos, cache, done, out = state
+        emb = embed_tokens(params, last[:, None], dtype)
+        hidden, cache = decoder_forward(
+            params, emb, cache, pos, cfg, dtype=dtype
+        )
+        logits = lm_logits(params, hidden, cfg)[:, 0]
+        nxt = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+        nxt = jnp.where(done, eos, nxt)
+        out = out.at[:, i].set(nxt)
+        done = jnp.logical_or(done, nxt == eos)
+        return (i + 1, nxt, pos + 1, cache, done, out)
+
+    state = (jnp.int32(1), first_tok, start_pos, cache, done0, out0)
+    _, _, _, _, _, out = jax.lax.while_loop(cond, step, state)
+    lengths = jnp.argmax(out == eos, axis=1) + 1
+    lengths = jnp.where(jnp.any(out == eos, axis=1), lengths, max_new)
+    return GenResult(out, lengths)
+
+
+def vqa_yes_no(
+    params,
+    cfg: MoondreamConfig,
+    image_embeds: jax.Array,
+    token_ids: jax.Array,
+    yes_ids: Sequence[int],
+    no_ids: Sequence[int],
+    *,
+    dtype=jnp.float32,
+) -> jax.Array:
+    """Batched yes/no probability: True where P(yes) > P(no).
+
+    yes_ids/no_ids: token-id variants of the answer words (e.g. "Yes",
+    " Yes", "yes"); probabilities are summed over variants.
+    """
+    logits, _, _ = prefill(
+        params, cfg, image_embeds, token_ids, dtype=dtype
+    )
+    probs = jax.nn.softmax(logits, axis=-1)
+    p_yes = probs[:, jnp.asarray(list(yes_ids))].sum(axis=-1)
+    p_no = probs[:, jnp.asarray(list(no_ids))].sum(axis=-1)
+    return p_yes > p_no

@@ -1,0 +1,383 @@
+"""Moondream-class VLM: SigLIP-style vision tower + Phi-style decoder.
+
+TPU-first shape (same conventions as models/clip/model.py): per-layer
+params stacked on a leading axis and scanned (one compiled layer body);
+bf16 matmuls with fp32 layernorm/softmax; the KV cache is a pair of
+(L, B, H, S_max, Dh) arrays threaded through ``lax.scan`` so prefill and
+every decode step are each a single fused XLA program — no Python in the
+token loop (``lax.while_loop`` drives generation).
+
+Replaces moondream_model.encode_image/caption/query
+(/root/reference/backend/app/main.py:600-603,1001-1002).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from imatch_tpu.models.moondream.configs import MoondreamConfig
+from imatch_tpu.ops.attention import mha
+
+Params = Dict[str, Any]
+
+NEG_INF = -1e30
+
+
+# ---------------------------------------------------------------------------
+# Init
+# ---------------------------------------------------------------------------
+
+
+def _init_vision_layers(key, n, d, d_mlp):
+    ks = jax.random.split(key, 3)
+    init = jax.nn.initializers.normal(0.02)
+
+    def stack(k, shape):
+        return init(k, (n,) + shape, jnp.float32)
+
+    return {
+        "ln1": {"scale": jnp.ones((n, d)), "bias": jnp.zeros((n, d))},
+        "attn": {
+            "wqkv": stack(jax.random.fold_in(ks[0], 0), (d, 3 * d)),
+            "bqkv": jnp.zeros((n, 3 * d)),
+            "wo": stack(jax.random.fold_in(ks[0], 1), (d, d)),
+            "bo": jnp.zeros((n, d)),
+        },
+        "ln2": {"scale": jnp.ones((n, d)), "bias": jnp.zeros((n, d))},
+        "mlp": {
+            "w1": stack(ks[1], (d, d_mlp)),
+            "b1": jnp.zeros((n, d_mlp)),
+            "w2": stack(ks[2], (d_mlp, d)),
+            "b2": jnp.zeros((n, d)),
+        },
+    }
+
+
+def _init_text_layers(key, n, d, d_mlp):
+    ks = jax.random.split(key, 3)
+    init = jax.nn.initializers.normal(0.02)
+
+    def stack(k, shape):
+        return init(k, (n,) + shape, jnp.float32)
+
+    return {
+        # Phi parallel block: one LN feeds both attention and MLP.
+        "ln": {"scale": jnp.ones((n, d)), "bias": jnp.zeros((n, d))},
+        "attn": {
+            "wqkv": stack(jax.random.fold_in(ks[0], 0), (d, 3 * d)),
+            "bqkv": jnp.zeros((n, 3 * d)),
+            "wo": stack(jax.random.fold_in(ks[0], 1), (d, d)),
+            "bo": jnp.zeros((n, d)),
+        },
+        "mlp": {
+            "w1": stack(ks[1], (d, d_mlp)),
+            "b1": jnp.zeros((n, d_mlp)),
+            "w2": stack(ks[2], (d_mlp, d)),
+            "b2": jnp.zeros((n, d)),
+        },
+    }
+
+
+def init_md_params(key, cfg: MoondreamConfig) -> Params:
+    kv, kp, kt, kh = jax.random.split(key, 4)
+    init = jax.nn.initializers.normal(0.02)
+    v, t = cfg.vision, cfg.text
+    return {
+        "vision": {
+            "patch_embedding": {
+                "w": init(
+                    jax.random.fold_in(kv, 0),
+                    (v.patch_size, v.patch_size, 3, v.hidden_size),
+                    jnp.float32,
+                ),
+                "b": jnp.zeros((v.hidden_size,)),
+            },
+            "position_embedding": init(
+                jax.random.fold_in(kv, 1),
+                (v.num_patches, v.hidden_size),
+                jnp.float32,
+            ),
+            "layers": _init_vision_layers(
+                jax.random.fold_in(kv, 2), v.num_layers, v.hidden_size, v.mlp_size
+            ),
+            "post_ln": {
+                "scale": jnp.ones((v.hidden_size,)),
+                "bias": jnp.zeros((v.hidden_size,)),
+            },
+        },
+        "projector": {
+            "w1": init(
+                jax.random.fold_in(kp, 0),
+                (v.hidden_size, cfg.proj_hidden),
+                jnp.float32,
+            ),
+            "b1": jnp.zeros((cfg.proj_hidden,)),
+            "w2": init(
+                jax.random.fold_in(kp, 1),
+                (cfg.proj_hidden, t.hidden_size),
+                jnp.float32,
+            ),
+            "b2": jnp.zeros((t.hidden_size,)),
+        },
+        "text": {
+            "token_embedding": init(
+                jax.random.fold_in(kt, 0),
+                (t.vocab_size, t.hidden_size),
+                jnp.float32,
+            ),
+            "layers": _init_text_layers(
+                jax.random.fold_in(kt, 1), t.num_layers, t.hidden_size, t.mlp_size
+            ),
+            "final_ln": {
+                "scale": jnp.ones((t.hidden_size,)),
+                "bias": jnp.zeros((t.hidden_size,)),
+            },
+            "lm_head": {
+                "w": init(kh, (t.hidden_size, t.vocab_size), jnp.float32),
+                "b": jnp.zeros((t.vocab_size,)),
+            },
+        },
+    }
+
+
+# ---------------------------------------------------------------------------
+# Shared pieces
+# ---------------------------------------------------------------------------
+
+
+def _prec(dtype):
+    return (
+        jax.lax.Precision.HIGHEST
+        if dtype == jnp.float32
+        else jax.lax.Precision.DEFAULT
+    )
+
+
+def _dense(x, w, b, prec):
+    y = jnp.einsum(
+        "...d,df->...f",
+        x,
+        w.astype(x.dtype),
+        precision=prec,
+        preferred_element_type=jnp.float32,
+    ).astype(x.dtype)
+    if b is not None:
+        y = y + b.astype(x.dtype)
+    return y
+
+
+def _layer_norm(x, p, eps):
+    x32 = x.astype(jnp.float32)
+    mean = jnp.mean(x32, axis=-1, keepdims=True)
+    var = jnp.var(x32, axis=-1, keepdims=True)
+    y = (x32 - mean) * jax.lax.rsqrt(var + eps)
+    return (y * p["scale"] + p["bias"]).astype(x.dtype)
+
+
+def _gelu(x):
+    return jax.nn.gelu(x, approximate=True)
+
+
+# ---------------------------------------------------------------------------
+# Vision tower + projector
+# ---------------------------------------------------------------------------
+
+
+def encode_image_features(
+    params: Params,
+    pixels: jax.Array,
+    cfg: MoondreamConfig,
+    *,
+    dtype=jnp.float32,
+    attn_impl: str = "auto",
+) -> jax.Array:
+    """(B, H, W, 3) normalized pixels -> (B, P, D_text) LM-space embeds."""
+    v = cfg.vision
+    vp = params["vision"]
+    prec = _prec(dtype)
+    x = pixels.astype(dtype)
+    x = jax.lax.conv_general_dilated(
+        x,
+        vp["patch_embedding"]["w"].astype(dtype),
+        window_strides=(v.patch_size, v.patch_size),
+        padding="VALID",
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        precision=prec,
+        preferred_element_type=jnp.float32,
+    ).astype(dtype)
+    b = x.shape[0]
+    x = x.reshape(b, v.num_patches, v.hidden_size)
+    x = x + vp["patch_embedding"]["b"].astype(dtype)
+    x = x + vp["position_embedding"].astype(dtype)
+
+    s, d, nh = v.num_patches, v.hidden_size, v.num_heads
+    hd = v.head_dim
+
+    def body(h, lp):
+        y = _layer_norm(h, lp["ln1"], v.layer_norm_eps)
+        qkv = _dense(y, lp["attn"]["wqkv"], lp["attn"]["bqkv"], prec)
+        q, k, vv = jnp.split(qkv, 3, axis=-1)
+        q = q.reshape(b, s, nh, hd).transpose(0, 2, 1, 3)
+        k = k.reshape(b, s, nh, hd).transpose(0, 2, 1, 3)
+        vv = vv.reshape(b, s, nh, hd).transpose(0, 2, 1, 3)
+        o = mha(q, k, vv, causal=False, impl=attn_impl, precision=prec)
+        o = o.transpose(0, 2, 1, 3).reshape(b, s, d)
+        h = h + _dense(o, lp["attn"]["wo"], lp["attn"]["bo"], prec)
+        y = _layer_norm(h, lp["ln2"], v.layer_norm_eps)
+        y = _gelu(_dense(y, lp["mlp"]["w1"], lp["mlp"]["b1"], prec))
+        h = h + _dense(y, lp["mlp"]["w2"], lp["mlp"]["b2"], prec)
+        return h, None
+
+    x, _ = jax.lax.scan(body, x, vp["layers"])
+    x = _layer_norm(x, vp["post_ln"], v.layer_norm_eps)
+
+    pj = params["projector"]
+    x = _gelu(_dense(x, pj["w1"], pj["b1"], prec))
+    x = _dense(x, pj["w2"], pj["b2"], prec)
+    return x
+
+
+# ---------------------------------------------------------------------------
+# Phi-style decoder with KV cache
+# ---------------------------------------------------------------------------
+
+
+class KVCache(NamedTuple):
+    k: jax.Array  # (L, B, H, S_max, Dh)
+    v: jax.Array  # (L, B, H, S_max, Dh)
+
+
+def init_cache(cfg: MoondreamConfig, batch: int, dtype=jnp.float32) -> KVCache:
+    t = cfg.text
+    shape = (t.num_layers, batch, t.num_heads, t.max_seq, t.head_dim)
+    return KVCache(jnp.zeros(shape, dtype), jnp.zeros(shape, dtype))
+
+
+def _rotary(x, positions, rotary_dim):
+    """Phi-style partial rotary: first ``rotary_dim`` dims of each head.
+
+    x: (B, H, S, Dh); positions: (S,) or (B, S) absolute indices.
+    """
+    b, h, s, hd = x.shape
+    rd = rotary_dim
+    xr, xp = x[..., :rd], x[..., rd:]
+    half = rd // 2
+    freqs = 1.0 / (10000.0 ** (jnp.arange(0, half, dtype=jnp.float32) / half))
+    if positions.ndim == 1:
+        ang = positions.astype(jnp.float32)[:, None] * freqs[None, :]  # (S, half)
+        ang = ang[None, None]  # (1, 1, S, half)
+    else:
+        ang = positions.astype(jnp.float32)[:, None, :, None] * freqs
+    cos, sin = jnp.cos(ang), jnp.sin(ang)
+    x1, x2 = xr[..., :half], xr[..., half:]
+    rot = jnp.concatenate(
+        [x1 * cos - x2 * sin, x2 * cos + x1 * sin], axis=-1
+    ).astype(x.dtype)
+    return jnp.concatenate([rot, xp], axis=-1)
+
+
+def _attend_cached(q, ck, cv, *, valid_len, prec):
+    """q (B,H,Sq,Dh) against a cache (B,H,Smax,Dh) masked to valid_len.
+
+    valid_len: (B, Sq) number of cache slots visible to each q position
+    (its own slot included — causal by construction).
+    """
+    scale = q.shape[-1] ** -0.5
+    logits = jnp.einsum(
+        "bhqd,bhkd->bhqk",
+        q,
+        ck.astype(q.dtype),
+        preferred_element_type=jnp.float32,
+        precision=prec,
+    ) * scale
+    kpos = jnp.arange(ck.shape[2])
+    mask = kpos[None, None, None, :] < valid_len[:, None, :, None]
+    logits = jnp.where(mask, logits, NEG_INF)
+    probs = jax.nn.softmax(logits.astype(jnp.float32), axis=-1)
+    return jnp.einsum(
+        "bhqk,bhkd->bhqd",
+        probs.astype(q.dtype),
+        cv.astype(q.dtype),
+        preferred_element_type=jnp.float32,
+        precision=prec,
+    ).astype(q.dtype)
+
+
+def decoder_forward(
+    params: Params,
+    embeds: jax.Array,
+    cache: KVCache,
+    start_pos: jax.Array,
+    cfg: MoondreamConfig,
+    *,
+    dtype=jnp.float32,
+) -> Tuple[jax.Array, KVCache]:
+    """Run Sq tokens through the decoder, reading+writing the KV cache.
+
+    embeds: (B, Sq, D) input embeddings for positions
+      start_pos .. start_pos+Sq (per batch row, same start).
+    start_pos: (B,) int32 — current cache fill per row.
+    Returns (hidden (B, Sq, D), updated cache). Serves both prefill
+    (Sq = prompt length) and decode (Sq = 1) — one compiled body.
+    """
+    t = cfg.text
+    b, sq, d = embeds.shape
+    nh, hd = t.num_heads, t.head_dim
+    prec = _prec(dtype)
+    x = embeds.astype(dtype)
+    # Absolute positions of the new tokens: (B, Sq).
+    pos = start_pos[:, None] + jnp.arange(sq)[None, :]
+    # Cache slots visible to each new token: previous fill + causal self.
+    valid = start_pos[:, None] + jnp.arange(1, sq + 1)[None, :]
+
+    def body(carry, xs):
+        h = carry
+        lp, ck, cv = xs
+        y = _layer_norm(h, lp["ln"], t.layer_norm_eps)
+        qkv = _dense(y, lp["attn"]["wqkv"], lp["attn"]["bqkv"], prec)
+        q, k, v = jnp.split(qkv, 3, axis=-1)
+        q = q.reshape(b, sq, nh, hd).transpose(0, 2, 1, 3)
+        k = k.reshape(b, sq, nh, hd).transpose(0, 2, 1, 3)
+        v = v.reshape(b, sq, nh, hd).transpose(0, 2, 1, 3)
+        q = _rotary(q, pos, t.rotary_dim)
+        k = _rotary(k, pos, t.rotary_dim)
+        # Scatter new K/V into the cache at start_pos (same for all rows
+        # in a call: rows are aligned by construction in prefill/decode).
+        ck = jax.lax.dynamic_update_slice(
+            ck, k.astype(ck.dtype), (0, 0, start_pos[0], 0)
+        )
+        cv = jax.lax.dynamic_update_slice(
+            cv, v.astype(cv.dtype), (0, 0, start_pos[0], 0)
+        )
+        o = _attend_cached(q, ck, cv, valid_len=valid, prec=prec)
+        o = o.transpose(0, 2, 1, 3).reshape(b, sq, d)
+        attn_out = _dense(o, lp["attn"]["wo"], lp["attn"]["bo"], prec)
+        m = _gelu(_dense(y, lp["mlp"]["w1"], lp["mlp"]["b1"], prec))
+        mlp_out = _dense(m, lp["mlp"]["w2"], lp["mlp"]["b2"], prec)
+        h = h + attn_out + mlp_out  # phi parallel residual
+        return h, (ck, cv)
+
+    x, (new_k, new_v) = jax.lax.scan(
+        body, x, (params["text"]["layers"], cache.k, cache.v)
+    )
+    return x, KVCache(new_k, new_v)
+
+
+def lm_logits(params: Params, hidden: jax.Array, cfg: MoondreamConfig):
+    """(B, Sq, D) -> (B, Sq, V) fp32 logits."""
+    tp = params["text"]
+    h = _layer_norm(hidden, tp["final_ln"], cfg.text.layer_norm_eps)
+    return jnp.einsum(
+        "bsd,dv->bsv",
+        h.astype(jnp.float32),
+        tp["lm_head"]["w"],
+        precision=jax.lax.Precision.HIGHEST,
+        preferred_element_type=jnp.float32,
+    ) + tp["lm_head"]["b"]
+
+
+def embed_tokens(params: Params, token_ids: jax.Array, dtype=jnp.float32):
+    return params["text"]["token_embedding"][token_ids].astype(dtype)

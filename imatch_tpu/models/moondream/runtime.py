@@ -1,0 +1,206 @@
+"""MoondreamJax — the in-process captioner/VQA service.
+
+Drop-in for the reference's moondream handle
+(/root/reference/backend/app/main.py:99-115 ``md.vl()``):
+``encode_image`` / ``caption`` / ``query`` with dict results. All compute
+is jitted JAX on the default backend; the vision encoding is cached per
+image (the reference persists it as a .pt file, main.py:647-651 — here
+it's an (P, D) fp32 array in an .npz via pipeline/captioner.py).
+
+Yes/no questions ("Yes or No: ..." — the filter subsystem's entire
+traffic, main.py:905-913) short-circuit generation: one prefill and a
+yes-vs-no logit comparison (generate.vqa_yes_no).
+
+Config/weights: IMATCH_MD_CONFIG selects the geometry (default tiny-md
+offline, moondream2 when IMATCH_MD_CHECKPOINT is set);
+IMATCH_MD_VOCAB/IMATCH_MD_MERGES load a real GPT-2 vocab, else the
+deterministic byte-fallback vocab.
+
+Static-shape note: prompts are tokenized to their exact length, so each
+distinct (batch, prompt_len) pair compiles once; the caption prompt is
+constant and filter queries are short and few, keeping the compile set
+small.
+"""
+
+from __future__ import annotations
+
+import functools
+import os
+import threading
+from typing import Any, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from imatch_tpu.models.moondream.configs import get_md_config
+from imatch_tpu.models.moondream.generate import (
+    greedy_generate,
+    prefill,
+    vqa_yes_no,
+)
+from imatch_tpu.models.moondream.model import (
+    encode_image_features,
+    init_md_params,
+)
+from imatch_tpu.ops.resize import resize_crop_matrices
+from imatch_tpu.ops.tokenizer_gpt2 import GPT2Tokenizer
+
+CAPTION_PROMPT = "\n\nQuestion: Describe this image.\n\nAnswer:"
+
+
+def _is_yes_no(question: str) -> bool:
+    ql = question.lower()
+    return "yes or no:" in ql or "yes/no:" in ql
+
+
+class MoondreamJax:
+    available = True
+
+    def __init__(self, config: Optional[str] = None, checkpoint: Optional[str] = None):
+        checkpoint = checkpoint or os.environ.get("IMATCH_MD_CHECKPOINT")
+        config = config or os.environ.get(
+            "IMATCH_MD_CONFIG", "moondream2" if checkpoint else "tiny-md"
+        )
+        self.cfg = get_md_config(config)
+        if checkpoint:
+            from imatch_tpu.models.moondream.convert import load_md_checkpoint
+
+            self.params = jax.tree.map(
+                jnp.asarray, load_md_checkpoint(checkpoint, self.cfg)
+            )
+        else:
+            self.params = init_md_params(jax.random.key(0), self.cfg)
+        vocab = os.environ.get("IMATCH_MD_VOCAB")
+        merges = os.environ.get("IMATCH_MD_MERGES")
+        if vocab and merges:
+            self.tokenizer = GPT2Tokenizer.from_files(vocab, merges)
+        else:
+            self.tokenizer = GPT2Tokenizer.byte_fallback(
+                bos_id=min(256, self.cfg.text.vocab_size - 2),
+                eos_id=min(257, self.cfg.text.vocab_size - 1),
+            )
+        self.dtype = (
+            jnp.bfloat16 if jax.default_backend() == "tpu" else jnp.float32
+        )
+        self._lock = threading.Lock()
+        size = self.cfg.vision.image_size
+        self._resize_cache: Dict[tuple, tuple] = {}
+        self._size = size
+
+        cfg, dt = self.cfg, self.dtype
+
+        @jax.jit
+        def _encode(params, pixels):
+            return encode_image_features(params, pixels, cfg, dtype=dt)
+
+        @functools.partial(jax.jit, static_argnames=("max_new",))
+        def _generate(params, feats, tokens, max_new):
+            logits, cache, pos = prefill(params, cfg, feats, tokens, dtype=dt)
+            return greedy_generate(
+                params, cfg, logits, cache, pos, max_new=max_new, dtype=dt
+            )
+
+        self._encode_fn = _encode
+        self._generate_fn = _generate
+
+        tok = self.tokenizer
+        yes_ids = tok.token_ids_for_word("yes") or [
+            tok.encode("Y")[0],
+            tok.encode("y")[0],
+        ]
+        no_ids = tok.token_ids_for_word("no") or [
+            tok.encode("N")[0],
+            tok.encode("n")[0],
+        ]
+        self._yes_ids = tuple(yes_ids)
+        self._no_ids = tuple(no_ids)
+
+        @jax.jit
+        def _vqa(params, feats, tokens):
+            return vqa_yes_no(
+                params, cfg, feats, tokens, self._yes_ids, self._no_ids,
+                dtype=dt,
+            )
+
+        self._vqa_fn = _vqa
+
+    # -- image encoding -------------------------------------------------
+
+    def _preprocess(self, image) -> jnp.ndarray:
+        """PIL image or HWC uint8 array -> (1, S, S, 3) in [-1, 1]."""
+        arr = np.asarray(image)
+        if arr.ndim == 2:
+            arr = np.stack([arr] * 3, axis=-1)
+        if arr.shape[-1] == 4:
+            arr = arr[..., :3]
+        h, w = arr.shape[:2]
+        key = (h, w)
+        if key not in self._resize_cache:
+            a_v, a_h = resize_crop_matrices(h, w, self._size)
+            self._resize_cache[key] = (jnp.asarray(a_v), jnp.asarray(a_h))
+        a_v, a_h = self._resize_cache[key]
+        x = jnp.asarray(arr, jnp.float32)[None]
+        x = jnp.einsum("xw,bhwc->bhxc", a_h, x)
+        x = jnp.einsum("yh,bhxc->byxc", a_v, x)
+        return x * (2.0 / 255.0) - 1.0  # SigLIP normalization (mean=std=.5)
+
+    def encode_image(self, image) -> Dict[str, np.ndarray]:
+        with self._lock:
+            pixels = self._preprocess(image)
+            feats = self._encode_fn(self.params, pixels)
+            return {"features": np.asarray(feats[0], np.float32)}
+
+    def _feats(self, encoded: Any) -> jnp.ndarray:
+        if isinstance(encoded, dict):
+            f = encoded["features"]
+        else:
+            f = encoded
+        f = jnp.asarray(f, jnp.float32)
+        return f[None] if f.ndim == 2 else f
+
+    # -- generation -------------------------------------------------------
+
+    def _prompt_ids(self, text: str) -> jnp.ndarray:
+        ids = [self.tokenizer.bos_id] + self.tokenizer.encode(text)
+        budget = self.cfg.text.max_seq - self.cfg.vision.num_patches - 1
+        return jnp.asarray([ids[:budget]], jnp.int32)
+
+    def caption(self, encoded: Any, max_new: int = 48) -> Dict[str, str]:
+        with self._lock:
+            feats = self._feats(encoded)
+            tokens = self._prompt_ids(CAPTION_PROMPT)
+            result = self._generate_fn(self.params, feats, tokens, max_new)
+            text = self.tokenizer.decode(
+                np.asarray(result.tokens[0])[: int(result.lengths[0])]
+            )
+            return {"caption": text.strip()}
+
+    def query(self, encoded: Any, question: str, max_new: int = 32) -> Dict[str, str]:
+        with self._lock:
+            feats = self._feats(encoded)
+            prompt = f"\n\nQuestion: {question}\n\nAnswer:"
+            tokens = self._prompt_ids(prompt)
+            if _is_yes_no(question):
+                is_yes = self._vqa_fn(self.params, feats, tokens)
+                return {"answer": "Yes" if bool(is_yes[0]) else "No"}
+            result = self._generate_fn(self.params, feats, tokens, max_new)
+            text = self.tokenizer.decode(
+                np.asarray(result.tokens[0])[: int(result.lengths[0])]
+            )
+            return {"answer": text.strip()}
+
+    # -- batched paths (the TPU-native win over the reference) ------------
+
+    def query_yes_no_batch(self, encoded_list, question: str) -> list[bool]:
+        """One prefill for a whole batch of images x one question."""
+        with self._lock:
+            feats = jnp.concatenate(
+                [self._feats(e) for e in encoded_list], axis=0
+            )
+            ids = [self.tokenizer.bos_id] + self.tokenizer.encode(
+                f"\n\nQuestion: {question}\n\nAnswer:"
+            )
+            tokens = jnp.asarray([ids] * feats.shape[0], jnp.int32)
+            ans = self._vqa_fn(self.params, feats, tokens)
+            return [bool(a) for a in np.asarray(ans)]

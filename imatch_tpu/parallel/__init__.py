@@ -1,0 +1,37 @@
+"""Multi-chip parallelism: mesh construction, sharding rules, the
+contrastive training step, and the distributed sharded index search.
+
+The reference has no distributed layer at all (SURVEY.md §2.3 — one
+process, no collectives). Here scale-out is first-class and TPU-native:
+a ``jax.sharding.Mesh`` with ``data`` and ``model`` axes, parameter/batch
+PartitionSpecs handed to ``jax.jit`` (XLA SPMD inserts the collectives
+over ICI), and ``shard_map`` for the corpus-sharded top-k search where we
+want explicit control of the all-gather/merge.
+"""
+
+from imatch_tpu.parallel.mesh import make_mesh, mesh_shape_for
+from imatch_tpu.parallel.sharding import (
+    clip_param_specs,
+    data_spec,
+    replicated,
+)
+from imatch_tpu.parallel.dist_search import sharded_cosine_topk
+from imatch_tpu.parallel.train import (
+    TrainState,
+    clip_loss,
+    make_train_step,
+    init_train_state,
+)
+
+__all__ = [
+    "make_mesh",
+    "mesh_shape_for",
+    "clip_param_specs",
+    "data_spec",
+    "replicated",
+    "sharded_cosine_topk",
+    "TrainState",
+    "clip_loss",
+    "make_train_step",
+    "init_train_state",
+]

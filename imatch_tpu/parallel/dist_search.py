@@ -1,0 +1,98 @@
+"""Corpus-sharded exact top-k search over a device mesh.
+
+The reference's search is one hnswlib query in one process
+(/root/reference/backend/app/main.py:761). The TPU scale-out (SURVEY.md
+§2.3): shard the (N, D) corpus row-wise over the ``data`` axis, score
+each shard locally with the streaming cosine_topk (a tiled MXU matmul),
+then all-gather only the per-shard top-k candidates — k*P rows instead
+of N — and take the global top-k. The all-gather rides ICI; per-query
+traffic is k*P*(4+4) bytes, independent of corpus size.
+
+``shard_map`` (not bare jit) because the candidate merge is an explicit
+algorithm, not something we want SPMD to infer.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding
+from jax.sharding import PartitionSpec as P
+
+from imatch_tpu.index.search import cosine_topk
+from imatch_tpu.parallel.mesh import AXIS_DATA
+
+
+@functools.partial(
+    jax.jit, static_argnames=("k", "mesh", "chunk", "score_dtype")
+)
+def sharded_cosine_topk(
+    queries: jax.Array,
+    corpus: jax.Array,
+    valid: jax.Array,
+    *,
+    mesh: Mesh,
+    k: int,
+    chunk: int = 65536,
+    score_dtype=jnp.bfloat16,
+) -> Tuple[jax.Array, jax.Array]:
+    """Global exact top-k with the corpus sharded over mesh axis ``data``.
+
+    ``corpus`` rows must be padded to a multiple of the data-axis size
+    (use ``pad_corpus_for_mesh``); ``valid`` masks the padding. Returned
+    indices are global row ids into the unsharded corpus, -1 for empty
+    slots, with ties broken by lower global index (matching the
+    single-chip path).
+    """
+    n = corpus.shape[0]
+    dp = mesh.shape[AXIS_DATA]
+    if n % dp:
+        raise ValueError(f"corpus rows {n} not a multiple of mesh data={dp}")
+    shard_rows = n // dp
+
+    def local(q, c, v):
+        s, i = cosine_topk(
+            q, c, v, k=k, chunk=min(chunk, shard_rows), score_dtype=score_dtype
+        )
+        shard = jax.lax.axis_index(AXIS_DATA)
+        i = jnp.where(i >= 0, i + shard * shard_rows, -1)
+        # Gather all shards' candidates along the k axis: (Q, dp*k).
+        ss = jax.lax.all_gather(s, AXIS_DATA, axis=1, tiled=True)
+        ii = jax.lax.all_gather(i, AXIS_DATA, axis=1, tiled=True)
+        # Stable global merge: top_k prefers earlier positions on ties,
+        # so order candidates by global index first.
+        order = jnp.argsort(jnp.where(ii < 0, jnp.iinfo(jnp.int32).max, ii))
+        ss = jnp.take_along_axis(ss, order, axis=1)
+        ii = jnp.take_along_axis(ii, order, axis=1)
+        top_s, pos = jax.lax.top_k(ss, k)
+        top_i = jnp.take_along_axis(ii, pos, axis=1)
+        return top_s, top_i
+
+    shard_mapped = jax.shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(P(), P(AXIS_DATA, None), P(AXIS_DATA)),
+        out_specs=(P(), P()),
+        check_vma=False,
+    )
+    return shard_mapped(queries, corpus, valid)
+
+
+def pad_corpus_for_mesh(corpus, valid, dp: int):
+    """Pad corpus rows to a multiple of the data-axis size."""
+    n = corpus.shape[0]
+    pad = (-n) % dp
+    if pad:
+        corpus = jnp.pad(corpus, ((0, pad), (0, 0)))
+        valid = jnp.pad(valid, (0, pad))
+    return corpus, valid
+
+
+def shard_corpus(corpus, valid, mesh: Mesh):
+    """Place a (padded) corpus with rows sharded over the data axis."""
+    cs = jax.device_put(corpus, NamedSharding(mesh, P(AXIS_DATA, None)))
+    vs = jax.device_put(valid, NamedSharding(mesh, P(AXIS_DATA)))
+    return cs, vs

@@ -141,3 +141,52 @@ def test_save_load_roundtrip(tmp_path):
 def test_load_missing_dir_is_empty(tmp_path):
     store = VectorStore.load(str(tmp_path / "nope"))
     assert store.count() == 0
+
+
+# ---------------------------------------------------------------------------
+# tilemax_topk — the prepared two-phase fast path (store's hot query path)
+# ---------------------------------------------------------------------------
+
+from imatch_tpu.index.search import prepare_device_corpus, tilemax_topk
+
+
+@pytest.mark.parametrize(
+    "n,q,k,tile_n", [(1000, 4, 10, 256), (100, 1, 200, 64), (5000, 8, 50, 512), (3, 2, 10, 256)]
+)
+def test_tilemax_topk_matches_numpy(n, q, k, tile_n):
+    rng = np.random.default_rng(0)
+    corpus = norm_rows(rng.standard_normal((n, 64)).astype(np.float32))
+    queries = norm_rows(rng.standard_normal((q, 64)).astype(np.float32))
+    valid = np.ones(n, dtype=bool)
+    dc = prepare_device_corpus(
+        jnp.asarray(corpus),
+        jnp.asarray(valid),
+        tile_n=tile_n,
+        score_dtype=jnp.float32,
+    )
+    scores, idx = tilemax_topk(jnp.asarray(queries), dc, k=k)
+    scores, idx = np.asarray(scores), np.asarray(idx)
+    ref = queries.astype(np.float64) @ corpus.astype(np.float64).T
+    kk = min(k, n)
+    for i in range(q):
+        order = np.argsort(-ref[i], kind="stable")[:kk]
+        assert idx[i, :kk].tolist() == order.tolist()
+        np.testing.assert_allclose(scores[i, :kk], ref[i][order], atol=1e-5)
+        assert (idx[i, kk:] == -1).all()
+
+
+def test_tilemax_topk_mask_and_duplicates():
+    rng = np.random.default_rng(3)
+    base = norm_rows(rng.standard_normal((40, 32)).astype(np.float32))
+    corpus = np.concatenate([base, base[:10]])  # rows 40..49 duplicate 0..9
+    valid = np.ones((50,), bool)
+    valid[5] = False  # tombstone: its duplicate at 45 must surface instead
+    dc = prepare_device_corpus(
+        jnp.asarray(corpus), jnp.asarray(valid), tile_n=16,
+        score_dtype=jnp.float32,
+    )
+    s, i = tilemax_topk(jnp.asarray(corpus[:8]), dc, k=3)
+    i = np.asarray(i)
+    # Self-match resolves to the lowest-index live duplicate.
+    expected_first = [0, 1, 2, 3, 4, 45, 6, 7]
+    assert i[:, 0].tolist() == expected_first

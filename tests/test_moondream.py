@@ -1,0 +1,196 @@
+"""Moondream-class VLM: KV-cache consistency, generation, VQA fast path,
+runtime service, converter shape-compatibility (tiny config throughout)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from imatch_tpu.models.moondream import (
+    TINY_MD,
+    decoder_forward,
+    embed_tokens,
+    encode_image_features,
+    greedy_generate,
+    init_cache,
+    init_md_params,
+    lm_logits,
+    prefill,
+    vqa_yes_no,
+)
+from imatch_tpu.models.moondream.runtime import MoondreamJax
+from imatch_tpu.ops.tokenizer_gpt2 import GPT2Tokenizer
+
+
+@pytest.fixture(scope="module")
+def md():
+    params = init_md_params(jax.random.key(0), TINY_MD)
+    return params
+
+
+def test_prefill_matches_incremental_decode(md):
+    """KV cache + rotary positions: one-shot prefill == token-by-token."""
+    cfg = TINY_MD
+    b, s = 2, 7
+    rng = np.random.default_rng(0)
+    tokens = jnp.asarray(rng.integers(0, 256, (b, s)), jnp.int32)
+    embeds = embed_tokens(md, tokens)
+
+    cache = init_cache(cfg, b)
+    h_full, _ = decoder_forward(
+        md, embeds, cache, jnp.zeros((b,), jnp.int32), cfg
+    )
+
+    cache = init_cache(cfg, b)
+    outs = []
+    for i in range(s):
+        h, cache = decoder_forward(
+            md, embeds[:, i : i + 1], cache, jnp.full((b,), i, jnp.int32), cfg
+        )
+        outs.append(h)
+    h_inc = jnp.concatenate(outs, axis=1)
+    np.testing.assert_allclose(
+        np.asarray(h_full), np.asarray(h_inc), rtol=2e-4, atol=2e-5
+    )
+
+
+def test_vision_tower_shapes(md):
+    cfg = TINY_MD
+    pixels = jnp.zeros((2, cfg.vision.image_size, cfg.vision.image_size, 3))
+    feats = encode_image_features(md, pixels, cfg)
+    assert feats.shape == (2, cfg.vision.num_patches, cfg.text.hidden_size)
+    assert bool(jnp.all(jnp.isfinite(feats)))
+
+
+def test_greedy_generate_stops_and_pads(md):
+    cfg = TINY_MD
+    rng = np.random.default_rng(1)
+    feats = jnp.asarray(
+        rng.standard_normal((2, cfg.vision.num_patches, cfg.text.hidden_size)),
+        jnp.float32,
+    )
+    tokens = jnp.asarray(rng.integers(0, 256, (2, 5)), jnp.int32)
+    logits, cache, pos = prefill(md, cfg, feats, tokens)
+    out = greedy_generate(md, cfg, logits, cache, pos, max_new=8)
+    assert out.tokens.shape == (2, 8)
+    assert out.lengths.shape == (2,)
+    # deterministic
+    out2 = greedy_generate(md, cfg, logits, cache, pos, max_new=8)
+    np.testing.assert_array_equal(np.asarray(out.tokens), np.asarray(out2.tokens))
+
+
+def test_vqa_yes_no_shape(md):
+    cfg = TINY_MD
+    rng = np.random.default_rng(2)
+    feats = jnp.asarray(
+        rng.standard_normal((3, cfg.vision.num_patches, cfg.text.hidden_size)),
+        jnp.float32,
+    )
+    tokens = jnp.asarray(rng.integers(0, 256, (3, 4)), jnp.int32)
+    ans = vqa_yes_no(md, cfg, feats, tokens, yes_ids=[89, 121], no_ids=[78, 110])
+    assert ans.shape == (3,)
+    assert ans.dtype == bool
+
+
+def test_runtime_end_to_end(monkeypatch):
+    monkeypatch.setenv("IMATCH_MD_CONFIG", "tiny-md")
+    svc = MoondreamJax()
+    img = np.random.default_rng(3).integers(0, 256, (40, 56, 3), dtype=np.uint8)
+    enc = svc.encode_image(img)
+    assert enc["features"].shape == (
+        TINY_MD.vision.num_patches,
+        TINY_MD.text.hidden_size,
+    )
+    cap = svc.caption(enc, max_new=6)
+    assert isinstance(cap["caption"], str)
+    ans = svc.query(enc, "Yes or No: is this a drill?")
+    assert ans["answer"] in ("Yes", "No")
+    open_ans = svc.query(enc, "What is shown?", max_new=6)
+    assert isinstance(open_ans["answer"], str)
+    # batched filter path agrees with the single path
+    batch = svc.query_yes_no_batch([enc, enc], "Yes or No: is this a drill?")
+    assert batch == [ans["answer"] == "Yes"] * 2
+
+
+def test_converter_accepts_hf_layout():
+    """A synthetic state dict in the moondream2 naming scheme converts to
+    a pytree with exactly the init_md_params structure."""
+    from imatch_tpu.models.moondream.convert import convert_md_state_dict
+
+    cfg = TINY_MD
+    v, t = cfg.vision, cfg.text
+    rng = np.random.default_rng(0)
+
+    def r(*shape):
+        return rng.standard_normal(shape).astype(np.float32)
+
+    sd = {}
+    vis = "vision_encoder.encoder.model.visual"
+    sd[f"{vis}.patch_embed.linear.weight"] = r(
+        v.hidden_size, 3 * v.patch_size * v.patch_size
+    )
+    sd[f"{vis}.patch_embed.linear.bias"] = r(v.hidden_size)
+    sd[f"{vis}.pos_embed"] = r(1, v.num_patches, v.hidden_size)
+    for i in range(v.num_layers):
+        p = f"{vis}.blocks.{i}"
+        sd[f"{p}.norm1.weight"] = r(v.hidden_size)
+        sd[f"{p}.norm1.bias"] = r(v.hidden_size)
+        sd[f"{p}.attn.qkv.weight"] = r(3 * v.hidden_size, v.hidden_size)
+        sd[f"{p}.attn.qkv.bias"] = r(3 * v.hidden_size)
+        sd[f"{p}.attn.proj.weight"] = r(v.hidden_size, v.hidden_size)
+        sd[f"{p}.attn.proj.bias"] = r(v.hidden_size)
+        sd[f"{p}.norm2.weight"] = r(v.hidden_size)
+        sd[f"{p}.norm2.bias"] = r(v.hidden_size)
+        sd[f"{p}.mlp.fc1.weight"] = r(v.mlp_size, v.hidden_size)
+        sd[f"{p}.mlp.fc1.bias"] = r(v.mlp_size)
+        sd[f"{p}.mlp.fc2.weight"] = r(v.hidden_size, v.mlp_size)
+        sd[f"{p}.mlp.fc2.bias"] = r(v.hidden_size)
+    sd[f"{vis}.norm.weight"] = r(v.hidden_size)
+    sd[f"{vis}.norm.bias"] = r(v.hidden_size)
+    proj = "vision_encoder.projection"
+    sd[f"{proj}.mlp.fc1.weight"] = r(cfg.proj_hidden, v.hidden_size)
+    sd[f"{proj}.mlp.fc1.bias"] = r(cfg.proj_hidden)
+    sd[f"{proj}.mlp.fc2.weight"] = r(t.hidden_size, cfg.proj_hidden)
+    sd[f"{proj}.mlp.fc2.bias"] = r(t.hidden_size)
+    txt = "text_model.transformer"
+    sd[f"{txt}.embd.wte.weight"] = r(t.vocab_size, t.hidden_size)
+    for i in range(t.num_layers):
+        p = f"{txt}.h.{i}"
+        sd[f"{p}.ln.weight"] = r(t.hidden_size)
+        sd[f"{p}.ln.bias"] = r(t.hidden_size)
+        sd[f"{p}.mixer.Wqkv.weight"] = r(3 * t.hidden_size, t.hidden_size)
+        sd[f"{p}.mixer.Wqkv.bias"] = r(3 * t.hidden_size)
+        sd[f"{p}.mixer.out_proj.weight"] = r(t.hidden_size, t.hidden_size)
+        sd[f"{p}.mixer.out_proj.bias"] = r(t.hidden_size)
+        sd[f"{p}.mlp.fc1.weight"] = r(t.mlp_size, t.hidden_size)
+        sd[f"{p}.mlp.fc1.bias"] = r(t.mlp_size)
+        sd[f"{p}.mlp.fc2.weight"] = r(t.hidden_size, t.mlp_size)
+        sd[f"{p}.mlp.fc2.bias"] = r(t.hidden_size)
+    sd["text_model.lm_head.ln.weight"] = r(t.hidden_size)
+    sd["text_model.lm_head.ln.bias"] = r(t.hidden_size)
+    sd["text_model.lm_head.linear.weight"] = r(t.vocab_size, t.hidden_size)
+    sd["text_model.lm_head.linear.bias"] = r(t.vocab_size)
+
+    converted = convert_md_state_dict(sd, cfg)
+    ref = init_md_params(jax.random.key(0), cfg)
+    # identical tree structure and shapes
+    jax.tree.map(
+        lambda a, b: np.testing.assert_array_equal(
+            np.asarray(a).shape, np.asarray(b).shape
+        ),
+        converted,
+        ref,
+    )
+    # and the converted params actually run
+    pixels = jnp.zeros((1, cfg.vision.image_size, cfg.vision.image_size, 3))
+    feats = encode_image_features(
+        jax.tree.map(jnp.asarray, converted), pixels, cfg
+    )
+    assert bool(jnp.all(jnp.isfinite(feats)))
+
+
+def test_gpt2_byte_fallback_roundtrip():
+    tok = GPT2Tokenizer.byte_fallback()
+    s = "Hello, Yes/No é中"
+    assert tok.decode(tok.encode(s)) == s
+    assert tok.vocab_size == 258
