@@ -1,0 +1,127 @@
+"""U2NetSegmenter — the rembg.remove equivalent.
+
+Matches the reference's usage (/root/reference/utils.py:51-57,
+backend/app/main.py:654-661): takes a decoded RGB array, returns an RGBA
+cutout with the predicted foreground alpha. Mask postprocessing mirrors
+rembg's default path: min-max normalize the saliency map, bilinear
+upsample back to the source size, alpha-composite. Batched variant for
+the folder-upload pipeline.
+
+Weights: IMATCH_U2_CHECKPOINT (torch .pt/.pth state dict, converted by
+convert.py) with IMATCH_U2_CONFIG selecting geometry (default u2net when
+a checkpoint is set, tiny-u2 offline).
+"""
+
+from __future__ import annotations
+
+import os
+import threading
+from typing import Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from imatch_tpu.models.u2net.configs import get_u2_config
+from imatch_tpu.models.u2net.model import init_u2_params, u2net_forward
+from imatch_tpu.ops.resize import resample_matrix
+
+# ImageNet normalization used by the released U²-Net / rembg pipeline.
+U2_MEAN = np.array([0.485, 0.456, 0.406], dtype=np.float32)
+U2_STD = np.array([0.229, 0.224, 0.225], dtype=np.float32)
+
+
+class U2NetSegmenter:
+    available = True
+
+    def __init__(self, config: Optional[str] = None, checkpoint: Optional[str] = None):
+        checkpoint = checkpoint or os.environ.get("IMATCH_U2_CHECKPOINT")
+        config = config or os.environ.get(
+            "IMATCH_U2_CONFIG", "u2net" if checkpoint else "tiny-u2"
+        )
+        self.cfg = get_u2_config(config)
+        if checkpoint:
+            from imatch_tpu.models.u2net.convert import load_u2_checkpoint
+
+            self.params = jax.tree.map(
+                jnp.asarray, load_u2_checkpoint(checkpoint, self.cfg)
+            )
+        else:
+            self.params = init_u2_params(jax.random.key(0), self.cfg)
+        self.dtype = (
+            jnp.bfloat16 if jax.default_backend() == "tpu" else jnp.float32
+        )
+        self._lock = threading.Lock()
+        self._resize_cache: Dict[tuple, tuple] = {}
+        cfg, dt = self.cfg, self.dtype
+
+        @jax.jit
+        def _mask(params, pixels):
+            m = u2net_forward(params, pixels, cfg, dtype=dt)
+            lo = jnp.min(m, axis=(1, 2), keepdims=True)
+            hi = jnp.max(m, axis=(1, 2), keepdims=True)
+            return (m - lo) / jnp.maximum(hi - lo, 1e-8)
+
+        self._mask_fn = _mask
+
+    def _to_model_input(self, arr: np.ndarray) -> jnp.ndarray:
+        h, w = arr.shape[:2]
+        size = self.cfg.input_size
+        key = (h, w)
+        if key not in self._resize_cache:
+            # Aspect-squash resize (rembg semantics — NOT the CLIP
+            # shortest-edge+crop): the mask must map back onto the full
+            # source frame.
+            a_v = resample_matrix(h, size, "bilinear")
+            a_h = resample_matrix(w, size, "bilinear")
+            self._resize_cache[key] = (jnp.asarray(a_v), jnp.asarray(a_h))
+        a_v, a_h = self._resize_cache[key]
+        x = jnp.asarray(arr[..., :3], jnp.float32)[None]
+        x = jnp.einsum("xw,bhwc->bhxc", a_h, x)
+        x = jnp.einsum("yh,bhxc->byxc", a_v, x)
+        x = x / 255.0
+        # rembg scales by the max channel value then ImageNet-normalizes.
+        return (x - U2_MEAN) / U2_STD
+
+    def predict_mask(self, image: np.ndarray) -> np.ndarray:
+        """(H, W, 3|4) uint8 -> (H, W) float32 alpha in [0, 1]."""
+        arr = np.asarray(image)
+        if arr.ndim == 2:
+            arr = np.stack([arr] * 3, axis=-1)
+        with self._lock:
+            x = self._to_model_input(arr)
+            m = self._mask_fn(self.params, x)  # (1, S, S)
+            m = jax.image.resize(
+                m[0], (arr.shape[0], arr.shape[1]), "bilinear"
+            )
+            return np.asarray(jnp.clip(m, 0.0, 1.0), np.float32)
+
+    def remove_background(self, image: np.ndarray) -> np.ndarray:
+        """RGB(A) uint8 -> RGBA uint8 cutout (rembg.remove equivalent)."""
+        arr = np.asarray(image)
+        if arr.ndim == 2:
+            arr = np.stack([arr] * 3, axis=-1)
+        mask = self.predict_mask(arr)
+        alpha = (mask * 255.0 + 0.5).astype(np.uint8)
+        rgba = np.dstack([arr[..., :3], alpha])
+        return rgba
+
+    def remove_background_batch(self, images) -> list:
+        return [self.remove_background(im) for im in images]
+
+
+def get_segmenter():
+    """Factory from IMATCH_SEGMENTER.
+
+    auto (default): a segmenter only when a real checkpoint is configured
+    — random-init masks would corrupt uploads, so no checkpoint means the
+    degraded mode (reference parity: rembg absent -> original image,
+    backend/app/main.py:656-661). ``u2net`` forces construction (tests
+    use it with the tiny config); ``null`` disables.
+    """
+    choice = os.environ.get("IMATCH_SEGMENTER", "auto")
+    if choice == "null":
+        return None
+    if choice == "auto" and not os.environ.get("IMATCH_U2_CHECKPOINT"):
+        return None
+    return U2NetSegmenter()

@@ -4,17 +4,38 @@ Reference: process_filter_on_all_images
 (/root/reference/backend/app/main.py:939-1056) — applies a new filter to
 every indexed image via the VLM, updating per-image metadata and a
 progress dict polled by clients over /api/filter-progress.
+
+TPU-native difference: when the captioner exposes the batched yes/no
+fast path (MoondreamJax.query_yes_no_batch — one prefill per batch,
+logit comparison instead of a decode loop), images are processed in
+device-sized batches; the reference decodes one answer per image per
+filter over the network.
 """
 
 from __future__ import annotations
 
 import logging
+import os
 
 from imatch_tpu.pipeline.captioner import load_encoded
 from imatch_tpu.pipeline.filters import format_filter_query, merge_filter_result
 from imatch_tpu.pipeline.state import AppState
 
 logger = logging.getLogger("imatch.backfill")
+
+BATCH = int(os.environ.get("IMATCH_BACKFILL_BATCH", "16"))
+
+
+def _query_batched(state: AppState, encs, formatted):
+    """Answers for a batch of encodings; fast path when available."""
+    fast = getattr(state.captioner, "query_yes_no_batch", None)
+    if fast is not None:
+        return [
+            "Yes" if y else "No" for y in fast(encs, formatted)
+        ]
+    return [
+        state.captioner.query(e, formatted)["answer"] for e in encs
+    ]
 
 
 def process_filter_on_all_images(state: AppState, filter_query: str) -> None:
@@ -38,30 +59,46 @@ def process_filter_on_all_images(state: AppState, filter_query: str) -> None:
             "total": total,
         }
 
-        for idx, image_id in enumerate(all_ids):
+        done = 0
+        for lo in range(0, total, BATCH):
+            batch_ids = all_ids[lo : lo + BATCH]
             try:
                 state.filter_progress[filter_query] = {
                     "status": "processing",
-                    "progress": int(idx / total * 100) if total else 0,
-                    "current_image": image_id,
-                    "processed": idx,
+                    "progress": int(done / total * 100) if total else 0,
+                    "current_image": batch_ids[0],
+                    "processed": done,
                     "total": total,
                 }
-                encoded = load_encoded(state.encoded_dir, image_id)
-                if encoded is None:
-                    # reference skips images without a cached encoding
-                    logger.warning("no encoded image for %s, skipping", image_id)
+                ids, encs = [], []
+                for image_id in batch_ids:
+                    encoded = load_encoded(state.encoded_dir, image_id)
+                    if encoded is None:
+                        # reference skips images without a cached encoding
+                        logger.warning(
+                            "no encoded image for %s, skipping", image_id
+                        )
+                        continue
+                    ids.append(image_id)
+                    encs.append(encoded)
+                if not ids:
+                    done += len(batch_ids)
                     continue
-                raw = state.captioner.query(encoded, formatted)["answer"]
-                answer = raw.strip() if isinstance(raw, str) else raw
+                answers = _query_batched(state, encs, formatted)
                 with state.lock:
-                    md = dict(state.image_metadata.get(image_id, {}))
-                    md = merge_filter_result(md, filter_query, answer)
-                    state.image_metadata[image_id] = md
-                    state.store.update(ids=[image_id], metadatas=[md])
+                    for image_id, raw in zip(ids, answers):
+                        answer = raw.strip() if isinstance(raw, str) else raw
+                        md = dict(state.image_metadata.get(image_id, {}))
+                        md = merge_filter_result(md, filter_query, answer)
+                        state.image_metadata[image_id] = md
+                        state.store.update(ids=[image_id], metadatas=[md])
             except Exception as e:
-                logger.error("filter error for %s: %s", image_id, e)
+                logger.error("filter error for batch at %d: %s", lo, e)
+            done += len(batch_ids)
 
+        # Persist the per-image results (the reference's chroma updates are
+        # durable implicitly; our snapshot makes them survive a restart).
+        state.snapshot()
         state.filter_progress[filter_query] = {
             "status": "completed",
             "progress": 100,

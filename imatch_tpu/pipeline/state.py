@@ -51,6 +51,10 @@ class AppState:
 
         self.embedder = embedder
         self.captioner = captioner if captioner is not None else get_captioner()
+        if segmenter is None:
+            from imatch_tpu.models.u2net.runtime import get_segmenter
+
+            segmenter = get_segmenter()
         self.segmenter = segmenter
         self.lock = threading.RLock()
         self.filter_progress: Dict[str, dict] = {}
