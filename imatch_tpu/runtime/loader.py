@@ -1,0 +1,214 @@
+"""Python binding for the native decode pool (runtime/native/loader.cc).
+
+Builds the shared library on first use with g++ (cached next to the
+source; rebuilt when the source changes) and exposes:
+
+- ``NativeImageLoader`` — submit bytes/paths, collect decoded RGB numpy
+  arrays; decode runs on a C++ worker pool off the GIL.
+- ``decode_image_bytes`` / ``decode_batch`` — convenience wrappers with
+  transparent PIL fallback for formats the native path doesn't cover
+  (AVIF) or when no C++ toolchain exists.
+
+This is the host half of the ingest pipeline (SURVEY.md §7 "host/device
+pipeline"): the TPU side consumes the uint8 batches it produces.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import hashlib
+import io
+import logging
+import os
+import subprocess
+import threading
+from typing import List, Optional, Sequence, Tuple
+
+import numpy as np
+
+logger = logging.getLogger("imatch.loader")
+
+_SRC = os.path.join(os.path.dirname(__file__), "native", "loader.cc")
+
+
+def _jpeg_link_args():
+    """Prefer Pillow's bundled libjpeg-turbo (SIMD, ~3-4x the system
+    libjpeg62) — same v62 ABI as the system header we compile against."""
+    try:
+        import glob
+        import PIL
+
+        libs_dir = os.path.join(
+            os.path.dirname(os.path.dirname(PIL.__file__)), "pillow.libs"
+        )
+        cands = sorted(glob.glob(os.path.join(libs_dir, "libjpeg-*.so.62*")))
+        if cands:
+            so = os.path.basename(cands[-1])
+            return [f"-L{libs_dir}", f"-l:{so}", f"-Wl,-rpath,{libs_dir}"]
+    except Exception:
+        pass
+    return ["-ljpeg"]
+
+
+_LIBS = _jpeg_link_args() + ["-lpng", "-lwebp"]
+
+_lib_lock = threading.Lock()
+_lib: Optional[ctypes.CDLL] = None
+_lib_failed = False
+
+
+def _build_lib() -> Optional[ctypes.CDLL]:
+    """Compile (if needed) and dlopen the native loader."""
+    global _lib, _lib_failed
+    with _lib_lock:
+        if _lib is not None or _lib_failed:
+            return _lib
+        try:
+            with open(_SRC, "rb") as f:
+                digest = hashlib.sha256(f.read()).hexdigest()[:16]
+            so_path = os.path.join(
+                os.path.dirname(_SRC), f"libimatch_loader_{digest}.so"
+            )
+            if not os.path.exists(so_path):
+                cmd = [
+                    "g++", "-O3", "-shared", "-fPIC", "-std=c++17",
+                    "-o", so_path, _SRC, *_LIBS, "-lpthread",
+                ]
+                logger.info("building native loader: %s", " ".join(cmd))
+                subprocess.run(cmd, check=True, capture_output=True)
+            lib = ctypes.CDLL(so_path)
+            lib.iml_create.restype = ctypes.c_void_p
+            lib.iml_create.argtypes = [ctypes.c_int]
+            lib.iml_destroy.argtypes = [ctypes.c_void_p]
+            lib.iml_submit_mem.restype = ctypes.c_longlong
+            lib.iml_submit_mem.argtypes = [
+                ctypes.c_void_p, ctypes.c_char_p, ctypes.c_longlong,
+            ]
+            lib.iml_submit_file.restype = ctypes.c_longlong
+            lib.iml_submit_file.argtypes = [ctypes.c_void_p, ctypes.c_char_p]
+            lib.iml_wait.restype = ctypes.POINTER(ctypes.c_ubyte)
+            lib.iml_wait.argtypes = [
+                ctypes.c_void_p, ctypes.c_longlong,
+                ctypes.POINTER(ctypes.c_int), ctypes.POINTER(ctypes.c_int),
+                ctypes.POINTER(ctypes.c_int),
+            ]
+            lib.iml_free.argtypes = [ctypes.POINTER(ctypes.c_ubyte)]
+            _lib = lib
+        except Exception as e:  # no toolchain / headers -> PIL fallback
+            logger.warning("native loader unavailable (%s); using PIL", e)
+            _lib_failed = True
+        return _lib
+
+
+def _pil_decode(data: bytes) -> np.ndarray:
+    from PIL import Image
+
+    try:  # AVIF support, as the reference imports it (main.py:29-33)
+        import pillow_avif  # noqa: F401
+    except ImportError:
+        pass
+    with Image.open(io.BytesIO(data)) as im:
+        return np.asarray(im.convert("RGB"))
+
+
+class NativeImageLoader:
+    """Ticketed async decode pool; falls back to sync PIL without g++."""
+
+    def __init__(self, threads: Optional[int] = None):
+        self.threads = threads or min(8, os.cpu_count() or 1)
+        self._lib = _build_lib()
+        self._pool = (
+            self._lib.iml_create(self.threads) if self._lib else None
+        )
+        self._closed = False
+
+    @property
+    def native(self) -> bool:
+        return self._pool is not None
+
+    def close(self):
+        if self._pool is not None and not self._closed:
+            self._lib.iml_destroy(self._pool)
+            self._closed = True
+
+    def __del__(self):
+        import sys
+
+        if sys.is_finalizing():
+            return  # ctypes calls during interpreter teardown can crash
+        try:
+            self.close()
+        except Exception:
+            pass
+
+    # -- ticketed interface ------------------------------------------------
+
+    def submit_bytes(self, data: bytes):
+        if self._pool is None:
+            return ("pil", data)
+        t = self._lib.iml_submit_mem(self._pool, data, len(data))
+        return ("native", t, data)  # keep data for the PIL fallback path
+
+    def submit_path(self, path: str):
+        if self._pool is None:
+            with open(path, "rb") as f:
+                return ("pil", f.read())
+        t = self._lib.iml_submit_file(self._pool, path.encode())
+        return ("native", t, path)
+
+    def wait(self, ticket) -> np.ndarray:
+        if ticket[0] == "pil":
+            return _pil_decode(ticket[1])
+        _, t, src = ticket
+        w = ctypes.c_int()
+        h = ctypes.c_int()
+        err = ctypes.c_int()
+        ptr = self._lib.iml_wait(
+            self._pool, t, ctypes.byref(w), ctypes.byref(h), ctypes.byref(err)
+        )
+        if not ptr:
+            # unsupported format (AVIF) or decode failure -> PIL
+            data = src if isinstance(src, bytes) else open(src, "rb").read()
+            return _pil_decode(data)
+        # Zero-copy: numpy views the malloc'd buffer; a weakref finalizer
+        # frees it when the array (and its views) die.
+        import weakref
+
+        n = w.value * h.value * 3
+        arr = np.ctypeslib.as_array(ptr, shape=(n,)).reshape(
+            h.value, w.value, 3
+        )
+        weakref.finalize(arr.base, self._lib.iml_free, ptr)
+        return arr
+
+    # -- batch convenience ---------------------------------------------------
+
+    def decode_batch(self, items: Sequence) -> List[np.ndarray]:
+        """bytes or paths -> RGB arrays, decoded concurrently."""
+        tickets = [
+            self.submit_bytes(x) if isinstance(x, (bytes, bytearray))
+            else self.submit_path(x)
+            for x in items
+        ]
+        return [self.wait(t) for t in tickets]
+
+
+_default_loader: Optional[NativeImageLoader] = None
+_default_lock = threading.Lock()
+
+
+def default_loader() -> NativeImageLoader:
+    global _default_loader
+    with _default_lock:
+        if _default_loader is None:
+            import atexit
+
+            _default_loader = NativeImageLoader()
+            # Join the C++ workers before interpreter teardown — a GC-time
+            # __del__ during shutdown can race Python finalization.
+            atexit.register(_default_loader.close)
+        return _default_loader
+
+
+def decode_image_bytes(data: bytes) -> np.ndarray:
+    return default_loader().decode_batch([data])[0]
