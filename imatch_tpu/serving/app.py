@@ -422,4 +422,9 @@ def create_app(state: Optional[AppState] = None, root: str = ".") -> App:
             "model": state.embedder.cfg.name if state.embedder else None,
         }
 
+    # -- web UI (serving/ui.py): / search page, /manage admin page -----------
+    from imatch_tpu.serving.ui import register_ui
+
+    register_ui(app)
+
     return app

@@ -334,3 +334,24 @@ def test_cors_preflight(client):
     r = client.request("OPTIONS", "/api/images")
     assert r.status_code == 204
     assert "access-control-allow-origin" in r.headers
+
+
+# ---------------------------------------------------------------------------
+# Web UI pages (serving/ui.py)
+# ---------------------------------------------------------------------------
+
+
+def test_ui_pages_serve_and_are_consistent(client):
+    import re
+
+    for path in ("/", "/manage"):
+        r = client.get(path)
+        assert r.status_code == 200
+        assert r.headers["content-type"].startswith("text/html")
+        html = r.text
+        # every element id the inline JS references must exist in the DOM
+        js_ids = set(re.findall(r"\$\('#([\w]+)'\)", html)) | set(
+            re.findall(r"getElementById\('([\w]+)'\)", html)
+        )
+        dom_ids = set(re.findall(r'id="([\w]+)"', html))
+        assert js_ids <= dom_ids, (path, js_ids - dom_ids)
