@@ -30,6 +30,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from imatch_tpu.index.search import prepare_device_corpus, tilemax_topk
+from imatch_tpu.utils.metrics import METRICS
 
 _MIN_CAP = 1024
 
@@ -210,7 +211,8 @@ class VectorStore:
                     out[key] = [[] for _ in range(len(q))]
                 return out
             dc = self._device_state()
-            scores, idx = tilemax_topk(jnp.asarray(q), dc, k=k)
+            with METRICS.timer("index.query"):
+                scores, idx = tilemax_topk(jnp.asarray(q), dc, k=k)
             scores = np.asarray(scores)[:, :k]
             idx = np.asarray(idx)[:, :k]
             for qi in range(len(q)):

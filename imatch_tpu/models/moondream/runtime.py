@@ -45,6 +45,7 @@ from imatch_tpu.models.moondream.model import (
 )
 from imatch_tpu.ops.resize import resize_crop_matrices
 from imatch_tpu.ops.tokenizer_gpt2 import GPT2Tokenizer
+from imatch_tpu.utils.metrics import METRICS
 
 CAPTION_PROMPT = "\n\nQuestion: Describe this image.\n\nAnswer:"
 
@@ -146,7 +147,7 @@ class MoondreamJax:
         return x * (2.0 / 255.0) - 1.0  # SigLIP normalization (mean=std=.5)
 
     def encode_image(self, image) -> Dict[str, np.ndarray]:
-        with self._lock:
+        with self._lock, METRICS.timer("vlm.encode"):
             pixels = self._preprocess(image)
             feats = self._encode_fn(self.params, pixels)
             return {"features": np.asarray(feats[0], np.float32)}
@@ -167,7 +168,7 @@ class MoondreamJax:
         return jnp.asarray([ids[:budget]], jnp.int32)
 
     def caption(self, encoded: Any, max_new: int = 48) -> Dict[str, str]:
-        with self._lock:
+        with self._lock, METRICS.timer("vlm.caption"):
             feats = self._feats(encoded)
             tokens = self._prompt_ids(CAPTION_PROMPT)
             result = self._generate_fn(self.params, feats, tokens, max_new)
@@ -177,7 +178,7 @@ class MoondreamJax:
             return {"caption": text.strip()}
 
     def query(self, encoded: Any, question: str, max_new: int = 32) -> Dict[str, str]:
-        with self._lock:
+        with self._lock, METRICS.timer("vlm.query"):
             feats = self._feats(encoded)
             prompt = f"\n\nQuestion: {question}\n\nAnswer:"
             tokens = self._prompt_ids(prompt)
@@ -194,7 +195,7 @@ class MoondreamJax:
 
     def query_yes_no_batch(self, encoded_list, question: str) -> list[bool]:
         """One prefill for a whole batch of images x one question."""
-        with self._lock:
+        with self._lock, METRICS.timer("vlm.query_batch"):
             feats = jnp.concatenate(
                 [self._feats(e) for e in encoded_list], axis=0
             )

@@ -35,6 +35,7 @@ from imatch_tpu.models.clip import (
 )
 from imatch_tpu.ops.preprocess import preprocess_images
 from imatch_tpu.ops.tokenizer import default_tokenizer
+from imatch_tpu.utils.metrics import METRICS
 
 logger = logging.getLogger("imatch.embedder")
 
@@ -100,12 +101,13 @@ class ClipEmbedder:
         """uint8 HWC RGB arrays (any geometries) -> (N, proj) unit fp32."""
         if len(images) == 0:
             return np.zeros((0, self.dim), dtype=np.float32)
+        METRICS.inc("images_embedded", len(images))
         pixels = preprocess_images(
             images,
             out_size=self.cfg.vision.image_size,
             dtype=self.compute_dtype,
         )
-        with self._lock:
+        with self._lock, METRICS.timer("embed.image"):
             out = self._img_fn(self.params, pixels)
         return np.asarray(out)
 
@@ -117,7 +119,7 @@ class ClipEmbedder:
         tokens = self.tokenizer.encode_batch(texts, max_length=max_len)
         # vocab-size guard for the offline byte-fallback vocab
         tokens = np.minimum(tokens, self.cfg.text.vocab_size - 1)
-        with self._lock:
+        with self._lock, METRICS.timer("embed.text"):
             out = self._txt_fn(self.params, jnp.asarray(tokens))
         return np.asarray(out)
 

@@ -26,6 +26,7 @@ from imatch_tpu.ops.phash import image_id as phash_image_id
 from imatch_tpu.pipeline.captioner import save_encoded
 from imatch_tpu.pipeline.filters import format_filter_query
 from imatch_tpu.pipeline.state import AppState
+from imatch_tpu.utils.metrics import METRICS
 
 logger = logging.getLogger("imatch.ingest")
 
@@ -92,7 +93,8 @@ def process_image(
     clean_np = image_np
     if remove_bg and state.segmenter is not None:
         try:
-            clean_np = state.segmenter.remove_background(image_np)
+            with METRICS.timer("segment"):
+                clean_np = state.segmenter.remove_background(image_np)
         except Exception as e:
             logger.error("background removal error: %s", e)
             clean_np = image_np

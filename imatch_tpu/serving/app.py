@@ -422,6 +422,35 @@ def create_app(state: Optional[AppState] = None, root: str = ".") -> App:
             "model": state.embedder.cfg.name if state.embedder else None,
         }
 
+    # -- observability (SURVEY.md §5) ----------------------------------------
+
+    @app.get("/api/metrics")
+    def metrics(req):
+        from imatch_tpu.utils.metrics import METRICS
+
+        snap = METRICS.snapshot()
+        snap["index_count"] = state.store.count()
+        return snap
+
+    @app.post("/api/profile/start")
+    def profile_start(req):
+        from imatch_tpu.utils import profiler
+
+        try:
+            d = profiler.start_trace(req.form().get("log_dir"))
+            return {"success": True, "trace_dir": d}
+        except RuntimeError as e:
+            return JSONResponse({"success": False, "error": str(e)}, 409)
+
+    @app.post("/api/profile/stop")
+    def profile_stop(req):
+        from imatch_tpu.utils import profiler
+
+        try:
+            return {"success": True, "trace_dir": profiler.stop_trace()}
+        except RuntimeError as e:
+            return JSONResponse({"success": False, "error": str(e)}, 409)
+
     # -- web UI (serving/ui.py): / search page, /manage admin page -----------
     from imatch_tpu.serving.ui import register_ui
 

@@ -355,3 +355,28 @@ def test_ui_pages_serve_and_are_consistent(client):
         )
         dom_ids = set(re.findall(r'id="([\w]+)"', html))
         assert js_ids <= dom_ids, (path, js_ids - dom_ids)
+
+
+def test_metrics_and_profiler_endpoints(client):
+    # generate some activity
+    r = client.post(
+        "/api/search/text", data={"query": "anything", "limit": "3"}
+    )
+    assert r.status_code == 200
+    m = client.get("/api/metrics").json()
+    assert "timings" in m and "embed.text" in m["timings"]
+    assert m["timings"]["embed.text"]["count"] >= 1
+    assert "index_count" in m
+
+    # profiler start/stop lifecycle (CPU backend traces fine)
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as d:
+        r = client.post("/api/profile/start", data={"log_dir": d})
+        assert r.status_code == 200, r.text
+        r2 = client.post("/api/profile/start", data={"log_dir": d})
+        assert r2.status_code == 409  # already active
+        r3 = client.post("/api/profile/stop")
+        assert r3.status_code == 200
+        r4 = client.post("/api/profile/stop")
+        assert r4.status_code == 409  # none active
