@@ -41,7 +41,11 @@ def mha(
       (B, H, S, Dh) attention output in q.dtype.
     """
     impl = default_impl(impl)
-    if impl == "pallas":
+    # Measured on v5e: for the CLIP towers' short sequences (50-257) XLA's
+    # fused attention beats the blockwise Pallas kernel (whose 128-blocks
+    # pad 2.5-6x); the flash kernel wins only once S is large enough to
+    # make the O(S^2) HBM score traffic dominate.
+    if impl == "pallas" and q.shape[-2] > 512:
         from imatch_tpu.ops.pallas.flash_attention import flash_mha
 
         return flash_mha(q, k, v, causal=causal)
@@ -51,23 +55,55 @@ def mha(
 def _mha_xla(q, k, v, *, causal, precision=None):
     dtype = q.dtype
     scale = q.shape[-1] ** -0.5
-    # fp32 logits + softmax for numerical parity with the torch reference.
-    logits = jnp.einsum(
-        "bhqd,bhkd->bhqk",
-        q,
-        k,
-        preferred_element_type=jnp.float32,
-        precision=precision,
+    if dtype == jnp.float32:
+        # fidelity path: fp32 logits + softmax, parity with torch.
+        logits = jnp.einsum(
+            "bhqd,bhkd->bhqk",
+            q,
+            k,
+            preferred_element_type=jnp.float32,
+            precision=precision,
+        )
+        logits = logits * scale
+        if causal:
+            s = q.shape[-2]
+            mask = jnp.tril(jnp.ones((s, s), dtype=bool))
+            logits = jnp.where(
+                mask[None, None], logits, jnp.finfo(jnp.float32).min
+            )
+        probs = jax.nn.softmax(logits, axis=-1)
+        out = jnp.einsum(
+            "bhqk,bhkd->bhqd",
+            probs.astype(dtype),
+            v,
+            preferred_element_type=jnp.float32,
+            precision=precision,
+        )
+        return out.astype(dtype)
+    # throughput path (bf16): store the (S, S) score matrices in bf16 —
+    # halves their HBM traffic, the dominant cost at short S (measured
+    # ~17% attention speedup on v5e); softmax stats still stabilized.
+    logits = (
+        jnp.einsum(
+            "bhqd,bhkd->bhqk",
+            q,
+            k,
+            preferred_element_type=jnp.bfloat16,
+            precision=precision,
+        )
+        * jnp.bfloat16(scale)
     )
-    logits = logits * scale
     if causal:
         s = q.shape[-2]
         mask = jnp.tril(jnp.ones((s, s), dtype=bool))
-        logits = jnp.where(mask[None, None], logits, jnp.finfo(jnp.float32).min)
-    probs = jax.nn.softmax(logits, axis=-1)
+        logits = jnp.where(mask[None, None], logits, jnp.bfloat16(-3e38))
+    m = jnp.max(logits, axis=-1, keepdims=True)
+    p = jnp.exp((logits - m).astype(jnp.float32)).astype(dtype)
+    denom = jnp.sum(p.astype(jnp.float32), axis=-1, keepdims=True)
+    p = p / denom.astype(dtype)
     out = jnp.einsum(
         "bhqk,bhkd->bhqd",
-        probs.astype(dtype),
+        p,
         v,
         preferred_element_type=jnp.float32,
         precision=precision,
