@@ -208,6 +208,9 @@ def encode_image(
     vp = params["vision"]
     x = pixels.astype(dtype)
     # Patch embedding: stride-P conv, no bias (HF patch_embedding).
+    # No preferred_element_type here: its fp32 cotangent breaks the conv
+    # transpose rule under AD with bf16 operands, and the TPU conv already
+    # accumulates bf16 inputs in fp32 natively.
     x = jax.lax.conv_general_dilated(
         x,
         vp["patch_embedding"].astype(dtype),
@@ -215,8 +218,7 @@ def encode_image(
         padding="VALID",
         dimension_numbers=("NHWC", "HWIO", "NHWC"),
         precision=_prec(dtype),
-        preferred_element_type=jnp.float32,
-    ).astype(dtype)
+    )
     b = x.shape[0]
     x = x.reshape(b, vc.num_patches, vc.hidden_size)
     cls = jnp.broadcast_to(

@@ -1,6 +1,7 @@
 """Multi-chip sharding tests on the virtual 8-device CPU mesh."""
 
 import jax
+import os
 import jax.numpy as jnp
 import numpy as np
 import pytest
@@ -133,3 +134,139 @@ def test_dryrun_multichip():
     import __graft_entry__ as ge
 
     ge.dryrun_multichip(8)
+
+
+# ---------------------------------------------------------------------------
+# Checkpoint / resume
+# ---------------------------------------------------------------------------
+
+
+def test_checkpoint_roundtrip(tmp_path):
+    from imatch_tpu.parallel.checkpoint import (
+        latest_step,
+        restore_checkpoint,
+        save_checkpoint,
+    )
+    from imatch_tpu.parallel.train import make_optimizer
+
+    cfg = get_config("tiny")
+    tx = make_optimizer()
+    state, _ = init_train_state(jax.random.key(3), cfg, tx)
+    step = make_train_step(cfg, tx)
+    rng = np.random.default_rng(0)
+    pixels = jnp.asarray(
+        rng.standard_normal(
+            (4, cfg.vision.image_size, cfg.vision.image_size, 3)
+        ),
+        jnp.float32,
+    )
+    tokens = jnp.asarray(
+        rng.integers(0, cfg.text.vocab_size, (4, cfg.text.max_positions)),
+        jnp.int32,
+    )
+    state, loss1 = step(state, pixels, tokens)
+    save_checkpoint(str(tmp_path), state)
+    assert latest_step(str(tmp_path)) == 1
+
+    # continue training the original
+    state2, loss2 = step(state, pixels, tokens)
+
+    # restore into a fresh template and continue: identical trajectory
+    fresh, _ = init_train_state(jax.random.key(99), cfg, tx)
+    restored = restore_checkpoint(str(tmp_path), fresh)
+    assert int(restored.step) == 1
+    restored2, loss2r = step(restored, pixels, tokens)
+    np.testing.assert_allclose(float(loss2), float(loss2r), rtol=1e-6)
+    jax.tree.map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-6, atol=1e-7
+        ),
+        state2.params,
+        restored2.params,
+    )
+
+
+def test_checkpoint_restore_sharded(tmp_path):
+    from imatch_tpu.parallel.checkpoint import restore_checkpoint, save_checkpoint
+    from imatch_tpu.parallel.train import make_optimizer
+
+    cfg = get_config("tiny")
+    tx = make_optimizer()
+    mesh = make_mesh(model_parallel=2)
+    state, _ = init_train_state(jax.random.key(3), cfg, tx, mesh=mesh)
+    save_checkpoint(str(tmp_path), state)
+    fresh, _ = init_train_state(jax.random.key(0), cfg, tx, mesh=mesh)
+    restored = restore_checkpoint(
+        str(tmp_path), fresh, mesh=mesh, param_specs=clip_param_specs()
+    )
+    step = make_train_step(cfg, tx, mesh=mesh)
+    rng = np.random.default_rng(1)
+    pixels = jnp.asarray(
+        rng.standard_normal(
+            (8, cfg.vision.image_size, cfg.vision.image_size, 3)
+        ),
+        jnp.float32,
+    )
+    tokens = jnp.asarray(
+        rng.integers(0, cfg.text.vocab_size, (8, cfg.text.max_positions)),
+        jnp.int32,
+    )
+    _, loss = step(restored, pixels, tokens)
+    assert jnp.isfinite(loss)
+
+
+def test_train_cli_synthetic(tmp_path):
+    import subprocess
+    import sys
+
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    r = subprocess.run(
+        [
+            sys.executable, "scripts/train_clip.py",
+            "--config", "tiny", "--steps", "3", "--batch", "4",
+            "--synthetic", "8", "--ckpt-dir", str(tmp_path / "ck"),
+            "--ckpt-every", "2",
+        ],
+        capture_output=True, text=True, cwd="/root/repo", env=env,
+        timeout=420,
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert "done at step 3" in r.stderr or "done at step 3" in r.stdout
+    # resume continues from the saved step
+    r2 = subprocess.run(
+        [
+            sys.executable, "scripts/train_clip.py",
+            "--config", "tiny", "--steps", "5", "--batch", "4",
+            "--synthetic", "8", "--ckpt-dir", str(tmp_path / "ck"),
+            "--resume",
+        ],
+        capture_output=True, text=True, cwd="/root/repo", env=env,
+        timeout=420,
+    )
+    assert r2.returncode == 0, r2.stderr[-2000:]
+    out = r2.stderr + r2.stdout
+    assert "resumed from step 3" in out and "done at step 5" in out
+
+
+def test_train_step_bf16_grad():
+    """bf16 training path must differentiate (conv AD dtype wart)."""
+    from imatch_tpu.parallel.train import make_optimizer
+
+    cfg = get_config("tiny")
+    tx = make_optimizer()
+    state, _ = init_train_state(jax.random.key(0), cfg, tx)
+    step = make_train_step(cfg, tx, dtype=jnp.bfloat16)
+    rng = np.random.default_rng(0)
+    pixels = jnp.asarray(
+        rng.standard_normal(
+            (4, cfg.vision.image_size, cfg.vision.image_size, 3)
+        ),
+        jnp.float32,
+    )
+    tokens = jnp.asarray(
+        rng.integers(0, cfg.text.vocab_size, (4, cfg.text.max_positions)),
+        jnp.int32,
+    )
+    _, loss = step(state, pixels, tokens)
+    assert jnp.isfinite(loss)
