@@ -193,6 +193,52 @@ class MoondreamJax:
 
     # -- batched paths (the TPU-native win over the reference) ------------
 
+    def encode_image_batch(self, images) -> list:
+        """Vision-encode a batch; same-geometry images share device calls."""
+        arrs = []
+        for im in images:
+            a = np.asarray(im)
+            if a.ndim == 2:
+                a = np.stack([a] * 3, axis=-1)
+            if a.shape[-1] == 4:
+                a = a[..., :3]
+            arrs.append(a)
+        out: list = [None] * len(arrs)
+        by_size: Dict[tuple, list] = {}
+        for i, a in enumerate(arrs):
+            by_size.setdefault(a.shape[:2], []).append(i)
+        with self._lock, METRICS.timer("vlm.encode_batch"):
+            for _, idxs in by_size.items():
+                pix = jnp.concatenate(
+                    [self._preprocess(arrs[i]) for i in idxs], axis=0
+                )
+                feats = self._encode_fn(self.params, pix)
+                feats = np.asarray(feats, np.float32)
+                for j, i in enumerate(idxs):
+                    out[i] = {"features": feats[j]}
+        return out
+
+    def caption_batch(self, encoded_list, max_new: int = 48) -> list[str]:
+        """One batched prefill + one shared decode loop for N captions
+        (the reference decodes captions one network call at a time)."""
+        if not encoded_list:
+            return []
+        with self._lock, METRICS.timer("vlm.caption_batch"):
+            feats = jnp.concatenate(
+                [self._feats(e) for e in encoded_list], axis=0
+            )
+            ids = [self.tokenizer.bos_id] + self.tokenizer.encode(
+                CAPTION_PROMPT
+            )
+            tokens = jnp.asarray([ids] * feats.shape[0], jnp.int32)
+            result = self._generate_fn(self.params, feats, tokens, max_new)
+            toks = np.asarray(result.tokens)
+            lens = np.asarray(result.lengths)
+            return [
+                self.tokenizer.decode(toks[i][: int(lens[i])]).strip()
+                for i in range(len(encoded_list))
+            ]
+
     def query_yes_no_batch(self, encoded_list, question: str) -> list[bool]:
         """One prefill for a whole batch of images x one question."""
         with self._lock, METRICS.timer("vlm.query_batch"):

@@ -15,6 +15,7 @@ the >=5k img/s/chip BASELINE.md target comes from.
 from __future__ import annotations
 
 import datetime
+import json
 import logging
 import os
 from typing import Dict, List, Optional, Sequence, Tuple
@@ -128,8 +129,6 @@ def process_image(
     }
     filter_results = _apply_existing_filters(state, encoded)
     if filter_results:
-        import json
-
         metadata["filter_results_json"] = json.dumps(filter_results)
 
     with state.lock:
@@ -183,14 +182,48 @@ def process_batch(
     if not fresh:
         return results
 
-    # captions (autoregressive — stays per-image but batched upstream later)
+    # captions + existing-filter application, batched on device when the
+    # captioner supports it (MoondreamJax: one vision pass per geometry
+    # bucket, one shared decode loop, one yes/no prefill per filter —
+    # the reference pays per-image network calls for each).
     captions: Dict[int, str] = {}
-    for i in fresh:
-        caption, encoded = _caption_and_encode(state, arrays[i])
-        if encoded is not None:
-            save_encoded(state.encoded_dir, ids[i], encoded)
-        if caption:
-            captions[i] = caption
+    filter_results: Dict[int, Dict[str, str]] = {}
+    cap = state.captioner
+    if getattr(cap, "available", False):
+        try:
+            if hasattr(cap, "encode_image_batch"):
+                encs = cap.encode_image_batch([arrays[i] for i in fresh])
+                caps = (
+                    cap.caption_batch(encs)
+                    if hasattr(cap, "caption_batch")
+                    else [cap.caption(e)["caption"] for e in encs]
+                )
+                for i, enc, text in zip(fresh, encs, caps):
+                    save_encoded(state.encoded_dir, ids[i], enc)
+                    if text:
+                        captions[i] = text
+                saved_filters = state.load_filters()
+                if saved_filters and hasattr(cap, "query_yes_no_batch"):
+                    for fq in saved_filters:
+                        answers = cap.query_yes_no_batch(
+                            encs, format_filter_query(fq)
+                        )
+                        for i, yes in zip(fresh, answers):
+                            filter_results.setdefault(i, {})[fq] = (
+                                "Yes" if yes else "No"
+                            )
+            else:
+                for i in fresh:
+                    caption, encoded = _caption_and_encode(state, arrays[i])
+                    if encoded is not None:
+                        save_encoded(state.encoded_dir, ids[i], encoded)
+                        fr = _apply_existing_filters(state, encoded)
+                        if fr:
+                            filter_results[i] = fr
+                    if caption:
+                        captions[i] = caption
+        except Exception as e:
+            logger.error("batched caption/filter error: %s", e)
 
     if remove_bg and state.segmenter is not None:
         for i in fresh:
@@ -224,6 +257,8 @@ def process_batch(
             "processed_url": os.path.join(state.processed_dir, f"{img_id}.png"),
             "created_at": _now_iso(),
         }
+        if i in filter_results:
+            metadata["filter_results_json"] = json.dumps(filter_results[i])
         add_ids.append(img_id)
         add_embs.append(embeddings[j])
         add_mds.append(metadata)

@@ -142,3 +142,35 @@ def test_reset(state):
     assert state.image_metadata == {}
     assert state.load_filters() == []
     assert os.listdir(state.processed_dir) == []
+
+
+def test_process_batch_applies_existing_filters_and_batched_captions(tmp_path):
+    """Batch ingest must apply saved filters to new images (single-upload
+    parity, main.py:707-731) through the batched captioner paths."""
+    import json as _json
+
+    from imatch_tpu.models.moondream.runtime import MoondreamJax
+    from imatch_tpu.pipeline.ingest import process_batch
+    from PIL import Image as _Image
+
+    os.environ["IMATCH_MD_CONFIG"] = "tiny-md"
+    state = AppState(
+        root=str(tmp_path),
+        embedder=ClipEmbedder(config="tiny"),
+        captioner=MoondreamJax(config="tiny-md"),
+    )
+    state.save_filters(["is it red"])
+    rng = np.random.default_rng(0)
+    imgs = [
+        _Image.fromarray(
+            rng.integers(0, 256, (32 + 4 * i, 40, 3), np.uint8)
+        )
+        for i in range(3)
+    ]
+    results = process_batch(state, imgs, [f"f{i}.png" for i in range(3)])
+    assert all(r["status"] == "success" for r in results)
+    for r in results:
+        md = r["metadata"]
+        fr = _json.loads(md["filter_results_json"])
+        assert fr["is it red"] in ("Yes", "No")
+        assert isinstance(md["custom_metadata"], str)
