@@ -94,8 +94,9 @@ def convert_hf_state_dict(sd: Mapping, cfg: CLIPConfig) -> Dict:
     }
     text = {
         "token_embedding": _np(sd["text_model.embeddings.token_embedding.weight"]),
-        "position_embedding": _np(
-            sd["text_model.embeddings.position_embedding.weight"]
+        "position_embedding": _stretch_positions(
+            _np(sd["text_model.embeddings.position_embedding.weight"]),
+            cfg.text.max_positions,
         ),
         "layers": _encoder_from_hf(sd, "text_model.encoder", cfg.text.num_layers),
         "final_ln": {
@@ -109,6 +110,37 @@ def convert_hf_state_dict(sd: Mapping, cfg: CLIPConfig) -> Dict:
         "text": text,
         "logit_scale": _np(sd["logit_scale"]).reshape(()),
     }
+
+
+def _stretch_positions(pe: "np.ndarray", target: int, keep: int = 20):
+    """LongCLIP knowledge-preserving position stretching (77 -> 248).
+
+    Loading a standard 77-position CLIP text checkpoint into a longer
+    context: LongCLIP's recipe keeps the first ``keep`` trained positions
+    verbatim (they carry most of the positional knowledge) and linearly
+    interpolates the remainder onto the longer axis
+    (/root/reference/utils.py:40-45 relies on a checkpoint that already
+    shipped this; here it's reproduced so any CLIP checkpoint loads into
+    longclip-l14-248). No-op when sizes already match.
+    """
+    import numpy as np
+
+    src = pe.shape[0]
+    if src == target:
+        return pe
+    if src > target:
+        return pe[:target]
+    keep = min(keep, src - 1)
+    head = pe[:keep]
+    tail = pe[keep:]
+    n_out = target - keep
+    # linear interpolation of the remaining src-keep rows onto n_out rows
+    pos = np.linspace(0.0, tail.shape[0] - 1.0, n_out)
+    lo = np.floor(pos).astype(int)
+    hi = np.minimum(lo + 1, tail.shape[0] - 1)
+    frac = (pos - lo)[:, None].astype(pe.dtype)
+    stretched = tail[lo] * (1.0 - frac) + tail[hi] * frac
+    return np.concatenate([head, stretched], axis=0)
 
 
 def load_hf_checkpoint(path: str, cfg: CLIPConfig) -> Dict:

@@ -16,6 +16,8 @@ from imatch_tpu.parallel.sharding import (
     replicated,
 )
 from imatch_tpu.parallel.dist_search import sharded_cosine_topk
+from imatch_tpu.parallel.pipeline import gpipe_scan
+from imatch_tpu.parallel.ring_attention import ring_attention
 from imatch_tpu.parallel.train import (
     TrainState,
     clip_loss,
@@ -30,6 +32,8 @@ __all__ = [
     "data_spec",
     "replicated",
     "sharded_cosine_topk",
+    "gpipe_scan",
+    "ring_attention",
     "TrainState",
     "clip_loss",
     "make_train_step",

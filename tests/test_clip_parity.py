@@ -131,3 +131,23 @@ def test_bf16_forward_close_to_fp32():
     bf16 = encode_image(params, pixels, cfg, dtype=jnp.bfloat16, attn_impl="xla")
     cos = jnp.sum(f32 * bf16, axis=-1)
     assert float(cos.min()) > 0.99
+
+
+def test_position_stretching_longclip():
+    """LongCLIP 77->248 stretching: head rows verbatim, tail interpolated."""
+    from imatch_tpu.models.clip.convert import _stretch_positions
+
+    rng = np.random.default_rng(0)
+    pe = rng.standard_normal((77, 8)).astype(np.float32)
+    out = _stretch_positions(pe, 248)
+    assert out.shape == (248, 8)
+    np.testing.assert_array_equal(out[:20], pe[:20])  # kept verbatim
+    np.testing.assert_allclose(out[20], pe[20], atol=1e-6)  # interp start
+    np.testing.assert_allclose(out[-1], pe[-1], atol=1e-6)  # interp end
+    # monotone blend: every stretched row is a convex combo of neighbors
+    mins = pe[20:].min(axis=0) - 1e-5
+    maxs = pe[20:].max(axis=0) + 1e-5
+    assert (out[20:] >= mins).all() and (out[20:] <= maxs).all()
+    # no-op and truncation cases
+    np.testing.assert_array_equal(_stretch_positions(pe, 77), pe)
+    assert _stretch_positions(pe, 50).shape == (50, 8)

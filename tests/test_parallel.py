@@ -270,3 +270,122 @@ def test_train_step_bf16_grad():
     )
     _, loss = step(state, pixels, tokens)
     assert jnp.isfinite(loss)
+
+
+# ---------------------------------------------------------------------------
+# Ring attention (sequence parallelism)
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize("causal", [False, True])
+def test_ring_attention_matches_reference(causal):
+    from imatch_tpu.ops.attention import _mha_xla
+    from imatch_tpu.parallel.ring_attention import ring_attention
+
+    mesh = make_mesh(model_parallel=1)  # ring over the 8-wide data axis
+    rng = np.random.default_rng(0)
+    b, h, s, d = 2, 3, 64, 16  # S=64 -> 8 tokens per device
+    q, k, v = (
+        jnp.asarray(rng.standard_normal((b, h, s, d)), jnp.float32)
+        for _ in range(3)
+    )
+    ref = _mha_xla(q, k, v, causal=causal, precision=jax.lax.Precision.HIGHEST)
+    out = ring_attention(q, k, v, mesh=mesh, causal=causal)
+    np.testing.assert_allclose(
+        np.asarray(out), np.asarray(ref), rtol=2e-5, atol=2e-5
+    )
+
+
+def test_ring_attention_rejects_uneven_seq():
+    from imatch_tpu.parallel.ring_attention import ring_attention
+
+    mesh = make_mesh(model_parallel=1)
+    x = jnp.zeros((1, 1, 50, 8))
+    with pytest.raises(ValueError):
+        ring_attention(x, x, x, mesh=mesh)
+
+
+# ---------------------------------------------------------------------------
+# Pipeline parallelism (GPipe over stacked layers)
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize("stages,micro", [(2, 4), (4, 2), (8, 8)])
+def test_gpipe_scan_matches_lax_scan(stages, micro):
+    from imatch_tpu.parallel.pipeline import gpipe_scan
+
+    mesh = make_mesh(model_parallel=stages)
+    axis = "model"
+    rng = np.random.default_rng(0)
+    n_layers, b, d = 8, 16, 32
+    x = jnp.asarray(rng.standard_normal((b, d)), jnp.float32)
+    stacked = {
+        "w": jnp.asarray(
+            rng.standard_normal((n_layers, d, d)) * 0.1, jnp.float32
+        ),
+        "b": jnp.asarray(rng.standard_normal((n_layers, d)), jnp.float32),
+    }
+
+    def body(h, lp):
+        return jnp.tanh(h @ lp["w"] + lp["b"]), None
+
+    ref, _ = jax.lax.scan(body, x, stacked)
+    out = gpipe_scan(
+        body, x, stacked, mesh=mesh, axis=axis, microbatches=micro
+    )
+    np.testing.assert_allclose(
+        np.asarray(out), np.asarray(ref), rtol=1e-5, atol=1e-6
+    )
+
+
+def test_gpipe_scan_clip_encoder_stage():
+    """Pipeline the real CLIP encoder body across 2 stages."""
+    from imatch_tpu.models.clip.model import init_params, _encoder
+    from imatch_tpu.parallel.pipeline import gpipe_scan
+    import functools as ft
+
+    cfg = get_config("tiny")
+    params = init_params(jax.random.key(0), cfg)
+    layers = params["vision"]["layers"]
+    rng = np.random.default_rng(1)
+    b, s, d = 8, cfg.vision.seq_len, cfg.vision.hidden_size
+    x = jnp.asarray(rng.standard_normal((b, s, d)), jnp.float32)
+
+    # reference: the model's own scan-based encoder
+    ref = _encoder(
+        x, layers, num_heads=cfg.vision.num_heads,
+        eps=cfg.vision.layer_norm_eps, act="quick_gelu",
+        causal=False, attn_impl="xla",
+    )
+
+    # the same residual-block body, pipelined over 2 stages
+    from imatch_tpu.models.clip import model as M
+
+    def body(h, lp):
+        nh, hd = cfg.vision.num_heads, cfg.vision.head_dim
+        prec = jax.lax.Precision.HIGHEST
+        y = M._layer_norm(h, lp["ln1"], cfg.vision.layer_norm_eps)
+        a = lp["attn"]
+        q = M._dense(y, a["wq"], a["bq"], prec)
+        k = M._dense(y, a["wk"], a["bk"], prec)
+        v = M._dense(y, a["wv"], a["bv"], prec)
+        bb, ss = h.shape[0], h.shape[1]
+        q = q.reshape(bb, ss, nh, hd).transpose(0, 2, 1, 3)
+        k = k.reshape(bb, ss, nh, hd).transpose(0, 2, 1, 3)
+        v = v.reshape(bb, ss, nh, hd).transpose(0, 2, 1, 3)
+        from imatch_tpu.ops.attention import _mha_xla
+
+        o = _mha_xla(q, k, v, causal=False, precision=prec)
+        o = o.transpose(0, 2, 1, 3).reshape(bb, ss, d)
+        h = h + M._dense(o, a["wo"], a["bo"], prec)
+        y = M._layer_norm(h, lp["ln2"], cfg.vision.layer_norm_eps)
+        m = lp["mlp"]
+        y = M._act(M._dense(y, m["w1"], m["b1"], prec), "quick_gelu")
+        h = h + M._dense(y, m["w2"], m["b2"], prec)
+        return h, None
+
+    mesh = make_mesh(model_parallel=2)
+    out = gpipe_scan(body, x, layers, mesh=mesh, microbatches=4)
+    np.testing.assert_allclose(
+        np.asarray(out), np.asarray(ref), rtol=2e-4, atol=2e-5
+    )
