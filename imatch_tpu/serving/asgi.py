@@ -16,6 +16,8 @@ Any ASGI server can host the app; tests drive it in-process through
 from __future__ import annotations
 
 import asyncio
+import concurrent.futures
+import functools
 import json
 import logging
 import mimetypes
@@ -187,6 +189,10 @@ class App:
         self._startup: List[Callable] = []
         self._started = False
         self._start_lock = threading.Lock()
+        self._executor = concurrent.futures.ThreadPoolExecutor(
+            max_workers=int(os.environ.get("IMATCH_WORKERS", "8")),
+            thread_name_prefix="imatch-handler",
+        )
         self.cors_origins = cors_origins
 
     # -- registration -------------------------------------------------------
@@ -280,7 +286,18 @@ class App:
             req = Request(scope, body)
             req.path_params = match.groupdict()
             try:
-                result = handler(req, **req.path_params)
+                if asyncio.iscoroutinefunction(handler):
+                    result = await handler(req, **req.path_params)
+                else:
+                    # Sync handlers run on the worker pool (FastAPI runs
+                    # sync routes the same way): a long device call — a
+                    # first embed's jit compile takes minutes — must not
+                    # freeze every other request on the event loop.
+                    loop = asyncio.get_running_loop()
+                    result = await loop.run_in_executor(
+                        self._executor,
+                        functools.partial(handler, req, **req.path_params),
+                    )
                 if asyncio.iscoroutine(result):
                     result = await result
             except Exception as e:  # route-level 500, like FastAPI

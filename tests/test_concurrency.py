@@ -1,0 +1,146 @@
+"""Concurrency stress: interleaved uploads, searches, metadata updates and
+filter backfill against one live server — the thread-safety the reference
+gets only by running a single worker (SURVEY.md §5 'race detection:
+none... unguarded')."""
+
+import asyncio
+import socket
+import threading
+import time
+
+import numpy as np
+import pytest
+from PIL import Image
+
+from imatch_tpu.client import ImageMatchClient
+from imatch_tpu.models.clip.configs import TINY
+from imatch_tpu.pipeline.embedder import ClipEmbedder
+from imatch_tpu.pipeline.state import AppState
+from imatch_tpu.serving.app import create_app
+from imatch_tpu.serving.server import serve_async
+
+
+class SlowFakeCaptioner:
+    """Deterministic, with a small sleep to widen race windows."""
+
+    available = True
+
+    def encode_image(self, image_np):
+        time.sleep(0.002)
+        return {"feat": np.asarray(image_np, np.float32).mean(axis=(0, 1))}
+
+    def caption(self, encoded):
+        return {"caption": "an image"}
+
+    def query(self, encoded, question):
+        time.sleep(0.002)
+        return {"answer": "Yes"}
+
+
+@pytest.fixture()
+def live(tmp_path):
+    state = AppState(
+        root=str(tmp_path),
+        embedder=ClipEmbedder(config=TINY),
+        captioner=SlowFakeCaptioner(),
+    )
+    app = create_app(state)
+    with socket.socket() as s:
+        s.bind(("127.0.0.1", 0))
+        port = s.getsockname()[1]
+    loop = asyncio.new_event_loop()
+
+    def run():
+        asyncio.set_event_loop(loop)
+        task = loop.create_task(serve_async(app, "127.0.0.1", port))
+        try:
+            loop.run_forever()
+        finally:
+            task.cancel()
+
+    threading.Thread(target=run, daemon=True).start()
+    for _ in range(100):
+        try:
+            with socket.create_connection(("127.0.0.1", port), 0.2):
+                break
+        except OSError:
+            time.sleep(0.05)
+    yield ImageMatchClient(f"http://127.0.0.1:{port}", timeout=120), state
+    loop.call_soon_threadsafe(loop.stop)
+
+
+def _png(tmp_path, i):
+    rng = np.random.default_rng(i)
+    p = tmp_path / f"img_{i}.png"
+    Image.fromarray(
+        rng.integers(0, 256, (24 + i % 5, 32, 3), np.uint8)
+    ).save(p)
+    return str(p)
+
+
+def test_interleaved_operations(live, tmp_path):
+    client, state = live
+    n = 12
+    paths = [_png(tmp_path, i) for i in range(n)]
+    errors = []
+    uploaded_ids = []
+    id_lock = threading.Lock()
+
+    def uploader(lo, hi):
+        try:
+            for i in range(lo, hi):
+                r = client.upload(paths[i])
+                with id_lock:
+                    uploaded_ids.append(r["metadata"]["id"])
+        except Exception as e:
+            errors.append(("upload", e))
+
+    def searcher():
+        try:
+            for _ in range(10):
+                client.search_text("anything", limit=5)
+        except Exception as e:
+            errors.append(("search", e))
+
+    def filterer():
+        try:
+            client.add_filter("is it a thing")
+            client.wait_for_filter("is it a thing", poll_s=0.05, timeout_s=60)
+        except Exception as e:
+            errors.append(("filter", e))
+
+    def editor():
+        try:
+            for _ in range(10):
+                with id_lock:
+                    ids = list(uploaded_ids)
+                if ids:
+                    client.update_metadata(ids[0], "concurrent edit")
+                time.sleep(0.01)
+        except Exception as e:
+            errors.append(("edit", e))
+
+    threads = [
+        threading.Thread(target=uploader, args=(0, n // 2)),
+        threading.Thread(target=uploader, args=(n // 2, n)),
+        threading.Thread(target=searcher),
+        threading.Thread(target=filterer),
+        threading.Thread(target=editor),
+    ]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join(timeout=120)
+        assert not t.is_alive(), "worker hung"
+    assert not errors, errors
+
+    # invariants after the storm
+    images = client.images()
+    assert len(images) == len(set(uploaded_ids)) == n
+    assert state.store.count() == n
+    # every image got the backfilled filter or the ingest-time application
+    p = client.filter_progress("is it a thing")
+    assert p["status"] == "completed"
+    hits = client.search_text("", filters=["is it a thing"], limit=0)
+    # all images answered Yes (fake captioner) through one path or another
+    assert len(hits) >= 1
