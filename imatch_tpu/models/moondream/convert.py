@@ -28,6 +28,18 @@ def _np(t):
     return np.asarray(t, dtype=np.float32)
 
 
+def _split_qkv(wqkv, bqkv, wo, bo):
+    """HF packs [q; k; v] along the output dim; our layout keeps them
+    separate so TP can column-split each projection."""
+    wq, wk, wv = np.split(wqkv, 3, axis=2)  # (L, D, 3D) -> 3x (L, D, D)
+    bq, bk, bv = np.split(bqkv, 3, axis=1)
+    return {
+        "wq": wq, "wk": wk, "wv": wv,
+        "bq": bq, "bk": bk, "bv": bv,
+        "wo": wo, "bo": bo,
+    }
+
+
 def _stack(sd: Mapping, tmpl: str, n: int, *, transpose=False):
     ts = []
     for i in range(n):
@@ -62,18 +74,18 @@ def convert_md_state_dict(sd: Mapping, cfg: MoondreamConfig) -> Dict:
                 "scale": _stack(sd, vis + ".blocks.{i}.norm1.weight", v.num_layers),
                 "bias": _stack(sd, vis + ".blocks.{i}.norm1.bias", v.num_layers),
             },
-            "attn": {
-                "wqkv": _stack(
+            "attn": _split_qkv(
+                _stack(
                     sd, vis + ".blocks.{i}.attn.qkv.weight", v.num_layers,
                     transpose=True,
                 ),
-                "bqkv": _stack(sd, vis + ".blocks.{i}.attn.qkv.bias", v.num_layers),
-                "wo": _stack(
+                _stack(sd, vis + ".blocks.{i}.attn.qkv.bias", v.num_layers),
+                _stack(
                     sd, vis + ".blocks.{i}.attn.proj.weight", v.num_layers,
                     transpose=True,
                 ),
-                "bo": _stack(sd, vis + ".blocks.{i}.attn.proj.bias", v.num_layers),
-            },
+                _stack(sd, vis + ".blocks.{i}.attn.proj.bias", v.num_layers),
+            ),
             "ln2": {
                 "scale": _stack(sd, vis + ".blocks.{i}.norm2.weight", v.num_layers),
                 "bias": _stack(sd, vis + ".blocks.{i}.norm2.bias", v.num_layers),
@@ -109,18 +121,18 @@ def convert_md_state_dict(sd: Mapping, cfg: MoondreamConfig) -> Dict:
                 "scale": _stack(sd, txt + ".h.{i}.ln.weight", t.num_layers),
                 "bias": _stack(sd, txt + ".h.{i}.ln.bias", t.num_layers),
             },
-            "attn": {
-                "wqkv": _stack(
+            "attn": _split_qkv(
+                _stack(
                     sd, txt + ".h.{i}.mixer.Wqkv.weight", t.num_layers,
                     transpose=True,
                 ),
-                "bqkv": _stack(sd, txt + ".h.{i}.mixer.Wqkv.bias", t.num_layers),
-                "wo": _stack(
+                _stack(sd, txt + ".h.{i}.mixer.Wqkv.bias", t.num_layers),
+                _stack(
                     sd, txt + ".h.{i}.mixer.out_proj.weight", t.num_layers,
                     transpose=True,
                 ),
-                "bo": _stack(sd, txt + ".h.{i}.mixer.out_proj.bias", t.num_layers),
-            },
+                _stack(sd, txt + ".h.{i}.mixer.out_proj.bias", t.num_layers),
+            ),
             "mlp": {
                 "w1": _stack(
                     sd, txt + ".h.{i}.mlp.fc1.weight", t.num_layers, transpose=True

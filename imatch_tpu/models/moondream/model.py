@@ -41,8 +41,14 @@ def _init_vision_layers(key, n, d, d_mlp):
     return {
         "ln1": {"scale": jnp.ones((n, d)), "bias": jnp.zeros((n, d))},
         "attn": {
-            "wqkv": stack(jax.random.fold_in(ks[0], 0), (d, 3 * d)),
-            "bqkv": jnp.zeros((n, 3 * d)),
+            # separate projections (not packed qkv): each one column-splits
+            # cleanly for tensor parallelism (parallel/sharding.py)
+            "wq": stack(jax.random.fold_in(ks[0], 0), (d, d)),
+            "wk": stack(jax.random.fold_in(ks[0], 2), (d, d)),
+            "wv": stack(jax.random.fold_in(ks[0], 3), (d, d)),
+            "bq": jnp.zeros((n, d)),
+            "bk": jnp.zeros((n, d)),
+            "bv": jnp.zeros((n, d)),
             "wo": stack(jax.random.fold_in(ks[0], 1), (d, d)),
             "bo": jnp.zeros((n, d)),
         },
@@ -67,8 +73,14 @@ def _init_text_layers(key, n, d, d_mlp):
         # Phi parallel block: one LN feeds both attention and MLP.
         "ln": {"scale": jnp.ones((n, d)), "bias": jnp.zeros((n, d))},
         "attn": {
-            "wqkv": stack(jax.random.fold_in(ks[0], 0), (d, 3 * d)),
-            "bqkv": jnp.zeros((n, 3 * d)),
+            # separate projections (not packed qkv): each one column-splits
+            # cleanly for tensor parallelism (parallel/sharding.py)
+            "wq": stack(jax.random.fold_in(ks[0], 0), (d, d)),
+            "wk": stack(jax.random.fold_in(ks[0], 2), (d, d)),
+            "wv": stack(jax.random.fold_in(ks[0], 3), (d, d)),
+            "bq": jnp.zeros((n, d)),
+            "bk": jnp.zeros((n, d)),
+            "bv": jnp.zeros((n, d)),
             "wo": stack(jax.random.fold_in(ks[0], 1), (d, d)),
             "bo": jnp.zeros((n, d)),
         },
@@ -218,8 +230,10 @@ def encode_image_features(
 
     def body(h, lp):
         y = _layer_norm(h, lp["ln1"], v.layer_norm_eps)
-        qkv = _dense(y, lp["attn"]["wqkv"], lp["attn"]["bqkv"], prec)
-        q, k, vv = jnp.split(qkv, 3, axis=-1)
+        a = lp["attn"]
+        q = _dense(y, a["wq"], a["bq"], prec)
+        k = _dense(y, a["wk"], a["bk"], prec)
+        vv = _dense(y, a["wv"], a["bv"], prec)
         q = q.reshape(b, s, nh, hd).transpose(0, 2, 1, 3)
         k = k.reshape(b, s, nh, hd).transpose(0, 2, 1, 3)
         vv = vv.reshape(b, s, nh, hd).transpose(0, 2, 1, 3)
@@ -337,8 +351,10 @@ def decoder_forward(
         h = carry
         lp, ck, cv = xs
         y = _layer_norm(h, lp["ln"], t.layer_norm_eps)
-        qkv = _dense(y, lp["attn"]["wqkv"], lp["attn"]["bqkv"], prec)
-        q, k, v = jnp.split(qkv, 3, axis=-1)
+        a = lp["attn"]
+        q = _dense(y, a["wq"], a["bq"], prec)
+        k = _dense(y, a["wk"], a["bk"], prec)
+        v = _dense(y, a["wv"], a["bv"], prec)
         q = q.reshape(b, sq, nh, hd).transpose(0, 2, 1, 3)
         k = k.reshape(b, sq, nh, hd).transpose(0, 2, 1, 3)
         v = v.reshape(b, sq, nh, hd).transpose(0, 2, 1, 3)

@@ -53,6 +53,62 @@ def _encoder_layer_specs(model_axis) -> Dict[str, Any]:
     }
 
 
+def md_param_specs(model_axis: str = AXIS_MODEL) -> Dict[str, Any]:
+    """Specs for the Moondream pytree (models/moondream/model.py).
+
+    Same Megatron column/row TP rule as CLIP; the vision blocks have
+    separate ln1/ln2 while the Phi decoder has one parallel-block ln.
+    The lm_head column-splits the vocab; its bias follows, and XLA
+    all-gathers the (B, V) logits at the boundary.
+    """
+    rep1, rep2 = P(None), P(None, None)
+    attn = {
+        "wq": P(None, None, model_axis),
+        "wk": P(None, None, model_axis),
+        "wv": P(None, None, model_axis),
+        "bq": P(None, model_axis),
+        "bk": P(None, model_axis),
+        "bv": P(None, model_axis),
+        "wo": P(None, model_axis, None),
+        "bo": rep2,
+    }
+    mlp = {
+        "w1": P(None, None, model_axis),
+        "b1": P(None, model_axis),
+        "w2": P(None, model_axis, None),
+        "b2": rep2,
+    }
+    return {
+        "vision": {
+            "patch_embedding": {"w": P(None, None, None, None), "b": rep1},
+            "position_embedding": rep2,
+            "layers": {
+                "ln1": {"scale": rep2, "bias": rep2},
+                "attn": dict(attn),
+                "ln2": {"scale": rep2, "bias": rep2},
+                "mlp": dict(mlp),
+            },
+            "post_ln": {"scale": rep1, "bias": rep1},
+        },
+        "projector": {
+            "w1": P(None, model_axis),
+            "b1": P(model_axis),
+            "w2": P(model_axis, None),
+            "b2": rep1,
+        },
+        "text": {
+            "token_embedding": rep2,
+            "layers": {
+                "ln": {"scale": rep2, "bias": rep2},
+                "attn": dict(attn),
+                "mlp": dict(mlp),
+            },
+            "final_ln": {"scale": rep1, "bias": rep1},
+            "lm_head": {"w": P(None, model_axis), "b": P(model_axis)},
+        },
+    }
+
+
 def clip_param_specs(model_axis: str = AXIS_MODEL) -> Dict[str, Any]:
     """Specs matching ``init_params``' pytree structure exactly."""
     rep1, rep2 = P(None), P(None, None)

@@ -105,6 +105,17 @@ def main() -> int:
         jax.default_backend(),
     )
 
+    dp = mesh.shape["data"]
+    if args.batch % dp:
+        new_batch = -(-args.batch // dp) * dp
+        logger.warning(
+            "batch %d not divisible by data-parallel size %d; using %d",
+            args.batch,
+            dp,
+            new_batch,
+        )
+        args.batch = new_batch
+
     tx = make_optimizer(lr=args.lr)
     state, tx = init_train_state(jax.random.key(args.seed), cfg, tx, mesh=mesh)
     if args.resume and latest_step(args.ckpt_dir) is not None:

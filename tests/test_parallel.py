@@ -389,3 +389,50 @@ def test_gpipe_scan_clip_encoder_stage():
     np.testing.assert_allclose(
         np.asarray(out), np.asarray(ref), rtol=2e-4, atol=2e-5
     )
+
+
+# ---------------------------------------------------------------------------
+# Moondream tensor parallelism
+# ---------------------------------------------------------------------------
+
+
+def test_moondream_tp_matches_single_device():
+    """VLM prefill logits under TP shardings == unsharded (same params)."""
+    from jax.sharding import NamedSharding
+
+    from imatch_tpu.models.moondream import (
+        TINY_MD,
+        init_md_params,
+        prefill,
+        encode_image_features,
+    )
+    from imatch_tpu.parallel.sharding import md_param_specs
+
+    cfg = TINY_MD
+    params = init_md_params(jax.random.key(0), cfg)
+    rng = np.random.default_rng(0)
+    pixels = jnp.asarray(
+        rng.standard_normal(
+            (2, cfg.vision.image_size, cfg.vision.image_size, 3)
+        ),
+        jnp.float32,
+    )
+    tokens = jnp.asarray(rng.integers(0, 256, (2, 5)), jnp.int32)
+
+    def fwd(p, pixels, tokens):
+        feats = encode_image_features(p, pixels, cfg)
+        logits, _, _ = prefill(p, cfg, feats, tokens)
+        return logits
+
+    ref = jax.jit(fwd)(params, pixels, tokens)
+
+    mesh = make_mesh(model_parallel=2)
+    specs = md_param_specs()
+    jax.tree.map(lambda x, s: None, params, specs)  # structure match
+    sharded = jax.tree.map(
+        lambda x, s: jax.device_put(x, NamedSharding(mesh, s)), params, specs
+    )
+    out = jax.jit(fwd)(sharded, pixels, tokens)
+    np.testing.assert_allclose(
+        np.asarray(out), np.asarray(ref), rtol=5e-4, atol=5e-5
+    )
