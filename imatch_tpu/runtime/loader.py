@@ -21,6 +21,7 @@ import io
 import logging
 import os
 import subprocess
+import sys
 import threading
 from typing import List, Optional, Sequence, Tuple
 
@@ -132,9 +133,7 @@ class NativeImageLoader:
             self._closed = True
 
     def __del__(self):
-        import sys
-
-        if sys.is_finalizing():
+        if sys is None or sys.is_finalizing():
             return  # ctypes calls during interpreter teardown can crash
         try:
             self.close()

@@ -18,6 +18,7 @@ import logging
 import os
 from typing import List, Optional
 
+import numpy as np
 from PIL import Image
 
 from imatch_tpu.pipeline import search as search_mod
@@ -65,6 +66,19 @@ def _open_upload(file: UploadFile) -> Image.Image:
     inside the loader for AVIF and when no toolchain exists."""
     arr = decode_image_bytes(file.content)
     return Image.fromarray(arr)
+
+
+def _maybe_remove_query_bg(state, image):
+    """Legacy v1 option: rembg the QUERY image before embedding
+    (app.py:989-994,396-401); opt-in via the remove_bg form flag."""
+    if state.segmenter is None:
+        return image
+    try:
+        arr = state.segmenter.remove_background(np.asarray(image))
+        return Image.fromarray(arr[..., :3])
+    except Exception as e:
+        logger.error("query background removal failed: %s", e)
+        return image
 
 
 def apply_search_filters(results: List[dict], filters: List[str]) -> List[dict]:
@@ -199,6 +213,8 @@ def create_app(state: Optional[AppState] = None, root: str = ".") -> App:
         filters = form.getlist("filters")
         limit = _parse_int(form.get("limit"), 10)
         image = Image.fromarray(decode_image_bytes(file.content))
+        if _parse_bool(form.get("remove_bg")):
+            image = _maybe_remove_query_bg(state, image)
         results = search_mod.search_by_image(state, image, limit=limit)
         return {"results": apply_search_filters(results, filters)}
 
@@ -228,6 +244,8 @@ def create_app(state: Optional[AppState] = None, root: str = ".") -> App:
         filters = form.getlist("filters")
         limit = _parse_int(form.get("limit"), 10)
         image = Image.fromarray(decode_image_bytes(file.content))
+        if _parse_bool(form.get("remove_bg")):
+            image = _maybe_remove_query_bg(state, image)
         results = search_mod.search_multimodal(
             state, image, query, weight_image=weight_image, limit=limit
         )
