@@ -39,10 +39,11 @@ class DeviceCorpus(NamedTuple):
     HBM pass) happens once per mutation, not per search.
     """
 
-    scoring: jax.Array  # (N_pad, D) score dtype (bf16 on TPU)
+    scoring: jax.Array  # (N_pad, D) score dtype (bf16 on TPU; int8 option)
     exact: jax.Array  # (N_pad, D) fp32 for the candidate rescore
     valid: jax.Array  # (N_pad,) bool
     tile_n: int
+    scale: jax.Array | None = None  # (N_pad,) per-row int8 dequant scale
 
 
 @functools.partial(jax.jit, static_argnames=("tile_n", "score_dtype"))
@@ -53,7 +54,16 @@ def _prepare_device_corpus(corpus, valid, *, tile_n, score_dtype):
     if pad:
         corpus = jnp.pad(corpus, ((0, pad), (0, 0)))
         valid = jnp.pad(valid, (0, pad))
-    return corpus.astype(score_dtype), corpus, valid
+    if score_dtype == jnp.int8:
+        # symmetric per-row quantization; the scale rides along so phase 1
+        # dequantizes the int32 accumulators with one multiply.
+        amax = jnp.max(jnp.abs(corpus), axis=1)
+        scale = jnp.where(amax > 0, amax / 127.0, 1.0).astype(jnp.float32)
+        q = jnp.clip(
+            jnp.round(corpus / scale[:, None]), -127, 127
+        ).astype(jnp.int8)
+        return q, corpus, valid, scale
+    return corpus.astype(score_dtype), corpus, valid, None
 
 
 def prepare_device_corpus(
@@ -63,14 +73,24 @@ def prepare_device_corpus(
     tile_n: int = 2048,
     score_dtype=jnp.bfloat16,
 ) -> DeviceCorpus:
-    scoring, exact, valid = _prepare_device_corpus(
+    """Build the cached scoring state.
+
+    score_dtype: jnp.bfloat16 (default — exact ordering after the fp32
+    rescore), jnp.float32 (fidelity), or jnp.int8 (half the scoring HBM
+    traffic of bf16 for very large corpora; tile selection is quantized,
+    final scores still exact fp32 — near-ties at the tile boundary can
+    differ beyond the +margin, so it is opt-in).
+    """
+    scoring, exact, valid, scale = _prepare_device_corpus(
         corpus, valid, tile_n=tile_n, score_dtype=score_dtype
     )
-    return DeviceCorpus(scoring, exact, valid, tile_n)
+    return DeviceCorpus(scoring, exact, valid, tile_n, scale)
 
 
 @functools.partial(jax.jit, static_argnames=("k", "tile_n"))
-def _tilemax_topk(queries, scoring, exact, valid, *, k: int, tile_n: int):
+def _tilemax_topk(
+    queries, scoring, exact, valid, scale, *, k: int, tile_n: int
+):
     """Two-phase exact top-k; measured at HBM roofline on TPU v5e.
 
     Phase 1: fused einsum + per-tile max over the bf16 corpus — XLA
@@ -88,15 +108,27 @@ def _tilemax_topk(queries, scoring, exact, valid, *, k: int, tile_n: int):
     nq = q32.shape[0]
     n_pad, d = exact.shape
     n_tiles = n_pad // tile_n
-    qs = q32.astype(scoring.dtype)
 
-    s = jnp.einsum(
-        "qd,nd->qn", qs, scoring, preferred_element_type=jnp.float32
-    )
+    if scoring.dtype == jnp.int8:
+        qmax = jnp.max(jnp.abs(q32), axis=1)
+        qscale = jnp.where(qmax > 0, qmax / 127.0, 1.0)
+        qi = jnp.clip(
+            jnp.round(q32 / qscale[:, None]), -127, 127
+        ).astype(jnp.int8)
+        s_int = jnp.einsum(
+            "qd,nd->qn", qi, scoring, preferred_element_type=jnp.int32
+        )
+        s = s_int.astype(jnp.float32) * qscale[:, None] * scale[None, :]
+    else:
+        qs = q32.astype(scoring.dtype)
+        s = jnp.einsum(
+            "qd,nd->qn", qs, scoring, preferred_element_type=jnp.float32
+        )
     s = jnp.where(valid[None, :], s, NEG_INF)
     tile_max = jnp.max(s.reshape(nq, n_tiles, tile_n), axis=2)
 
-    kt = min(k + 4, n_tiles)
+    margin = 16 if scoring.dtype == jnp.int8 else 4
+    kt = min(k + margin, n_tiles)
     _, top_tiles = jax.lax.top_k(tile_max, kt)  # (Q, kt)
     corpus_tiles = exact.reshape(n_tiles, tile_n, d)
     vtiles = valid.reshape(n_tiles, tile_n)
@@ -135,7 +167,13 @@ def tilemax_topk(
 ) -> Tuple[jax.Array, jax.Array]:
     """Top-k against a prepared corpus — the store's hot query path."""
     return _tilemax_topk(
-        queries, dc.scoring, dc.exact, dc.valid, k=k, tile_n=dc.tile_n
+        queries,
+        dc.scoring,
+        dc.exact,
+        dc.valid,
+        dc.scale,
+        k=k,
+        tile_n=dc.tile_n,
     )
 
 

@@ -190,3 +190,27 @@ def test_tilemax_topk_mask_and_duplicates():
     # Self-match resolves to the lowest-index live duplicate.
     expected_first = [0, 1, 2, 3, 4, 45, 6, 7]
     assert i[:, 0].tolist() == expected_first
+
+
+def test_tilemax_topk_int8_scoring():
+    """int8-quantized phase-1 scoring: final scores are exact fp32 and the
+    returned set matches the fp32 reference (tile selection quantized)."""
+    rng = np.random.default_rng(7)
+    n, d, q, k = 4000, 64, 4, 10
+    corpus = norm_rows(rng.standard_normal((n, d)).astype(np.float32))
+    queries = jnp.asarray(corpus[:q])
+    valid = np.ones(n, bool)
+    dc8 = prepare_device_corpus(
+        jnp.asarray(corpus), jnp.asarray(valid), tile_n=256,
+        score_dtype=jnp.int8,
+    )
+    assert dc8.scoring.dtype == jnp.int8 and dc8.scale is not None
+    s8, i8 = tilemax_topk(queries, dc8, k=k)
+    ref = queries @ corpus.astype(np.float64).T
+    for qi in range(q):
+        order = np.argsort(-np.asarray(ref[qi]), kind="stable")[:k]
+        assert np.asarray(i8[qi]).tolist() == order.tolist()
+        # returned scores are the exact fp32 values, not quantized ones
+        np.testing.assert_allclose(
+            np.asarray(s8[qi]), np.asarray(ref[qi])[order], atol=1e-5
+        )
