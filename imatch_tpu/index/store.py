@@ -20,6 +20,7 @@ utils.py:104-138):
 
 from __future__ import annotations
 
+import base64
 import json
 import os
 import tempfile
@@ -36,8 +37,16 @@ _MIN_CAP = 1024
 
 
 class VectorStore:
-    def __init__(self, dim: Optional[int] = None):
+    def __init__(
+        self, dim: Optional[int] = None, persist_dir: Optional[str] = None
+    ):
         self.dim = dim
+        # When set, every mutation appends to an on-disk journal
+        # (journal.jsonl) so durability is per-operation like chroma's
+        # sqlite, while full snapshots become an occasional compaction
+        # instead of an O(N) rewrite per upload.
+        self.persist_dir = persist_dir
+        self._journal_len = 0
         self._lock = threading.RLock()
         self._ids: List[str] = []
         self._slot: Dict[str, int] = {}
@@ -83,6 +92,38 @@ class VectorStore:
             self._slot = {d: i for i, d in enumerate(self._ids)}
             self._device = None
 
+    # -- journal ------------------------------------------------------------
+
+    @staticmethod
+    def _enc_emb(vec: np.ndarray) -> str:
+        return base64.b64encode(
+            np.asarray(vec, np.float32).tobytes()
+        ).decode("ascii")
+
+    @staticmethod
+    def _dec_emb(s: str) -> np.ndarray:
+        return np.frombuffer(base64.b64decode(s), dtype=np.float32)
+
+    def _journal(self, *ops: dict):
+        if self.persist_dir is None:
+            return
+        os.makedirs(self.persist_dir, exist_ok=True)
+        path = os.path.join(self.persist_dir, "journal.jsonl")
+        with open(path, "a", encoding="utf-8") as f:
+            for op in ops:
+                f.write(json.dumps(op) + "\n")
+            f.flush()
+        self._journal_len += len(ops)
+
+    def checkpoint(self, force: bool = False):
+        """Compact the journal into a snapshot when it has grown past a
+        quarter of the live set (or always, with force)."""
+        if self.persist_dir is None:
+            return
+        with self._lock:
+            if force or self._journal_len >= max(256, self.count() // 4):
+                self.save(self.persist_dir)
+
     # -- chroma-like API ----------------------------------------------------
 
     def add(
@@ -114,6 +155,20 @@ class VectorStore:
                 self._slot[id_] = slot
                 self._n += 1
             self._device = None
+            self._journal(
+                *(
+                    {
+                        "op": "add",
+                        "id": id_,
+                        "metadata": md,
+                        "document": doc,
+                        "embedding": self._enc_emb(embeddings[i]),
+                    }
+                    for i, (id_, md, doc) in enumerate(
+                        zip(ids, metadatas, documents)
+                    )
+                )
+            )
 
     def get(
         self,
@@ -158,16 +213,25 @@ class VectorStore:
                         embeddings[i], dtype=np.float32
                     )
                     self._device = None
+                op = {"op": "update", "id": id_}
+                if metadatas is not None:
+                    op["metadata"] = metadatas[i]
+                if embeddings is not None:
+                    op["embedding"] = self._enc_emb(embeddings[i])
+                self._journal(op)
 
     def delete(self, ids: Sequence[str]):
         with self._lock:
+            deleted = []
             for id_ in ids:
                 slot = self._slot.pop(id_, None)
                 if slot is not None and self._alive[slot]:
                     self._alive[slot] = False
                     self._dead += 1
+                    deleted.append(id_)
             self._maybe_compact()
             self._device = None
+            self._journal(*({"op": "delete", "id": i} for i in deleted))
 
     def count(self) -> int:
         with self._lock:
@@ -238,8 +302,11 @@ class VectorStore:
 
     # -- persistence --------------------------------------------------------
 
-    def save(self, path: str):
-        """Atomic durable snapshot (compacted)."""
+    def save(self, path: Optional[str] = None):
+        """Atomic durable snapshot (compacted); resets the journal."""
+        path = path or self.persist_dir
+        if path is None:
+            raise ValueError("no path and no persist_dir")
         with self._lock:
             os.makedirs(path, exist_ok=True)
             slots = [i for i in range(self._n) if self._alive[i]]
@@ -273,27 +340,72 @@ class VectorStore:
                 for leftover in os.listdir(tmp):
                     os.unlink(os.path.join(tmp, leftover))
                 os.rmdir(tmp)
+            journal = os.path.join(path, "journal.jsonl")
+            if os.path.exists(journal):
+                os.unlink(journal)
+            self._journal_len = 0
 
     @classmethod
-    def load(cls, path: str) -> "VectorStore":
+    def load(cls, path: str, persist: bool = True) -> "VectorStore":
+        """Rehydrate: snapshot first, then replay the journal. With
+        ``persist`` the returned store keeps journaling into ``path``."""
         manifest_path = os.path.join(path, "manifest.json")
         store = cls()
-        if not os.path.exists(manifest_path):
-            return store
-        with open(manifest_path) as f:
-            manifest = json.load(f)
-        store.dim = manifest["dim"]
-        emb = np.load(os.path.join(path, "embeddings.npy"))
-        records = []
-        with open(os.path.join(path, "records.jsonl"), encoding="utf-8") as f:
-            for line in f:
-                if line.strip():
-                    records.append(json.loads(line))
-        if records:
-            store.add(
-                ids=[r["id"] for r in records],
-                embeddings=emb,
-                metadatas=[r["metadata"] for r in records],
-                documents=[r["document"] for r in records],
-            )
+        if os.path.exists(manifest_path):
+            with open(manifest_path) as f:
+                manifest = json.load(f)
+            store.dim = manifest["dim"]
+            emb = np.load(os.path.join(path, "embeddings.npy"))
+            records = []
+            with open(
+                os.path.join(path, "records.jsonl"), encoding="utf-8"
+            ) as f:
+                for line in f:
+                    if line.strip():
+                        records.append(json.loads(line))
+            if records:
+                store.add(
+                    ids=[r["id"] for r in records],
+                    embeddings=emb,
+                    metadatas=[r["metadata"] for r in records],
+                    documents=[r["document"] for r in records],
+                )
+        journal = os.path.join(path, "journal.jsonl")
+        replayed = 0
+        if os.path.exists(journal):
+            with open(journal, encoding="utf-8") as f:
+                for line in f:
+                    line = line.strip()
+                    if not line:
+                        continue
+                    try:
+                        op = json.loads(line)
+                    except json.JSONDecodeError:
+                        break  # torn tail write from a crash — stop here
+                    try:
+                        if op["op"] == "add":
+                            store.add(
+                                ids=[op["id"]],
+                                embeddings=[cls._dec_emb(op["embedding"])],
+                                metadatas=[op.get("metadata")],
+                                documents=[op.get("document")],
+                            )
+                        elif op["op"] == "update":
+                            store.update(
+                                ids=[op["id"]],
+                                embeddings=[cls._dec_emb(op["embedding"])]
+                                if "embedding" in op
+                                else None,
+                                metadatas=[op["metadata"]]
+                                if "metadata" in op
+                                else None,
+                            )
+                        elif op["op"] == "delete":
+                            store.delete([op["id"]])
+                        replayed += 1
+                    except (KeyError, ValueError):
+                        continue  # idempotent replay: dup adds etc.
+        if persist:
+            store.persist_dir = path
+            store._journal_len = replayed
         return store

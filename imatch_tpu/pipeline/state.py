@@ -90,9 +90,11 @@ class AppState:
 
     # -- persistence --------------------------------------------------------
 
-    def snapshot(self):
-        """Durable index snapshot (chroma-persistence equivalent)."""
-        self.store.save(self.data_dir)
+    def snapshot(self, force: bool = False):
+        """Durability point. Mutations are already journaled per-op
+        (store.journal.jsonl); this compacts into a full snapshot when
+        the journal has grown (or immediately with force)."""
+        self.store.checkpoint(force=force)
 
     # -- reset --------------------------------------------------------------
 
@@ -110,4 +112,4 @@ class AppState:
             self.save_filters([])
             self.image_metadata.clear()
             self.filter_progress.clear()
-            self.snapshot()
+            self.snapshot(force=True)

@@ -214,3 +214,70 @@ def test_tilemax_topk_int8_scoring():
         np.testing.assert_allclose(
             np.asarray(s8[qi]), np.asarray(ref[qi])[order], atol=1e-5
         )
+
+
+# ---------------------------------------------------------------------------
+# Journal persistence (per-op durability + compaction)
+# ---------------------------------------------------------------------------
+
+
+def test_journal_replay_without_snapshot(tmp_path):
+    d = str(tmp_path)
+    store = VectorStore(persist_dir=d)
+    emb = norm_rows(np.random.default_rng(0).standard_normal((5, 8)).astype(np.float32))
+    store.add(
+        ids=[f"a{i}" for i in range(5)],
+        embeddings=emb,
+        metadatas=[{"i": i} for i in range(5)],
+        documents=[None] * 5,
+    )
+    store.update(ids=["a1"], metadatas=[{"i": 1, "x": True}])
+    store.delete(["a3"])
+    # never called save(); a fresh load must replay the journal
+    loaded = VectorStore.load(d)
+    assert loaded.count() == 4
+    assert loaded.get(ids=["a1"])["metadatas"][0] == {"i": 1, "x": True}
+    assert loaded.get(ids=["a3"])["ids"] == []
+    res = loaded.query(query_embeddings=[emb[0]], n_results=1)
+    assert res["ids"][0] == ["a0"]
+
+
+def test_journal_compaction_resets(tmp_path):
+    import os as _os
+
+    d = str(tmp_path)
+    store = VectorStore(persist_dir=d)
+    emb = norm_rows(np.random.default_rng(1).standard_normal((3, 8)).astype(np.float32))
+    store.add(ids=["x0", "x1", "x2"], embeddings=emb)
+    jpath = _os.path.join(d, "journal.jsonl")
+    assert _os.path.exists(jpath)
+    store.checkpoint(force=True)
+    assert not _os.path.exists(jpath)  # compacted into the snapshot
+    loaded = VectorStore.load(d)
+    assert loaded.count() == 3
+
+
+def test_journal_torn_tail_is_ignored(tmp_path):
+    import os as _os
+
+    d = str(tmp_path)
+    store = VectorStore(persist_dir=d)
+    emb = norm_rows(np.random.default_rng(2).standard_normal((2, 8)).astype(np.float32))
+    store.add(ids=["t0", "t1"], embeddings=emb)
+    with open(_os.path.join(d, "journal.jsonl"), "a") as f:
+        f.write('{"op": "add", "id": "torn')  # crash mid-write
+    loaded = VectorStore.load(d)
+    assert loaded.count() == 2  # torn tail dropped, prefix intact
+
+
+def test_snapshot_plus_journal_roundtrip(tmp_path):
+    d = str(tmp_path)
+    store = VectorStore(persist_dir=d)
+    emb = norm_rows(np.random.default_rng(3).standard_normal((6, 8)).astype(np.float32))
+    store.add(ids=[f"s{i}" for i in range(4)], embeddings=emb[:4])
+    store.save()  # snapshot of 4
+    store.add(ids=["s4", "s5"], embeddings=emb[4:])  # journaled on top
+    store.delete(["s0"])
+    loaded = VectorStore.load(d)
+    assert loaded.count() == 5
+    assert sorted(loaded.get(include=[])["ids"]) == ["s1", "s2", "s3", "s4", "s5"]
