@@ -50,7 +50,12 @@ class ClipEmbedder:
         config: str | CLIPConfig = _DEFAULT_CONFIG,
         checkpoint: Optional[str] = None,
         compute_dtype=None,
+        data_parallel: Optional[int] = None,
     ):
+        """data_parallel: shard embed batches over this many local devices
+        (params replicated, batch split — XLA SPMD over ICI). Default from
+        IMATCH_EMBED_DP; 0/unset = single device. Batches are padded up to
+        a multiple of the mesh size."""
         self.cfg = get_config(config) if isinstance(config, str) else config
         checkpoint = checkpoint or os.environ.get("IMATCH_CLIP_CHECKPOINT")
         t0 = time.time()
@@ -81,17 +86,50 @@ class ClipEmbedder:
         # when running the offline byte-fallback vocab).
         eos_id = self.tokenizer.eos_id
 
-        @jax.jit
+        if data_parallel is None:
+            data_parallel = int(os.environ.get("IMATCH_EMBED_DP", "0"))
+        self.dp = 0
+        shardings = {}
+        if data_parallel and data_parallel > 1:
+            from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+            devices = jax.devices()[:data_parallel]
+            if len(devices) < data_parallel:
+                logger.warning(
+                    "requested dp=%d but only %d devices; using %d",
+                    data_parallel,
+                    len(devices),
+                    len(devices),
+                )
+            mesh = Mesh(
+                __import__("numpy").asarray(devices, object), ("data",)
+            )
+            self.dp = len(devices)
+            shardings = dict(
+                in_shardings=(None, NamedSharding(mesh, P("data"))),
+            )
+            self.params = jax.tree.map(
+                lambda x: jax.device_put(x, NamedSharding(mesh, P())),
+                self.params,
+            )
+
+        @functools.partial(jax.jit, **shardings)
         def _img_fn(params, pixels):
             return encode_image(params, pixels, cfg, dtype=dt)
 
-        @jax.jit
+        @functools.partial(jax.jit, **shardings)
         def _txt_fn(params, tokens):
             return encode_text(params, tokens, cfg, dtype=dt, eos_token_id=eos_id)
 
         self._img_fn = _img_fn
         self._txt_fn = _txt_fn
-        logger.info("embedder ready in %.2fs", time.time() - t0)
+        logger.info(
+            "embedder ready in %.2fs (dp=%d)", time.time() - t0, self.dp or 1
+        )
+
+    def _pad_dp(self, n: int) -> int:
+        """Rows of padding needed to split a batch over the dp mesh."""
+        return 0 if self.dp <= 1 else (-n) % self.dp
 
     @property
     def dim(self) -> int:
@@ -107,9 +145,14 @@ class ClipEmbedder:
             out_size=self.cfg.vision.image_size,
             dtype=self.compute_dtype,
         )
+        pad = self._pad_dp(pixels.shape[0])
+        if pad:
+            pixels = jnp.concatenate(
+                [pixels, jnp.tile(pixels[-1:], (pad, 1, 1, 1))]
+            )
         with self._lock, METRICS.timer("embed.image"):
             out = self._img_fn(self.params, pixels)
-        return np.asarray(out)
+        return np.asarray(out)[: len(images)]
 
     def embed_texts(self, texts: Sequence[str]) -> np.ndarray:
         """Strings -> (N, proj) unit fp32, 248-token padded tokenization."""
@@ -119,9 +162,12 @@ class ClipEmbedder:
         tokens = self.tokenizer.encode_batch(texts, max_length=max_len)
         # vocab-size guard for the offline byte-fallback vocab
         tokens = np.minimum(tokens, self.cfg.text.vocab_size - 1)
+        pad = self._pad_dp(len(tokens))
+        if pad:
+            tokens = np.concatenate([tokens, np.tile(tokens[-1:], (pad, 1))])
         with self._lock, METRICS.timer("embed.text"):
             out = self._txt_fn(self.params, jnp.asarray(tokens))
-        return np.asarray(out)
+        return np.asarray(out)[: len(texts)]
 
     def embed_image(self, image: np.ndarray) -> np.ndarray:
         return self.embed_images([image])[0]

@@ -174,3 +174,28 @@ def test_process_batch_applies_existing_filters_and_batched_captions(tmp_path):
         fr = _json.loads(md["filter_results_json"])
         assert fr["is it red"] in ("Yes", "No")
         assert isinstance(md["custom_metadata"], str)
+
+
+def test_embedder_data_parallel_matches_single():
+    """DP-sharded embedding == single-device embedding (8 virtual devs),
+    including the batch-padding path (batch not divisible by dp)."""
+    import jax
+
+    if len(jax.devices()) < 8:
+        import pytest as _pytest
+
+        _pytest.skip("needs 8 virtual devices")
+    rng = np.random.default_rng(0)
+    imgs = [
+        rng.integers(0, 256, (30 + i, 40, 3), np.uint8) for i in range(5)
+    ]
+    texts = ["a red drill", "blue sky", "cat"]
+    e1 = ClipEmbedder(config="tiny")
+    e8 = ClipEmbedder(config="tiny", data_parallel=8)
+    assert e8.dp == 8
+    np.testing.assert_allclose(
+        e8.embed_images(imgs), e1.embed_images(imgs), rtol=2e-5, atol=2e-6
+    )
+    np.testing.assert_allclose(
+        e8.embed_texts(texts), e1.embed_texts(texts), rtol=2e-5, atol=2e-6
+    )
