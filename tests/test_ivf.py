@@ -1,0 +1,71 @@
+"""IVF-flat ANN: recall on clustered data, exactness at full probe,
+tombstones, padding contract."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from imatch_tpu.index.ivf import build_ivf, ivf_topk
+
+
+def norm_rows(x):
+    return x / np.linalg.norm(x, axis=-1, keepdims=True)
+
+
+def clustered_corpus(n_clusters=64, per=50, d=32, seed=0):
+    rng = np.random.default_rng(seed)
+    centers = norm_rows(rng.standard_normal((n_clusters, d)))
+    pts = centers.repeat(per, axis=0) + 0.15 * rng.standard_normal(
+        (n_clusters * per, d)
+    )
+    return norm_rows(pts).astype(np.float32)
+
+
+def test_ivf_recall_on_clustered_data():
+    corpus = clustered_corpus()
+    n = len(corpus)
+    valid = np.ones(n, bool)
+    idx = build_ivf(corpus, valid, n_clusters=64, seed=1)
+    rng = np.random.default_rng(2)
+    q_ids = rng.integers(0, n, 20)
+    queries = jnp.asarray(corpus[q_ids])
+    s, i = ivf_topk(queries, idx, k=10, n_probe=8)
+    i = np.asarray(i)
+    ref = corpus @ corpus.T
+    recalls = []
+    for row, qi in enumerate(q_ids):
+        true = set(np.argsort(-ref[qi], kind="stable")[:10].tolist())
+        got = set(x for x in i[row].tolist() if x >= 0)
+        recalls.append(len(true & got) / 10)
+    assert np.mean(recalls) >= 0.95, np.mean(recalls)
+    # self-match always found (its own cluster is probed first)
+    assert (i[:, 0] == q_ids).all()
+
+
+def test_ivf_full_probe_is_exact():
+    rng = np.random.default_rng(3)
+    corpus = norm_rows(rng.standard_normal((500, 16)).astype(np.float32))
+    valid = np.ones(500, bool)
+    valid[77] = False
+    idx = build_ivf(corpus, valid, n_clusters=16, seed=0)
+    queries = jnp.asarray(corpus[:6])
+    s, i = ivf_topk(queries, idx, k=12, n_probe=16)  # probe everything
+    ref = corpus.astype(np.float64) @ corpus.astype(np.float64).T
+    ref[:, 77] = -np.inf
+    for qi in range(6):
+        order = np.argsort(-ref[qi], kind="stable")[:12]
+        assert np.asarray(i[qi]).tolist() == order.tolist()
+        np.testing.assert_allclose(
+            np.asarray(s[qi]), ref[qi][order], atol=1e-5
+        )
+    assert 77 not in np.asarray(i)
+
+
+def test_ivf_small_corpus_padding():
+    rng = np.random.default_rng(4)
+    corpus = norm_rows(rng.standard_normal((5, 8)).astype(np.float32))
+    idx = build_ivf(corpus, np.ones(5, bool), n_clusters=2)
+    s, i = ivf_topk(jnp.asarray(corpus[:1]), idx, k=10, n_probe=2)
+    i = np.asarray(i)[0]
+    assert i[0] == 0
+    assert (i[5:] == -1).all()
