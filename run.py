@@ -13,8 +13,22 @@ Env config (SURVEY.md §5 config table):
 import logging
 import os
 
-from imatch_tpu.serving.app import create_app
-from imatch_tpu.serving.server import serve
+import jax
+
+# Persistent XLA compilation cache: the towers' first-request compiles
+# (minutes on CPU, ~30s on TPU) are paid once per machine, not per
+# restart. Override location with JAX_COMPILATION_CACHE_DIR.
+jax.config.update(
+    "jax_compilation_cache_dir",
+    os.environ.get(
+        "JAX_COMPILATION_CACHE_DIR",
+        os.path.expanduser("~/.cache/imatch_tpu/xla"),
+    ),
+)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+from imatch_tpu.serving.app import create_app  # noqa: E402
+from imatch_tpu.serving.server import serve  # noqa: E402
 
 logging.basicConfig(
     level=logging.INFO, format="%(asctime)s %(name)s %(levelname)s %(message)s"
