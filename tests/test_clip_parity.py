@@ -151,3 +151,33 @@ def test_position_stretching_longclip():
     # no-op and truncation cases
     np.testing.assert_array_equal(_stretch_positions(pe, 77), pe)
     assert _stretch_positions(pe, 50).shape == (50, 8)
+
+
+def test_checkpoint_directory_roundtrip(tmp_path, monkeypatch):
+    """Full checkpoint pathway: HF save_pretrained -> load_hf_checkpoint ->
+    ClipEmbedder, with tower outputs matching the torch model."""
+    from imatch_tpu.pipeline.embedder import ClipEmbedder
+
+    cfg = C.TINY
+    hf = transformers.CLIPModel(hf_config_for(cfg))
+    hf.eval()
+    hf.save_pretrained(tmp_path)  # writes model.safetensors + config
+
+    emb = ClipEmbedder(config=cfg, checkpoint=str(tmp_path))
+    rng = np.random.default_rng(0)
+    img = rng.integers(0, 256, (cfg.vision.image_size, cfg.vision.image_size, 3), np.uint8)
+
+    ours = emb.embed_images([img])[0]
+    # torch reference with identical preprocessing (pixel values in [0,1]
+    # then CLIP-normalized — reuse our preprocess to isolate the towers)
+    from imatch_tpu.ops.preprocess import preprocess_images
+
+    pixels = np.asarray(preprocess_images([img], out_size=cfg.vision.image_size))
+    with torch.no_grad():
+        feats = hf.get_image_features(
+            pixel_values=torch.from_numpy(pixels).permute(0, 3, 1, 2)
+        )
+        feats = feats / feats.norm(dim=-1, keepdim=True)
+    ref = feats[0].numpy()
+    cos = float(np.dot(ours, ref))
+    assert cos >= 0.999, cos
