@@ -17,8 +17,6 @@ tests/test_parallel.py against the single-device reference).
 from __future__ import annotations
 
 import functools
-from typing import Optional
-
 import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh

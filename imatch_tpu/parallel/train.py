@@ -17,7 +17,6 @@ logits" recipe from open_clip, derived automatically.
 from __future__ import annotations
 
 import dataclasses
-import functools
 from typing import Any, Callable, Dict, Optional, Tuple
 
 import jax

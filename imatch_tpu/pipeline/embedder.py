@@ -20,7 +20,7 @@ import logging
 import os
 import threading
 import time
-from typing import List, Optional, Sequence
+from typing import Optional, Sequence
 
 import jax
 import jax.numpy as jnp

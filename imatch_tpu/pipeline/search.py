@@ -10,7 +10,7 @@ multimodal variant (app.py:2583-2691) is exposed as
 from __future__ import annotations
 
 import logging
-from typing import List, Optional
+from typing import List
 
 import numpy as np
 from PIL import Image

@@ -17,7 +17,7 @@ from typing import Dict, Optional
 
 from imatch_tpu.index.store import VectorStore
 from imatch_tpu.pipeline import filters as filters_mod
-from imatch_tpu.pipeline.captioner import NullCaptioner, get_captioner
+from imatch_tpu.pipeline.captioner import get_captioner
 from imatch_tpu.pipeline.embedder import ClipEmbedder
 
 logger = logging.getLogger("imatch.state")

@@ -11,8 +11,6 @@ from __future__ import annotations
 import asyncio
 import logging
 import socket
-from typing import Optional
-
 logger = logging.getLogger("imatch.server")
 
 _MAX_HEADER = 64 * 1024

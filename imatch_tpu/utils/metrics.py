@@ -14,7 +14,7 @@ import collections
 import contextlib
 import threading
 import time
-from typing import Dict, Optional
+from typing import Dict
 
 
 class _Series:
