@@ -10,9 +10,14 @@ import sys
 
 _flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in _flags:
-    os.environ["XLA_FLAGS"] = (
-        _flags + " --xla_force_host_platform_device_count=8"
-    ).strip()
+    _flags = (_flags + " --xla_force_host_platform_device_count=8").strip()
+# This host has one core; 8 virtual devices' collective threads can
+# starve past XLA:CPU's default 40s rendezvous termination (intermittent
+# "Termination timeout ... Exiting to ensure a consistent program state"
+# fatals under full-suite load). Give them room.
+if "collective_call_terminate_timeout" not in _flags:
+    _flags += " --xla_cpu_collective_call_terminate_timeout_seconds=600"
+os.environ["XLA_FLAGS"] = _flags
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
