@@ -70,10 +70,15 @@ def prepare_device_corpus(
     corpus,
     valid,
     *,
-    tile_n: int = 2048,
+    tile_n: int = 512,
     score_dtype=jnp.bfloat16,
 ) -> DeviceCorpus:
     """Build the cached scoring state.
+
+    tile_n=512 measured optimal on v5e at 1M x 512 (2.5 ms/query vs
+    9.3 ms at 2048): above ~512 lanes-per-tile XLA stops fusing the
+    score matrix into the tile-max reduce, and the phase-2 candidate
+    gather grows linearly with the tile size.
 
     score_dtype: jnp.bfloat16 (default — exact ordering after the fp32
     rescore), jnp.float32 (fidelity), or jnp.int8 (half the scoring HBM
