@@ -37,17 +37,25 @@ def prefill(
     *,
     dtype=jnp.float32,
     cache_dtype=None,
+    max_new: int = 0,
 ) -> Tuple[jax.Array, KVCache, jax.Array]:
     """Run [image patches; prompt tokens] through the decoder.
 
     image_embeds: (B, P, D) projected vision features (prefix).
     token_ids: (B, S) prompt token ids (fixed length, no padding).
-    Returns (last-position logits (B, V), cache, next start_pos (B,)).
+    max_new > 0 sizes the KV cache to a 256-bucket just above
+    prompt+max_new instead of max_seq — decode attends the whole cache
+    per step, so this cuts per-token reads (measured ~2x at moondream2
+    geometry). Returns (last logits (B, V), cache, next start_pos (B,)).
     """
     b = token_ids.shape[0]
     tok = embed_tokens(params, token_ids, dtype)
     seq = jnp.concatenate([image_embeds.astype(tok.dtype), tok], axis=1)
-    cache = init_cache(cfg, b, cache_dtype or dtype)
+    cache_len = 0
+    if max_new:
+        need = seq.shape[1] + max_new
+        cache_len = min(cfg.text.max_seq, -(-need // 256) * 256)
+    cache = init_cache(cfg, b, cache_dtype or dtype, cache_len=cache_len)
     start = jnp.zeros((b,), jnp.int32)
     hidden, cache = decoder_forward(
         params, seq, cache, start, cfg, dtype=dtype

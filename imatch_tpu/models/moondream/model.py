@@ -264,9 +264,18 @@ class KVCache(NamedTuple):
     v: jax.Array  # (L, B, H, S_max, Dh)
 
 
-def init_cache(cfg: MoondreamConfig, batch: int, dtype=jnp.float32) -> KVCache:
+def init_cache(
+    cfg: MoondreamConfig,
+    batch: int,
+    dtype=jnp.float32,
+    cache_len: int = 0,
+) -> KVCache:
+    """cache_len 0 -> full max_seq. Decode attends the whole cache every
+    step, so sizing it to a bucket just above prompt+max_new (instead of
+    max_seq) cuts per-token HBM reads proportionally."""
     t = cfg.text
-    shape = (t.num_layers, batch, t.num_heads, t.max_seq, t.head_dim)
+    n = cache_len or t.max_seq
+    shape = (t.num_layers, batch, t.num_heads, n, t.head_dim)
     return KVCache(jnp.zeros(shape, dtype), jnp.zeros(shape, dtype))
 
 
@@ -383,16 +392,27 @@ def decoder_forward(
 
 
 def lm_logits(params: Params, hidden: jax.Array, cfg: MoondreamConfig):
-    """(B, Sq, D) -> (B, Sq, V) fp32 logits."""
+    """(B, Sq, D) -> (B, Sq, V) fp32 logits.
+
+    bf16 hidden keeps the matmul on the bf16 MXU path (fp32 accumulate);
+    the fp32 path stays HIGHEST for numerical tests.
+    """
     tp = params["text"]
     h = _layer_norm(hidden, tp["final_ln"], cfg.text.layer_norm_eps)
+    if h.dtype == jnp.float32:
+        return jnp.einsum(
+            "bsd,dv->bsv",
+            h,
+            tp["lm_head"]["w"].astype(jnp.float32),
+            precision=jax.lax.Precision.HIGHEST,
+            preferred_element_type=jnp.float32,
+        ) + tp["lm_head"]["b"].astype(jnp.float32)
     return jnp.einsum(
         "bsd,dv->bsv",
-        h.astype(jnp.float32),
-        tp["lm_head"]["w"],
-        precision=jax.lax.Precision.HIGHEST,
+        h,
+        tp["lm_head"]["w"].astype(h.dtype),
         preferred_element_type=jnp.float32,
-    ) + tp["lm_head"]["b"]
+    ) + tp["lm_head"]["b"].astype(jnp.float32)
 
 
 def embed_tokens(params: Params, token_ids: jax.Array, dtype=jnp.float32):

@@ -97,7 +97,9 @@ class MoondreamJax:
 
         @functools.partial(jax.jit, static_argnames=("max_new",))
         def _generate(params, feats, tokens, max_new):
-            logits, cache, pos = prefill(params, cfg, feats, tokens, dtype=dt)
+            logits, cache, pos = prefill(
+                params, cfg, feats, tokens, dtype=dt, max_new=max_new
+            )
             return greedy_generate(
                 params, cfg, logits, cache, pos, max_new=max_new, dtype=dt
             )
