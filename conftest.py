@@ -21,6 +21,8 @@ os.environ["XLA_FLAGS"] = _flags
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
+os.environ.setdefault("IMATCH_WARMUP", "0")  # no background compiles in tests
+
 import jax
 
 jax.config.update("jax_platforms", "cpu")

@@ -98,12 +98,35 @@ def apply_search_filters(results: List[dict], filters: List[str]) -> List[dict]:
     return out
 
 
+def _warmup(state: AppState):
+    """Pre-compile the hot request shapes on a background thread so first
+    user requests don't pay the jit compiles (minutes for the towers).
+    Covers: single text embed (text search), single image embed
+    (upload/image search), and the index query path."""
+    import time
+
+    t0 = time.time()
+    try:
+        emb = state.get_embedder()
+        emb.embed_texts(["warmup"])
+        img = np.zeros((64, 64, 3), np.uint8)
+        emb.embed_images([img])
+        if state.store.count():
+            state.store.query([emb.embed_text("warmup")], n_results=1)
+        logger.info("warmup done in %.1fs", time.time() - t0)
+    except Exception as e:
+        logger.warning("warmup failed: %s", e)
+
+
 def create_app(state: Optional[AppState] = None, root: str = ".") -> App:
     if state is None:
         state = AppState(root=root)
     app = App(cors_origins=CORS_ORIGINS)
     app.state = state
     app.mount_static("/static", state.static_dir)
+
+    if _parse_bool(os.environ.get("IMATCH_WARMUP"), default=True):
+        app.add_background_task(_warmup, state)
 
     # -- upload ------------------------------------------------------------
 
