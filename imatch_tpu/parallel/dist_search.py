@@ -3,7 +3,7 @@
 The reference's search is one hnswlib query in one process
 (/root/reference/backend/app/main.py:761). The TPU scale-out (SURVEY.md
 §2.3): shard the (N, D) corpus row-wise over the ``data`` axis, score
-each shard locally with the streaming cosine_topk (a tiled MXU matmul),
+each shard locally with the two-phase tile-max engine (index/search.py),
 then all-gather only the per-shard top-k candidates — k*P rows instead
 of N — and take the global top-k. The all-gather rides ICI; per-query
 traffic is k*P*(4+4) bytes, independent of corpus size.
@@ -22,7 +22,7 @@ import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding
 from jax.sharding import PartitionSpec as P
 
-from imatch_tpu.index.search import cosine_topk
+from imatch_tpu.index.search import _tilemax_topk
 from imatch_tpu.parallel.mesh import AXIS_DATA
 
 
@@ -36,7 +36,7 @@ def sharded_cosine_topk(
     *,
     mesh: Mesh,
     k: int,
-    chunk: int = 65536,
+    chunk: int = 512,
     score_dtype=jnp.bfloat16,
 ) -> Tuple[jax.Array, jax.Array]:
     """Global exact top-k with the corpus sharded over mesh axis ``data``.
@@ -54,8 +54,14 @@ def sharded_cosine_topk(
     shard_rows = n // dp
 
     def local(q, c, v):
-        s, i = cosine_topk(
-            q, c, v, k=k, chunk=min(chunk, shard_rows), score_dtype=score_dtype
+        # per-shard scoring uses the same two-phase tile-max engine as the
+        # single-chip store (index/search.py)
+        tile_n = min(chunk, 512, shard_rows)
+        pad = (-shard_rows) % tile_n
+        cp = jnp.pad(c, ((0, pad), (0, 0))) if pad else c
+        vp = jnp.pad(v, (0, pad)) if pad else v
+        s, i = _tilemax_topk(
+            q, cp.astype(score_dtype), cp, vp, None, k=k, tile_n=tile_n
         )
         shard = jax.lax.axis_index(AXIS_DATA)
         i = jnp.where(i >= 0, i + shard * shard_rows, -1)
