@@ -254,6 +254,20 @@ def create_app(state: Optional[AppState] = None, root: str = ".") -> App:
             results = search_mod.search_by_text(state, query, limit=limit)
         return {"results": apply_search_filters(results, filters)}
 
+    @app.get("/api/search/text")
+    def search_text_get(req):
+        """GET variant with query params — the reference's README documents
+        text search as GET (README.md:105-121) though its code is POST;
+        support both."""
+        query = req.query_param("query", "")
+        filters = req.query.get("filters", [])
+        limit = _parse_int(req.query_param("limit"), 10)
+        if not query.strip() and filters:
+            results = search_mod.get_all_images_with_limit(state, limit=limit)
+        else:
+            results = search_mod.search_by_text(state, query, limit=limit)
+        return {"results": apply_search_filters(results, filters)}
+
     @app.post("/api/search/multimodal")
     def search_multimodal(req):
         form = req.form()

@@ -77,6 +77,17 @@ def client(tmp_path, embedder):
     return Sync()
 
 
+
+def _rand_img(seed, h=24, w=32):
+    return np.random.default_rng(seed).integers(0, 256, (h, w, 3), np.uint8)
+
+
+def _png_bytes(arr):
+    b = io.BytesIO()
+    Image.fromarray(arr).save(b, "PNG")
+    return b.getvalue()
+
+
 def jpg_bytes(name="red drill.jpg"):
     with open(os.path.join(CORPUS, name), "rb") as f:
         return f.read()
@@ -380,3 +391,53 @@ def test_metrics_and_profiler_endpoints(client):
         assert r3.status_code == 200
         r4 = client.post("/api/profile/stop")
         assert r4.status_code == 409  # none active
+
+
+def test_search_text_get_variant(client):
+    """README-documented GET form of text search works alongside POST."""
+    up = client.post(
+        "/api/upload",
+        files={"file": ("d.png", _png_bytes(_rand_img(0)), "image/png")},
+        data={"description": "a drill"},
+    )
+    assert up.status_code == 200
+    r = client.get("/api/search/text?query=drill&limit=5")
+    assert r.status_code == 200
+    assert len(r.json()["results"]) >= 1
+
+
+def test_backfill_error_isolation(client):
+    """A captioner that blows up on one image must not kill the job."""
+    state = client.state
+
+    class Flaky:
+        available = True
+        calls = 0
+
+        def encode_image(self, arr):
+            return {"feat": np.asarray(arr, np.float32).mean(axis=(0, 1))}
+
+        def caption(self, encoded):
+            return {"caption": "x"}
+
+        def query(self, encoded, q):
+            Flaky.calls += 1
+            if Flaky.calls == 1:
+                raise RuntimeError("boom")
+            return {"answer": "Yes"}
+
+    state.captioner = Flaky()
+    for i in range(3):
+        client.post(
+            "/api/upload",
+            files={"file": (f"f{i}.png", _png_bytes(_rand_img(10 + i)), "image/png")},
+        )
+    client.post("/api/filters", data={"filter_query": "is broken"})
+    import time as _t
+
+    for _ in range(200):
+        p = client.get("/api/filter-progress?filter_query=is%20broken").json()
+        if p.get("status") in ("completed", "error"):
+            break
+        _t.sleep(0.05)
+    assert p["status"] == "completed"  # survived the mid-job exception
