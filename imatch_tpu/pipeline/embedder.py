@@ -83,8 +83,18 @@ class ClipEmbedder:
         cfg = self.cfg
         dt = self.compute_dtype
         # Pool at the *tokenizer's* eos id (differs from the model config
-        # when running the offline byte-fallback vocab).
-        eos_id = self.tokenizer.eos_id
+        # when running the offline byte-fallback vocab). When the tokenizer
+        # vocab exceeds the model's (byte fallback vs a tiny config), ids
+        # are folded into [0, vocab-2] with the model's top id reserved for
+        # eos — a blind clamp would alias regular tokens onto the eos id
+        # and pool at the wrong position.
+        if self.tokenizer.vocab_size > self.cfg.text.vocab_size:
+            self._fold_vocab = True
+            eos_id = self.cfg.text.vocab_size - 1
+        else:
+            self._fold_vocab = False
+            eos_id = self.tokenizer.eos_id
+        self._model_eos = eos_id
 
         if data_parallel is None:
             data_parallel = int(os.environ.get("IMATCH_EMBED_DP", "0"))
@@ -159,9 +169,16 @@ class ClipEmbedder:
         if len(texts) == 0:
             return np.zeros((0, self.dim), dtype=np.float32)
         max_len = self.cfg.text.max_positions
-        tokens = self.tokenizer.encode_batch(texts, max_length=max_len)
-        # vocab-size guard for the offline byte-fallback vocab
-        tokens = np.minimum(tokens, self.cfg.text.vocab_size - 1)
+        tokens = np.asarray(
+            self.tokenizer.encode_batch(texts, max_length=max_len)
+        )
+        if self._fold_vocab:
+            is_eos = tokens == self.tokenizer.eos_id
+            tokens = np.where(
+                is_eos,
+                self._model_eos,
+                tokens % (self.cfg.text.vocab_size - 1),
+            )
         pad = self._pad_dp(len(tokens))
         if pad:
             tokens = np.concatenate([tokens, np.tile(tokens[-1:], (pad, 1))])

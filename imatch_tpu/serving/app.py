@@ -170,7 +170,7 @@ def create_app(state: Optional[AppState] = None, root: str = ".") -> App:
         files = [f for f in form.getlist("files") if isinstance(f, UploadFile)]
         remove_bg = _parse_bool(form.get("remove_bg"))
         results = []
-        images, names, slots = [], [], []
+        images, names = [], []
         loader = default_loader()
         tickets = []
         for i, f in enumerate(files):
@@ -189,7 +189,6 @@ def create_app(state: Optional[AppState] = None, root: str = ".") -> App:
             try:
                 images.append(Image.fromarray(loader.wait(t)))
                 names.append(f.filename)
-                slots.append(i)
             except Exception as e:
                 results.append(
                     {

@@ -269,10 +269,15 @@ class App:
         if method in ("GET", "HEAD"):
             for prefix, directory in self._static:
                 if path.startswith(prefix):
-                    rel = os.path.normpath(path[len(prefix) :])
-                    if rel.startswith(".."):
+                    # containment check on the RESOLVED path: normpath alone
+                    # misses absolute inputs (`/static//etc/passwd` would
+                    # make os.path.join discard the mount directory).
+                    base = os.path.realpath(directory)
+                    full = os.path.realpath(
+                        os.path.join(base, path[len(prefix) :].lstrip("/"))
+                    )
+                    if full != base and not full.startswith(base + os.sep):
                         return JSONResponse({"error": "forbidden"}, 403)
-                    full = os.path.join(directory, rel)
                     if os.path.isfile(full):
                         return FileResponse(full)
                     return JSONResponse({"error": "not found"}, 404)

@@ -441,3 +441,20 @@ def test_backfill_error_isolation(client):
             break
         _t.sleep(0.05)
     assert p["status"] == "completed"  # survived the mid-job exception
+
+
+def test_static_path_traversal_blocked(client):
+    up = upload(client)
+    assert up.status_code == 200
+    # normal static fetch works
+    url = up.json()["metadata"]["url"]
+    assert client.get(url).status_code == 200
+    # absolute-path and dot-dot escapes must not serve host files
+    for evil in (
+        "/static//etc/passwd",
+        "/static/../../../../etc/passwd",
+        "/static/%2e%2e/%2e%2e/etc/passwd",
+    ):
+        r = client.get(evil)
+        assert r.status_code in (403, 404), evil
+        assert b"root:" not in r.content, evil

@@ -199,3 +199,24 @@ def test_embedder_data_parallel_matches_single():
     np.testing.assert_allclose(
         e8.embed_texts(texts), e1.embed_texts(texts), rtol=2e-5, atol=2e-6
     )
+
+
+def test_text_embedding_pools_at_eos_with_folded_vocab():
+    """Byte-fallback tokenizer vocab (514) > tiny model vocab (99): ids are
+    folded, eos stays unique, and texts sharing a PREFIX but differing
+    later must still embed differently (pooling at eos, not position 0)."""
+    e = ClipEmbedder(config="tiny")
+    assert e._fold_vocab and e._model_eos == e.cfg.text.vocab_size - 1
+    # short texts (tiny context is 16 tokens): same first token, different
+    # second -> embeddings must differ (pooled at eos, not position 0)
+    a, b = e.embed_texts(["ab", "ax"])
+    assert not np.allclose(a, b)
+    # eos id must be unique after folding: no regular token aliases it
+    toks = np.asarray(e.tokenizer.encode_batch(["ab", "ax"], max_length=16))
+    folded = np.where(
+        toks == e.tokenizer.eos_id,
+        e._model_eos,
+        toks % (e.cfg.text.vocab_size - 1),
+    )
+    body = folded[toks != e.tokenizer.eos_id]
+    assert (body != e._model_eos).all()
