@@ -25,6 +25,7 @@ import json
 import os
 import tempfile
 import threading
+import time
 from typing import Dict, List, Optional, Sequence
 
 import jax.numpy as jnp
@@ -105,7 +106,7 @@ class VectorStore:
         return np.frombuffer(base64.b64decode(s), dtype=np.float32)
 
     def _journal(self, *ops: dict):
-        if self.persist_dir is None:
+        if self.persist_dir is None or not ops:
             return
         os.makedirs(self.persist_dir, exist_ok=True)
         path = os.path.join(self.persist_dir, "journal.jsonl")
@@ -113,6 +114,11 @@ class VectorStore:
             for op in ops:
                 f.write(json.dumps(op) + "\n")
             f.flush()
+            # sqlite-grade durability (the claim above): survive power
+            # loss, not just process crashes. IMATCH_JOURNAL_FSYNC=0 trades
+            # that for latency.
+            if os.environ.get("IMATCH_JOURNAL_FSYNC", "1") != "0":
+                os.fsync(f.fileno())
         self._journal_len += len(ops)
 
     def checkpoint(self, force: bool = False):
@@ -275,8 +281,11 @@ class VectorStore:
                     out[key] = [[] for _ in range(len(q))]
                 return out
             dc = self._device_state()
+            # bucket the static k so a growing corpus doesn't recompile the
+            # query every time live-count changes below the requested limit
+            k_c = 1 << max(0, (k - 1)).bit_length()
             with METRICS.timer("index.query"):
-                scores, idx = tilemax_topk(jnp.asarray(q), dc, k=k)
+                scores, idx = tilemax_topk(jnp.asarray(q), dc, k=k_c)
             scores = np.asarray(scores)[:, :k]
             idx = np.asarray(idx)[:, :k]
             for qi in range(len(q)):
@@ -303,21 +312,44 @@ class VectorStore:
     # -- persistence --------------------------------------------------------
 
     def save(self, path: Optional[str] = None):
-        """Atomic durable snapshot (compacted); resets the journal."""
+        """Atomic durable snapshot (compacted); resets the journal.
+
+        Generation scheme: data files are written under new
+        ``embeddings-<gen>.npy`` / ``records-<gen>.jsonl`` names and the
+        manifest — replaced last, atomically — is the commit record
+        pointing at them. A crash at any point leaves the previous
+        generation fully intact (three independent os.replace calls over
+        fixed names could pair a new embeddings file with old records).
+        """
         path = path or self.persist_dir
         if path is None:
             raise ValueError("no path and no persist_dir")
         with self._lock:
             os.makedirs(path, exist_ok=True)
             slots = [i for i in range(self._n) if self._alive[i]]
+            gen = int(time.time() * 1e6)
+            emb_name = f"embeddings-{gen}.npy"
+            rec_name = f"records-{gen}.jsonl"
             tmp = tempfile.mkdtemp(dir=path, prefix=".snapshot-")
             try:
-                np.save(
-                    os.path.join(tmp, "embeddings.npy"),
-                    self._emb[slots] if slots else np.zeros((0, self.dim or 0), np.float32),
-                )
+                for name, writer in (
+                    (
+                        emb_name,
+                        lambda fp: np.save(
+                            fp,
+                            self._emb[slots]
+                            if slots
+                            else np.zeros((0, self.dim or 0), np.float32),
+                        ),
+                    ),
+                ):
+                    fpath = os.path.join(tmp, name)
+                    with open(fpath, "wb") as f:
+                        writer(f)
+                        f.flush()
+                        os.fsync(f.fileno())
                 with open(
-                    os.path.join(tmp, "records.jsonl"), "w", encoding="utf-8"
+                    os.path.join(tmp, rec_name), "w", encoding="utf-8"
                 ) as f:
                     for s in slots:
                         f.write(
@@ -330,12 +362,29 @@ class VectorStore:
                             )
                             + "\n"
                         )
-                with open(os.path.join(tmp, "manifest.json"), "w") as f:
-                    json.dump({"dim": self.dim, "count": len(slots)}, f)
-                for name in ("embeddings.npy", "records.jsonl", "manifest.json"):
-                    os.replace(
-                        os.path.join(tmp, name), os.path.join(path, name)
+                    f.flush()
+                    os.fsync(f.fileno())
+                os.replace(
+                    os.path.join(tmp, emb_name), os.path.join(path, emb_name)
+                )
+                os.replace(
+                    os.path.join(tmp, rec_name), os.path.join(path, rec_name)
+                )
+                mpath = os.path.join(tmp, "manifest.json")
+                with open(mpath, "w") as f:
+                    json.dump(
+                        {
+                            "dim": self.dim,
+                            "count": len(slots),
+                            "embeddings": emb_name,
+                            "records": rec_name,
+                            "generation": gen,
+                        },
+                        f,
                     )
+                    f.flush()
+                    os.fsync(f.fileno())
+                os.replace(mpath, os.path.join(path, "manifest.json"))
             finally:
                 for leftover in os.listdir(tmp):
                     os.unlink(os.path.join(tmp, leftover))
@@ -344,6 +393,16 @@ class VectorStore:
             if os.path.exists(journal):
                 os.unlink(journal)
             self._journal_len = 0
+            # garbage-collect superseded generations (and legacy names)
+            for f in os.listdir(path):
+                if (
+                    f.startswith(("embeddings", "records"))
+                    and f not in (emb_name, rec_name)
+                ):
+                    try:
+                        os.unlink(os.path.join(path, f))
+                    except OSError:
+                        pass
 
     @classmethod
     def load(cls, path: str, persist: bool = True) -> "VectorStore":
@@ -355,14 +414,20 @@ class VectorStore:
             with open(manifest_path) as f:
                 manifest = json.load(f)
             store.dim = manifest["dim"]
-            emb = np.load(os.path.join(path, "embeddings.npy"))
+            emb_file = manifest.get("embeddings", "embeddings.npy")
+            rec_file = manifest.get("records", "records.jsonl")
+            emb = np.load(os.path.join(path, emb_file))
             records = []
-            with open(
-                os.path.join(path, "records.jsonl"), encoding="utf-8"
-            ) as f:
+            with open(os.path.join(path, rec_file), encoding="utf-8") as f:
                 for line in f:
                     if line.strip():
                         records.append(json.loads(line))
+            count = manifest.get("count", len(records))
+            if not (len(records) == count == emb.shape[0]):
+                raise ValueError(
+                    f"corrupt snapshot in {path}: manifest count {count}, "
+                    f"{len(records)} records, {emb.shape[0]} embedding rows"
+                )
             if records:
                 store.add(
                     ids=[r["id"] for r in records],
@@ -373,38 +438,53 @@ class VectorStore:
         journal = os.path.join(path, "journal.jsonl")
         replayed = 0
         if os.path.exists(journal):
-            with open(journal, encoding="utf-8") as f:
-                for line in f:
-                    line = line.strip()
-                    if not line:
-                        continue
-                    try:
-                        op = json.loads(line)
-                    except json.JSONDecodeError:
-                        break  # torn tail write from a crash — stop here
-                    try:
-                        if op["op"] == "add":
-                            store.add(
-                                ids=[op["id"]],
-                                embeddings=[cls._dec_emb(op["embedding"])],
-                                metadatas=[op.get("metadata")],
-                                documents=[op.get("document")],
-                            )
-                        elif op["op"] == "update":
-                            store.update(
-                                ids=[op["id"]],
-                                embeddings=[cls._dec_emb(op["embedding"])]
-                                if "embedding" in op
-                                else None,
-                                metadatas=[op["metadata"]]
-                                if "metadata" in op
-                                else None,
-                            )
-                        elif op["op"] == "delete":
-                            store.delete([op["id"]])
-                        replayed += 1
-                    except (KeyError, ValueError):
-                        continue  # idempotent replay: dup adds etc.
+            with open(journal, "rb") as bf:
+                raw = bf.read()
+            # Scan by byte offset so a torn tail (crash mid-append) can be
+            # TRUNCATED, not just skipped — otherwise the next append glues
+            # onto the fragment and every later op is lost on the restart
+            # after that.
+            good_end = 0
+            torn = False
+            pos = 0
+            for chunk in raw.split(b"\n"):
+                end = min(pos + len(chunk) + 1, len(raw))
+                line = chunk.decode("utf-8", "replace").strip()
+                if not line:
+                    pos = good_end = end
+                    continue
+                try:
+                    op = json.loads(line)
+                except json.JSONDecodeError:
+                    torn = True
+                    break
+                pos = good_end = end
+                try:
+                    if op["op"] == "add":
+                        store.add(
+                            ids=[op["id"]],
+                            embeddings=[cls._dec_emb(op["embedding"])],
+                            metadatas=[op.get("metadata")],
+                            documents=[op.get("document")],
+                        )
+                    elif op["op"] == "update":
+                        store.update(
+                            ids=[op["id"]],
+                            embeddings=[cls._dec_emb(op["embedding"])]
+                            if "embedding" in op
+                            else None,
+                            metadatas=[op["metadata"]]
+                            if "metadata" in op
+                            else None,
+                        )
+                    elif op["op"] == "delete":
+                        store.delete([op["id"]])
+                    replayed += 1
+                except (KeyError, ValueError):
+                    continue  # idempotent replay: dup adds etc.
+            if torn and persist:
+                with open(journal, "r+b") as bf:
+                    bf.truncate(good_end)
         if persist:
             store.persist_dir = path
             store._journal_len = replayed

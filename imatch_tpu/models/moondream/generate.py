@@ -129,8 +129,11 @@ def vqa_yes_no(
     yes_ids/no_ids: token-id variants of the answer words (e.g. "Yes",
     " Yes", "yes"); probabilities are summed over variants.
     """
+    # max_new=1: only the prefill logits are consumed, so the KV cache
+    # buckets to the smallest size instead of max_seq (at moondream2
+    # geometry a full-seq cache is ~400 MB per batch row, all discarded).
     logits, _, _ = prefill(
-        params, cfg, image_embeds, token_ids, dtype=dtype
+        params, cfg, image_embeds, token_ids, dtype=dtype, max_new=1
     )
     probs = jax.nn.softmax(logits, axis=-1)
     p_yes = probs[:, jnp.asarray(list(yes_ids))].sum(axis=-1)

@@ -140,6 +140,8 @@ class MoondreamJax:
         h, w = arr.shape[:2]
         key = (h, w)
         if key not in self._resize_cache:
+            if len(self._resize_cache) >= 64:  # bound device-array growth
+                self._resize_cache.pop(next(iter(self._resize_cache)))
             a_v, a_h = resize_crop_matrices(h, w, self._size)
             self._resize_cache[key] = (jnp.asarray(a_v), jnp.asarray(a_h))
         a_v, a_h = self._resize_cache[key]
@@ -164,15 +166,20 @@ class MoondreamJax:
 
     # -- generation -------------------------------------------------------
 
-    def _prompt_ids(self, text: str) -> jnp.ndarray:
+    def _prompt_ids(self, text: str, max_new: int = 0) -> jnp.ndarray:
+        """Tokenize, truncated so prompt + image patches + max_new decode
+        steps all fit max_seq — otherwise decode would write past the KV
+        cache end (dynamic_update_slice clamps silently -> garbage)."""
         ids = [self.tokenizer.bos_id] + self.tokenizer.encode(text)
-        budget = self.cfg.text.max_seq - self.cfg.vision.num_patches - 1
-        return jnp.asarray([ids[:budget]], jnp.int32)
+        budget = (
+            self.cfg.text.max_seq - self.cfg.vision.num_patches - max_new - 1
+        )
+        return jnp.asarray([ids[: max(budget, 1)]], jnp.int32)
 
     def caption(self, encoded: Any, max_new: int = 48) -> Dict[str, str]:
         with self._lock, METRICS.timer("vlm.caption"):
             feats = self._feats(encoded)
-            tokens = self._prompt_ids(CAPTION_PROMPT)
+            tokens = self._prompt_ids(CAPTION_PROMPT, max_new=max_new)
             result = self._generate_fn(self.params, feats, tokens, max_new)
             text = self.tokenizer.decode(
                 np.asarray(result.tokens[0])[: int(result.lengths[0])]
@@ -183,7 +190,7 @@ class MoondreamJax:
         with self._lock, METRICS.timer("vlm.query"):
             feats = self._feats(encoded)
             prompt = f"\n\nQuestion: {question}\n\nAnswer:"
-            tokens = self._prompt_ids(prompt)
+            tokens = self._prompt_ids(prompt, max_new=max_new)
             if _is_yes_no(question):
                 is_yes = self._vqa_fn(self.params, feats, tokens)
                 return {"answer": "Yes" if bool(is_yes[0]) else "No"}

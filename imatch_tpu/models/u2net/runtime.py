@@ -69,6 +69,8 @@ class U2NetSegmenter:
         size = self.cfg.input_size
         key = (h, w)
         if key not in self._resize_cache:
+            if len(self._resize_cache) >= 64:  # bound device-array growth
+                self._resize_cache.pop(next(iter(self._resize_cache)))
             # Aspect-squash resize (rembg semantics — NOT the CLIP
             # shortest-edge+crop): the mask must map back onto the full
             # source frame.

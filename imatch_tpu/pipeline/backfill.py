@@ -87,11 +87,22 @@ def process_filter_on_all_images(state: AppState, filter_query: str) -> None:
                 answers = _query_batched(state, encs, formatted)
                 with state.lock:
                     for image_id, raw in zip(ids, answers):
-                        answer = raw.strip() if isinstance(raw, str) else raw
-                        md = dict(state.image_metadata.get(image_id, {}))
-                        md = merge_filter_result(md, filter_query, answer)
-                        state.image_metadata[image_id] = md
-                        state.store.update(ids=[image_id], metadatas=[md])
+                        try:
+                            answer = (
+                                raw.strip() if isinstance(raw, str) else raw
+                            )
+                            md = dict(state.image_metadata.get(image_id, {}))
+                            md = merge_filter_result(md, filter_query, answer)
+                            state.image_metadata[image_id] = md
+                            state.store.update(
+                                ids=[image_id], metadatas=[md]
+                            )
+                        except KeyError:
+                            # image deleted mid-backfill: skip it without
+                            # discarding the rest of the batch's answers
+                            logger.warning(
+                                "image %s vanished during backfill", image_id
+                            )
             except Exception as e:
                 logger.error("filter error for batch at %d: %s", lo, e)
             done += len(batch_ids)

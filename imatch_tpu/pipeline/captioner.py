@@ -68,4 +68,10 @@ def get_captioner():
     except Exception:
         if choice == "moondream":
             raise
+        import logging
+
+        logging.getLogger("imatch.captioner").warning(
+            "captioner init failed; captions and filters disabled",
+            exc_info=True,
+        )
         return NullCaptioner()

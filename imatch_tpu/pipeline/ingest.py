@@ -132,12 +132,19 @@ def process_image(
         metadata["filter_results_json"] = json.dumps(filter_results)
 
     with state.lock:
-        state.store.add(
-            ids=[img_id],
-            embeddings=[embedding],
-            metadatas=[metadata],
-            documents=[description],
-        )
+        try:
+            state.store.add(
+                ids=[img_id],
+                embeddings=[embedding],
+                metadatas=[metadata],
+                documents=[description],
+            )
+        except ValueError:
+            # lost a dup race: another thread added this id between the
+            # early dup check and here (handlers run on a thread pool) —
+            # return the stored duplicate instead of a 500
+            existing = state.store.get(ids=[img_id], include=["metadatas"])
+            return existing["metadatas"][0], False
         state.image_metadata[img_id] = metadata
     return metadata, True
 
@@ -271,12 +278,29 @@ def process_batch(
         }
 
     with state.lock:
-        state.store.add(
-            ids=add_ids,
-            embeddings=add_embs,
-            metadatas=add_mds,
-            documents=add_docs,
-        )
+        try:
+            state.store.add(
+                ids=add_ids,
+                embeddings=add_embs,
+                metadatas=add_mds,
+                documents=add_docs,
+            )
+        except ValueError:
+            # a concurrent upload added one of these ids after our dup
+            # check; fall back to per-id adds, reclassifying collisions
+            for j, img_id in enumerate(add_ids):
+                try:
+                    state.store.add(
+                        ids=[img_id],
+                        embeddings=[add_embs[j]],
+                        metadatas=[add_mds[j]],
+                        documents=[add_docs[j]],
+                    )
+                except ValueError:
+                    for r in results:
+                        if r and r.get("id") == img_id:
+                            r["status"] = "skipped"
+                            r["message"] = "Duplicate image detected"
         for md in add_mds:
             state.image_metadata[md["id"]] = md
     return results

@@ -281,3 +281,49 @@ def test_snapshot_plus_journal_roundtrip(tmp_path):
     loaded = VectorStore.load(d)
     assert loaded.count() == 5
     assert sorted(loaded.get(include=[])["ids"]) == ["s1", "s2", "s3", "s4", "s5"]
+
+
+def test_journal_torn_tail_truncated_and_appendable(tmp_path):
+    """After recovering from a torn tail, new appends must not glue onto
+    the fragment (which would silently lose every later op next load)."""
+    import os as _os
+
+    d = str(tmp_path)
+    store = VectorStore(persist_dir=d)
+    emb = norm_rows(np.random.default_rng(5).standard_normal((3, 8)).astype(np.float32))
+    store.add(ids=["a", "b"], embeddings=emb[:2])
+    with open(_os.path.join(d, "journal.jsonl"), "a") as f:
+        f.write('{"op": "add", "id": "torn')  # crash mid-append
+    # restart: torn tail dropped AND truncated
+    s2 = VectorStore.load(d)
+    assert s2.count() == 2
+    s2.add(ids=["c"], embeddings=emb[2:])  # append post-recovery
+    s3 = VectorStore.load(d)
+    assert sorted(s3.get(include=[])["ids"]) == ["a", "b", "c"]
+
+
+def test_snapshot_generation_commit(tmp_path):
+    """Manifest is the commit record; counts are validated on load."""
+    import json as _json
+    import os as _os
+
+    d = str(tmp_path)
+    store = VectorStore(persist_dir=d)
+    emb = norm_rows(np.random.default_rng(6).standard_normal((4, 8)).astype(np.float32))
+    store.add(ids=[f"g{i}" for i in range(4)], embeddings=emb)
+    store.save()
+    m = _json.load(open(_os.path.join(d, "manifest.json")))
+    assert m["count"] == 4 and m["embeddings"].startswith("embeddings-")
+    # corrupt: manifest count disagrees with records -> load refuses
+    m["count"] = 3
+    _json.dump(m, open(_os.path.join(d, "manifest.json"), "w"))
+    with pytest.raises(ValueError):
+        VectorStore.load(d)
+
+
+def test_store_query_k_bucketing_consistency():
+    store, emb = make_store(n=50)
+    r5 = store.query(query_embeddings=[emb[3]], n_results=5)
+    r7 = store.query(query_embeddings=[emb[3]], n_results=7)
+    assert len(r5["ids"][0]) == 5 and len(r7["ids"][0]) == 7
+    assert r7["ids"][0][:5] == r5["ids"][0]

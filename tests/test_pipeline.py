@@ -220,3 +220,36 @@ def test_text_embedding_pools_at_eos_with_folded_vocab():
     )
     body = folded[toks != e.tokenizer.eos_id]
     assert (body != e._model_eos).all()
+
+
+def test_upload_dup_race_returns_duplicate(tmp_path):
+    """If another thread adds the same id between the dup check and
+    store.add, process_image must return (metadata, False), not raise."""
+    from PIL import Image as _Image
+    from imatch_tpu.pipeline.ingest import process_image
+
+    state = AppState(
+        root=str(tmp_path), embedder=ClipEmbedder(config="tiny"),
+        captioner=NullCaptioner(),
+    )
+    img = _Image.fromarray(
+        np.random.default_rng(9).integers(0, 256, (28, 28, 3), np.uint8)
+    )
+    real_get = state.store.get
+    calls = {"n": 0}
+
+    def racy_get(ids=None, include=("metadatas", "documents")):
+        calls["n"] += 1
+        if calls["n"] == 2:
+            # second upload's dup check: pretend the id isn't there yet
+            return {"ids": [], "metadatas": []}
+        return real_get(ids=ids, include=include)
+
+    md1, new1 = process_image(state, img, "a.png")
+    assert new1
+    state.store.get = racy_get
+    try:
+        md2, new2 = process_image(state, img, "a.png")
+    finally:
+        state.store.get = real_get
+    assert not new2 and md2["id"] == md1["id"]
