@@ -81,8 +81,10 @@ class U2NetSegmenter:
         x = jnp.asarray(arr[..., :3], jnp.float32)[None]
         x = jnp.einsum("xw,bhwc->bhxc", a_h, x)
         x = jnp.einsum("yh,bhxc->byxc", a_v, x)
-        x = x / 255.0
-        # rembg scales by the max channel value then ImageNet-normalizes.
+        # rembg normalizes by the image's max pixel value (not 255), then
+        # applies ImageNet mean/std — dark images otherwise land at half
+        # the trained input magnitude.
+        x = x / jnp.maximum(jnp.max(x), 1e-6)
         return (x - U2_MEAN) / U2_STD
 
     def predict_mask(self, image: np.ndarray) -> np.ndarray:

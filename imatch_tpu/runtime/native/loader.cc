@@ -40,6 +40,9 @@
 
 namespace {
 
+// 180 MP ~= 540 MB RGB: far above any sane photo, far below OOM territory.
+constexpr size_t kMaxPixels = 180ull * 1000 * 1000;
+
 struct Result {
   unsigned char* data = nullptr;
   int w = 0, h = 0, err = 0;
@@ -95,8 +98,20 @@ unsigned char* decode_jpeg(const unsigned char* buf, size_t len, int* w,
   jpeg_start_decompress(&cinfo);
   *w = cinfo.output_width;
   *h = cinfo.output_height;
+  // decompression-bomb guard: a few-KB file can declare 65500x65500
+  // (~13 GB) — cap pixels and check malloc, else scanlines write via NULL
+  if (static_cast<size_t>(*w) * *h > kMaxPixels) {
+    jpeg_destroy_decompress(&cinfo);
+    *err = 2;
+    return nullptr;
+  }
   size_t stride = static_cast<size_t>(*w) * 3;
   out = static_cast<unsigned char*>(malloc(stride * *h));
+  if (!out) {
+    jpeg_destroy_decompress(&cinfo);
+    *err = 2;
+    return nullptr;
+  }
   while (cinfo.output_scanline < cinfo.output_height) {
     unsigned char* row = out + stride * cinfo.output_scanline;
     jpeg_read_scanlines(&cinfo, &row, 1);
@@ -151,8 +166,18 @@ unsigned char* decode_png(const unsigned char* buf, size_t len, int* w,
   // composite alpha over white like PIL convert("RGB") on RGBA+white bg
   png_set_strip_alpha(png);
   png_read_update_info(png, info);
+  if (static_cast<size_t>(*w) * *h > kMaxPixels) {
+    png_destroy_read_struct(&png, &info, nullptr);
+    *err = 2;
+    return nullptr;
+  }
   size_t stride = static_cast<size_t>(*w) * 3;
   out = static_cast<unsigned char*>(malloc(stride * *h));
+  if (!out) {
+    png_destroy_read_struct(&png, &info, nullptr);
+    *err = 2;
+    return nullptr;
+  }
   rows.resize(*h);
   for (int y = 0; y < *h; ++y) rows[y] = out + stride * y;
   png_read_image(png, rows.data());
@@ -169,10 +194,20 @@ unsigned char* decode_webp(const unsigned char* buf, size_t len, int* w,
     *err = 2;
     return nullptr;
   }
+  if (static_cast<size_t>(*w) * *h > kMaxPixels) {
+    WebPFree(rgb);
+    *err = 2;
+    return nullptr;
+  }
   // WebPDecodeRGB uses its own allocator; copy into malloc so one
   // iml_free covers every decoder.
   size_t n = static_cast<size_t>(*w) * *h * 3;
   unsigned char* out = static_cast<unsigned char*>(malloc(n));
+  if (!out) {
+    WebPFree(rgb);
+    *err = 2;
+    return nullptr;
+  }
   memcpy(out, rgb, n);
   WebPFree(rgb);
   return out;

@@ -234,7 +234,7 @@ def create_app(state: Optional[AppState] = None, root: str = ".") -> App:
             )
         filters = form.getlist("filters")
         limit = _parse_int(form.get("limit"), 10)
-        image = Image.fromarray(decode_image_bytes(file.content))
+        image = _open_upload(file)
         if _parse_bool(form.get("remove_bg")):
             image = _maybe_remove_query_bg(state, image)
         results = search_mod.search_by_image(state, image, limit=limit)
@@ -279,7 +279,7 @@ def create_app(state: Optional[AppState] = None, root: str = ".") -> App:
         weight_image = _parse_float(form.get("weight_image"), 0.5)
         filters = form.getlist("filters")
         limit = _parse_int(form.get("limit"), 10)
-        image = Image.fromarray(decode_image_bytes(file.content))
+        image = _open_upload(file)
         if _parse_bool(form.get("remove_bg")):
             image = _maybe_remove_query_bg(state, image)
         results = search_mod.search_multimodal(
@@ -412,7 +412,7 @@ def create_app(state: Optional[AppState] = None, root: str = ".") -> App:
         enhance = _parse_bool(form.get("enhance_with_caption"))
         has_image = isinstance(file, UploadFile) and file.content
         if has_image and query:
-            image = Image.fromarray(decode_image_bytes(file.content))
+            image = _open_upload(file)
             if enhance:
                 query = search_mod.enhance_query_with_caption(
                     state, image, query
@@ -422,7 +422,7 @@ def create_app(state: Optional[AppState] = None, root: str = ".") -> App:
             )
             mode = "multimodal"
         elif has_image:
-            image = Image.fromarray(decode_image_bytes(file.content))
+            image = _open_upload(file)
             results = search_mod.search_by_image(state, image, limit=limit)
             mode = "image"
         elif query:
@@ -450,10 +450,16 @@ def create_app(state: Optional[AppState] = None, root: str = ".") -> App:
                 {"success": False, "error": "no samples directory"}, 404
             )
         images, names = [], []
-        for f in sorted(os.listdir(samples_dir)):
-            path = os.path.join(samples_dir, f)
+        loader = default_loader()
+        files = sorted(os.listdir(samples_dir))
+        # submit everything first so the C++ pool decodes concurrently
+        tickets = [
+            (f, loader.submit_path(os.path.join(samples_dir, f)))
+            for f in files
+        ]
+        for f, t in tickets:
             try:
-                images.append(Image.fromarray(default_loader().decode_batch([path])[0]))
+                images.append(Image.fromarray(loader.wait(t)))
                 names.append(f)
             except Exception:
                 continue

@@ -103,13 +103,22 @@ def _parse_multipart(body: bytes, content_type: str) -> FormData:
     m = re.search(r'boundary="?([^";]+)"?', content_type)
     if not m:
         return form
-    boundary = b"--" + m.group(1).encode("latin-1")
-    # split into parts; parts are delimited by \r\n--boundary
-    segments = body.split(boundary)
-    for seg in segments[1:-1]:
-        seg = seg.strip(b"\r\n")
-        if not seg or seg == b"--":
-            continue
+    delim = b"--" + m.group(1).encode("latin-1")
+    # RFC 2046: parts are delimited by CRLF + delimiter; the CRLF belongs
+    # to the DELIMITER, not the content — a naive strip would also eat
+    # trailing newlines that are part of the payload (silently changing
+    # uploaded bytes and therefore the image's phash id).
+    segments = body.split(b"\r\n" + delim)
+    first = segments[0]
+    if first.startswith(delim):
+        segments[0] = first[len(delim):]
+    else:  # no leading delimiter: not multipart content we understand
+        segments = segments[1:]
+    for seg in segments:
+        if seg in (b"", b"--") or seg.startswith(b"--"):
+            continue  # closing delimiter / epilogue
+        if seg.startswith(b"\r\n"):
+            seg = seg[2:]
         if b"\r\n\r\n" in seg:
             raw_headers, content = seg.split(b"\r\n\r\n", 1)
         else:
@@ -260,10 +269,25 @@ class App:
     async def _handle(self, scope, body: bytes) -> Response:
         self._run_startup()
         method = scope["method"].upper()
-        path = urllib.parse.unquote(scope["path"])
+        # Routes match the RAW (still percent-encoded) path and captured
+        # params are unquoted afterwards — unquoting first would turn an
+        # encoded "/" inside a path param (e.g. a filter query
+        # "indoor%2Foutdoor") into a path separator that [^/]+ can't
+        # match, making such filters impossible to address. ASGI servers
+        # hand the undecoded bytes in scope["raw_path"] (scope["path"] is
+        # already decoded per spec).
+        raw = scope.get("raw_path")
+        if raw:
+            raw_path = raw.decode("latin-1").partition("?")[0]
+        else:
+            raw_path = scope["path"]
+        path = urllib.parse.unquote(raw_path)
 
         if method == "OPTIONS":
-            return Response(b"", status=204, headers=self._cors_headers())
+            # __call__ appends the CORS headers to every response; adding
+            # them here too would duplicate access-control-allow-origin,
+            # which browsers reject ("*, *" is invalid) and preflights fail.
+            return Response(b"", status=204)
 
         # static mounts
         if method in ("GET", "HEAD"):
@@ -285,11 +309,19 @@ class App:
         for m, pattern, names, handler in self._routes:
             if m != method:
                 continue
-            match = pattern.match(path)
-            if not match:
-                continue
+            match = pattern.match(raw_path)
+            if match:
+                params = {
+                    k: urllib.parse.unquote(v)
+                    for k, v in match.groupdict().items()
+                }
+            else:
+                match = pattern.match(path)  # already-decoded client paths
+                if not match:
+                    continue
+                params = match.groupdict()
             req = Request(scope, body)
-            req.path_params = match.groupdict()
+            req.path_params = params
             try:
                 if asyncio.iscoroutinefunction(handler):
                     result = await handler(req, **req.path_params)

@@ -40,6 +40,16 @@ async def _handle_connection(app, reader, writer):
                         (k.strip().lower().encode(), v.strip().encode())
                     )
             hdict = {k: v for k, v in headers}
+            if b"chunked" in hdict.get(b"transfer-encoding", b"").lower():
+                # Reading per content-length (0) would leave the chunked
+                # payload on the connection to be parsed as the NEXT
+                # request — a desync/smuggling vector. Refuse instead.
+                writer.write(
+                    b"HTTP/1.1 501 Not Implemented\r\n"
+                    b"connection: close\r\ncontent-length: 0\r\n\r\n"
+                )
+                await writer.drain()
+                return
             length = int(hdict.get(b"content-length", b"0"))
             if length > _MAX_BODY:
                 writer.write(b"HTTP/1.1 413 Payload Too Large\r\n\r\n")

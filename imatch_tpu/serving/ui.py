@@ -47,14 +47,15 @@ progress{width:100%}
 
 _SEARCH_JS = """
 const $=s=>document.querySelector(s);
+const esc=s=>String(s??'').replace(/[&<>"']/g,c=>({'&':'&amp;','<':'&lt;','>':'&gt;','"':'&quot;',"'":'&#39;'}[c]));
 let filters=[];
 async function loadFilters(){
   const r=await fetch('/api/filters'); const j=await r.json();
   const box=$('#filters'); box.innerHTML='';
-  (j.filters||[]).forEach(f=>{
-    const id='f_'+btoa(f).replace(/=/g,'');
+  (j.filters||[]).forEach((f,i)=>{
+    const id='f_'+i;  // btoa throws on non-Latin-1 filter text
     box.insertAdjacentHTML('beforeend',
-      `<span class="chip"><input type="checkbox" id="${id}" value="${f}"><label for="${id}">${f}</label></span>`);
+      `<span class="chip"><input type="checkbox" id="${id}" value="${esc(f)}"><label for="${id}">${esc(f)}</label></span>`);
   });
 }
 function selectedFilters(){
@@ -87,18 +88,18 @@ function render(rs){
   const g=$('#results'); g.innerHTML='';
   rs.forEach(r=>{
     const pct=r.similarity_score!=null?(100*r.similarity_score).toFixed(1)+'%':'';
-    g.insertAdjacentHTML('beforeend',`<div class="card" onclick='detail(${JSON.stringify(r.id)})'>
-      <img src="${r.thumbnail_url||r.url}" loading="lazy">
-      <div class="m"><span class="score">${pct}</span> ${r.description||r.filename||r.id}</div></div>`);
+    g.insertAdjacentHTML('beforeend',`<div class="card" onclick='detail(${JSON.stringify(esc(r.id))})'>
+      <img src="${esc(r.thumbnail_url||r.url)}" loading="lazy">
+      <div class="m"><span class="score">${pct}</span> ${esc(r.description||r.filename||r.id)}</div></div>`);
   });
 }
 async function detail(id){
   const r=await fetch('/api/image/'+id); if(!r.ok)return;
   const m=(await r.json()).image;
-  $('#dbody').innerHTML=`<img src="${m.url}" style="max-width:100%;border-radius:6px">
-    <p><b>${m.filename||''}</b></p><p>${m.description||''}</p>
-    <p style="white-space:pre-wrap;color:#9aa4b2">${m.custom_metadata||''}</p>
-    <p style="color:#6b7280;font-size:.8rem">${m.id} · ${m.created_at||''}</p>`;
+  $('#dbody').innerHTML=`<img src="${esc(m.url)}" style="max-width:100%;border-radius:6px">
+    <p><b>${esc(m.filename||'')}</b></p><p>${esc(m.description||'')}</p>
+    <p style="white-space:pre-wrap;color:#9aa4b2">${esc(m.custom_metadata||'')}</p>
+    <p style="color:#6b7280;font-size:.8rem">${esc(m.id)} · ${esc(m.created_at||'')}</p>`;
   $('#dlg').showModal();
 }
 window.addEventListener('DOMContentLoaded',()=>{
@@ -142,6 +143,7 @@ SEARCH_HTML = f"""<!doctype html><html><head><meta charset="utf-8">
 
 _MANAGE_JS = """
 const $=s=>document.querySelector(s);
+const esc=s=>String(s??'').replace(/[&<>"']/g,c=>({'&':'&amp;','<':'&lt;','>':'&gt;','"':'&quot;',"'":'&#39;'}[c]));
 async function upload(ev){
   ev.preventDefault();
   const fd=new FormData();
@@ -173,7 +175,7 @@ async function loadFilters(){
   const box=$('#flist');box.innerHTML='';
   (j.filters||[]).forEach(f=>{
     box.insertAdjacentHTML('beforeend',
-      `<span class="chip">${f}<button onclick='delFilter(${JSON.stringify(f)})'>✕</button></span>`);
+      `<span class="chip">${esc(f)}<button onclick='delFilter(${JSON.stringify(f).replace(/[<>&"']/g,c=>"\\u"+c.charCodeAt(0).toString(16).padStart(4,"0"))})'>✕</button></span>`);
   });
 }
 async function delFilter(f){
@@ -209,9 +211,9 @@ async function listImages(){
   const r=await fetch('/api/images');const j=await r.json();
   const g=$('#imgs');g.innerHTML='';
   (j.images||[]).forEach(m=>{
-    g.insertAdjacentHTML('beforeend',`<div class="card" onclick='edit(${JSON.stringify(m.id)})'>
-      <img src="${m.thumbnail_url||m.url}" loading="lazy">
-      <div class="m">${m.description||m.filename||m.id}</div></div>`);
+    g.insertAdjacentHTML('beforeend',`<div class="card" onclick='edit(${JSON.stringify(esc(m.id))})'>
+      <img src="${esc(m.thumbnail_url||m.url)}" loading="lazy">
+      <div class="m">${esc(m.description||m.filename||m.id)}</div></div>`);
   });
   $('#count').textContent=(j.images||[]).length+' images';
 }

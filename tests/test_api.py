@@ -458,3 +458,62 @@ def test_static_path_traversal_blocked(client):
         r = client.get(evil)
         assert r.status_code in (403, 404), evil
         assert b"root:" not in r.content, evil
+
+
+def test_multipart_preserves_trailing_newlines(client):
+    """Part content ending in CR/LF must arrive byte-exact (a stripped
+    trailing newline changes the stored bytes and the phash id)."""
+    payload = b"hello world\n"
+    r = client.post(
+        "/api/upload",
+        files={"file": ("x.bin", payload, "application/octet-stream")},
+        data={"description": "line1\n"},
+    )
+    # decode fails (not an image) -> 500, but the handler received the
+    # exact bytes; verify at the parser level instead:
+    from imatch_tpu.serving.asgi import _parse_multipart
+
+    boundary = "testbound123"
+    body = (
+        f"--{boundary}\r\n"
+        'Content-Disposition: form-data; name="file"; filename="x.bin"\r\n'
+        "Content-Type: application/octet-stream\r\n\r\n"
+    ).encode() + payload + (
+        f"\r\n--{boundary}\r\n"
+        'Content-Disposition: form-data; name="description"\r\n\r\n'
+        "line1\n"
+        f"\r\n--{boundary}--\r\n"
+    ).encode()
+    form = _parse_multipart(body, f'multipart/form-data; boundary="{boundary}"')
+    assert form.get("file").content == payload
+    assert form.get("description") == "line1\n"
+
+
+def test_options_has_single_cors_origin(client):
+    r = client.request("OPTIONS", "/api/upload")
+    assert r.status_code == 204
+    vals = [
+        v for k, v in r.headers.multi_items()
+        if k.lower() == "access-control-allow-origin"
+    ]
+    assert len(vals) == 1, vals
+
+
+def test_filter_with_slash_deletable(client):
+    r = client.post("/api/filters", data={"filter_query": "indoor/outdoor"})
+    assert r.status_code == 200
+    assert "indoor/outdoor" in client.get("/api/filters").json()["filters"]
+    r = client.delete("/api/filters/indoor%2Foutdoor")
+    assert r.status_code == 200
+    assert "indoor/outdoor" not in client.get("/api/filters").json()["filters"]
+
+
+def test_ui_escapes_user_content(client):
+    """Stored XSS probe: HTML in a description must come back escaped by
+    the UI's esc() helper (present in both pages' inline JS)."""
+    for page in ("/", "/manage"):
+        html = client.get(page).text
+        assert "const esc=" in html
+        # every ${...} interpolation of API data goes through esc( or is
+        # numeric/static; spot-check the known user-content sites
+        assert "${esc(" in html

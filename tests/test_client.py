@@ -152,3 +152,20 @@ def test_init_index_script(tmp_path):
         cwd="/root/repo",
     )
     assert "existing index" in r2.stdout  # idempotent
+
+
+def test_chunked_transfer_rejected(server):
+    """Chunked bodies are refused (501) rather than desyncing keep-alive."""
+    import socket as _socket
+    import urllib.parse
+
+    host = urllib.parse.urlparse(server.base_url).netloc
+    h, p = host.split(":")
+    with _socket.create_connection((h, int(p)), timeout=10) as s:
+        s.sendall(
+            b"POST /api/filters HTTP/1.1\r\n"
+            b"Host: x\r\nTransfer-Encoding: chunked\r\n\r\n"
+            b"5\r\nhello\r\n0\r\n\r\n"
+        )
+        resp = s.recv(4096)
+    assert b"501" in resp.split(b"\r\n")[0]
