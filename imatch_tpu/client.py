@@ -218,8 +218,12 @@ class ImageMatchClient:
         )
 
     def delete_filter(self, filter_query: str) -> Dict:
+        # safe="" percent-encodes "/" too (encodeURIComponent semantics,
+        # frontend/src/lib/api.ts) — the route pattern is [^/]+, so a raw
+        # slash in the filter text would 404.
         return self._request(
-            "DELETE", f"/api/filters/{urllib.parse.quote(filter_query)}"
+            "DELETE",
+            f"/api/filters/{urllib.parse.quote(filter_query, safe='')}",
         )
 
     def filter_progress(self, filter_query: str) -> Dict:

@@ -278,6 +278,7 @@ def process_batch(
         }
 
     with state.lock:
+        inserted = set(add_ids)
         try:
             state.store.add(
                 ids=add_ids,
@@ -288,6 +289,7 @@ def process_batch(
         except ValueError:
             # a concurrent upload added one of these ids after our dup
             # check; fall back to per-id adds, reclassifying collisions
+            inserted = set()
             for j, img_id in enumerate(add_ids):
                 try:
                     state.store.add(
@@ -296,11 +298,15 @@ def process_batch(
                         metadatas=[add_mds[j]],
                         documents=[add_docs[j]],
                     )
+                    inserted.add(img_id)
                 except ValueError:
                     for r in results:
                         if r and r.get("id") == img_id:
                             r["status"] = "skipped"
                             r["message"] = "Duplicate image detected"
+        # Only mirror metadata for rows that actually inserted — a
+        # collision must not overwrite the surviving image's record.
         for md in add_mds:
-            state.image_metadata[md["id"]] = md
+            if md["id"] in inserted:
+                state.image_metadata[md["id"]] = md
     return results

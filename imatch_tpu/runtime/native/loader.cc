@@ -26,9 +26,12 @@
 #include <png.h>
 #include <webp/decode.h>
 
+#include <sys/stat.h>
+
 #include <cassert>
 #include <condition_variable>
 #include <csetjmp>
+#include <exception>
 #include <cstdio>
 #include <cstdlib>
 #include <cstring>
@@ -299,12 +302,26 @@ long long iml_submit_file(void* pool, const char* path) {
   if (!f) {
     job.io_err = 3;
   } else {
+    // fopen succeeds on directories (and ftell then reports a huge
+    // bogus size), and ftell returns -1 on pipes; either way resize()
+    // would throw std::length_error/bad_alloc through the extern "C"
+    // boundary and abort the process instead of reporting an io error.
+    struct stat st;
     fseek(f, 0, SEEK_END);
     long n = ftell(f);
-    fseek(f, 0, SEEK_SET);
-    job.bytes.resize(n);
-    if (fread(job.bytes.data(), 1, n, f) != static_cast<size_t>(n))
+    if (fstat(fileno(f), &st) != 0 || !S_ISREG(st.st_mode) || n < 0) {
       job.io_err = 3;
+    } else {
+      fseek(f, 0, SEEK_SET);
+      try {
+        job.bytes.resize(n);
+      } catch (const std::exception&) {
+        job.io_err = 3;
+      }
+      if (!job.io_err &&
+          fread(job.bytes.data(), 1, n, f) != static_cast<size_t>(n))
+        job.io_err = 3;
+    }
     fclose(f);
   }
   long long t;

@@ -277,11 +277,12 @@ class App:
         # hand the undecoded bytes in scope["raw_path"] (scope["path"] is
         # already decoded per spec).
         raw = scope.get("raw_path")
-        if raw:
+        have_raw = bool(raw)
+        if have_raw:
             raw_path = raw.decode("latin-1").partition("?")[0]
         else:
             raw_path = scope["path"]
-        path = urllib.parse.unquote(raw_path)
+        path = urllib.parse.unquote(raw_path) if have_raw else raw_path
 
         if method == "OPTIONS":
             # __call__ appends the CORS headers to every response; adding
@@ -311,8 +312,13 @@ class App:
                 continue
             match = pattern.match(raw_path)
             if match:
+                # Only unquote captures when we matched a genuinely
+                # percent-encoded path — when the server omitted
+                # scope["raw_path"], raw_path is the already-decoded
+                # scope["path"] and a second unquote would corrupt params
+                # containing literal %XX (e.g. a filter named "50%2Foff").
                 params = {
-                    k: urllib.parse.unquote(v)
+                    k: (urllib.parse.unquote(v) if have_raw else v)
                     for k, v in match.groupdict().items()
                 }
             else:

@@ -166,8 +166,21 @@ def main() -> int:
     for _ in range(start, args.steps):
         imgs, txts = sample_batch()
         pixels = preprocess_images(imgs, out_size=size)
-        tokens = tok.encode_batch(txts, max_length=cfg.text.max_positions)
-        tokens = np.minimum(tokens, cfg.text.vocab_size - 1)
+        tokens = np.asarray(
+            tok.encode_batch(txts, max_length=cfg.text.max_positions)
+        )
+        if tok.vocab_size > cfg.text.vocab_size:
+            # Fold oversized tokenizer vocabs like the embedder does
+            # (pipeline/embedder.py): eos maps to the model's eos id so
+            # pooling stays at the true first-eos position; other ids fold
+            # into [0, vocab-2] (configs keep eos at vocab-1, so folded
+            # ids never alias eos — a blind clamp did, pooling at the
+            # first clamped token instead).
+            tokens = np.where(
+                tokens == tok.eos_id,
+                cfg.text.eos_token_id,
+                tokens % (cfg.text.vocab_size - 1),
+            )
         state, loss = step_fn(state, pixels, jnp.asarray(tokens))
         step = int(state.step)
         if step % 10 == 0 or time.time() - t_log > 30:

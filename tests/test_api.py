@@ -517,3 +517,37 @@ def test_ui_escapes_user_content(client):
         # every ${...} interpolation of API data goes through esc( or is
         # numeric/static; spot-check the known user-content sites
         assert "${esc(" in html
+
+
+def test_no_raw_path_params_not_double_decoded(client):
+    """When an ASGI server omits scope['raw_path'], captured path params
+    must not be percent-decoded a second time (a filter literally named
+    "50%2Foff" would otherwise become "50/off" and 404)."""
+    state = client.state
+    r = client.post("/api/filters", data={"filter_query": "50%2Foff"})
+    assert r.status_code == 200
+    assert "50%2Foff" in state.load_filters()
+
+    async def call_without_raw_path():
+        scope = {
+            "type": "http",
+            "method": "DELETE",
+            "path": "/api/filters/50%2Foff",  # already-decoded per spec
+            "query_string": b"",
+            "headers": [],
+        }
+        received = {"status": None}
+
+        async def receive():
+            return {"type": "http.request", "body": b"", "more_body": False}
+
+        async def send(msg):
+            if msg["type"] == "http.response.start":
+                received["status"] = msg["status"]
+
+        await client.app(scope, receive, send)
+        return received["status"]
+
+    status = asyncio.run(call_without_raw_path())
+    assert status == 200
+    assert "50%2Foff" not in state.load_filters()

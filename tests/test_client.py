@@ -169,3 +169,13 @@ def test_chunked_transfer_rejected(server):
         )
         resp = s.recv(4096)
     assert b"501" in resp.split(b"\r\n")[0]
+
+
+def test_client_filter_with_slash_roundtrip(server):
+    """delete_filter must percent-encode '/' (encodeURIComponent parity) —
+    safe='/' would leave it a path separator and 404."""
+    c = server
+    c.add_filter("indoor/outdoor scene")
+    assert "indoor/outdoor scene" in c.filters()
+    c.delete_filter("indoor/outdoor scene")
+    assert "indoor/outdoor scene" not in c.filters()

@@ -77,3 +77,15 @@ def test_decode_image_bytes_helper():
     rng = np.random.default_rng(4)
     img = rng.integers(0, 256, (10, 12, 3), np.uint8)
     np.testing.assert_array_equal(decode_image_bytes(_png_bytes(img)), img)
+
+
+def test_submit_directory_path_reports_error(loader, tmp_path):
+    """ftell on a directory fails; must surface as a decode error, not a
+    std::length_error abort through the extern "C" boundary."""
+    t = loader.submit_path(str(tmp_path))
+    with pytest.raises(Exception):
+        loader.wait(t)
+    # pool still alive and usable afterwards
+    img = np.random.default_rng(5).integers(0, 256, (8, 9, 3), np.uint8)
+    out = loader.decode_batch([_png_bytes(img)])[0]
+    np.testing.assert_array_equal(out, img)

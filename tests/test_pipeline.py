@@ -253,3 +253,29 @@ def test_upload_dup_race_returns_duplicate(tmp_path):
     finally:
         state.store.get = real_get
     assert not new2 and md2["id"] == md1["id"]
+
+
+def test_batch_dup_race_keeps_survivor_metadata(state):
+    """A batch row reclassified as skipped in the dup-race fallback must
+    not overwrite the surviving image's in-memory metadata."""
+    img = Image.fromarray(
+        np.random.default_rng(11).integers(0, 256, (30, 30, 3), np.uint8)
+    )
+    md1, new1 = process_image(state, img, "win.png", description="original")
+    assert new1 and md1["description"] == "original"
+
+    real_get = state.store.get
+
+    def blind_get(ids=None, include=("metadatas", "documents")):
+        # pretend the dup check sees nothing (simulates the race window)
+        if include == [] or list(include) == []:
+            return {"ids": []}
+        return real_get(ids=ids, include=include)
+
+    state.store.get = blind_get
+    try:
+        results = process_batch(state, [img], ["lose.png"])
+    finally:
+        state.store.get = real_get
+    assert results[0]["status"] == "skipped"
+    assert state.image_metadata[md1["id"]]["description"] == "original"
