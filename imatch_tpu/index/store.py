@@ -28,6 +28,7 @@ import threading
 import time
 from typing import Dict, List, Optional, Sequence
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -36,12 +37,42 @@ from imatch_tpu.utils.metrics import METRICS
 
 _MIN_CAP = 1024
 
+_SCORE_DTYPES = {
+    "bf16": jnp.bfloat16,
+    "bfloat16": jnp.bfloat16,
+    "fp32": jnp.float32,
+    "float32": jnp.float32,
+    "int8": jnp.int8,
+}
+
+
+def _env_engine() -> str:
+    """IMATCH_INDEX_ENGINE: tilemax (default, exact), pallas (fused
+    Pallas phase-1 kernel), ivf (approximate — opt-in for very large
+    corpora; ordering is no longer chroma-exact)."""
+    return os.environ.get("IMATCH_INDEX_ENGINE", "tilemax").lower()
+
+
+def _env_score_dtype():
+    """IMATCH_SCORE_DTYPE: bf16 (default) | fp32 | int8 (tilemax only)."""
+    return _SCORE_DTYPES[os.environ.get("IMATCH_SCORE_DTYPE", "bf16").lower()]
+
 
 class VectorStore:
     def __init__(
-        self, dim: Optional[int] = None, persist_dir: Optional[str] = None
+        self,
+        dim: Optional[int] = None,
+        persist_dir: Optional[str] = None,
+        engine: Optional[str] = None,
+        score_dtype=None,
     ):
         self.dim = dim
+        self.engine = (engine or _env_engine()).lower()
+        if self.engine not in ("tilemax", "pallas", "ivf"):
+            raise ValueError(f"unknown index engine {self.engine!r}")
+        self.score_dtype = (
+            score_dtype if score_dtype is not None else _env_score_dtype()
+        )
         # When set, every mutation appends to an on-disk journal
         # (journal.jsonl) so durability is per-operation like chroma's
         # sqlite, while full snapshots become an occasional compaction
@@ -250,12 +281,75 @@ class VectorStore:
             cap = 0 if self._emb is None else self._emb.shape[0]
             if cap == 0:
                 return None
-            # Prepared once per mutation: bf16 scoring copy + fp32 rescore
-            # copy + validity, padded to the tile size (search.py).
-            self._device = prepare_device_corpus(
-                jnp.asarray(self._emb), jnp.asarray(self._alive)
-            )
+            # Prepared once per mutation: scoring copy + fp32 rescore
+            # copy + validity (engine-specific layout).
+            emb = jnp.asarray(self._emb)
+            alive = jnp.asarray(self._alive)
+            if self.engine == "pallas":
+                from imatch_tpu.ops.pallas.topk import prepare_corpus
+
+                dtype = (
+                    jnp.bfloat16
+                    if self.score_dtype == jnp.int8
+                    else self.score_dtype
+                )
+                self._device = prepare_corpus(emb, alive, score_dtype=dtype)
+            elif self.engine == "ivf":
+                from imatch_tpu.index.ivf import build_ivf
+
+                self._device = build_ivf(emb, alive)
+            else:
+                self._device = prepare_device_corpus(
+                    emb, alive, score_dtype=self.score_dtype
+                )
         return self._device
+
+    def _run_engine(self, q: np.ndarray, dc, k: int):
+        """One device dispatch on the prepared corpus; returns device arrays."""
+        if self.engine == "pallas":
+            from imatch_tpu.ops.pallas.topk import pallas_topk_prepared
+
+            return pallas_topk_prepared(jnp.asarray(q), dc, k=k)
+        if self.engine == "ivf":
+            from imatch_tpu.index.ivf import ivf_topk
+
+            n_probe = int(os.environ.get("IMATCH_IVF_NPROBE", "8"))
+            return ivf_topk(jnp.asarray(q), dc, k=k, n_probe=n_probe)
+        return tilemax_topk(jnp.asarray(q), dc, k=k)
+
+    @staticmethod
+    def _k_bucket(k: int) -> int:
+        # bucket the static k so a growing corpus doesn't recompile the
+        # query every time live-count changes below the requested limit
+        return 1 << max(0, (k - 1)).bit_length()
+
+    def _snapshot_for_query(self):
+        """Consistent (device corpus, id/meta/doc lists) pair, taken under
+        the lock. Safe to read lock-free afterwards: ``add`` only appends
+        (indices in the captured corpus stay valid), ``delete`` only flips
+        the alive mask, and compaction *rebinds* the lists rather than
+        mutating them — the captured references keep the layout the
+        captured corpus was built from."""
+        with self._lock:
+            live = self.count()
+            dc = self._device_state()
+            return live, dc, self._ids, self._meta, self._docs
+
+    def warm(self, n_results_list: Sequence[int] = (1, 10, 25, 50, 100, 1000)):
+        """Pre-compile the query engine for the k buckets the serving
+        layer uses (limit select 10/25/50/100/All→1000), so first user
+        searches don't pay a jit compile."""
+        live, dc, _, _, _ = self._snapshot_for_query()
+        if dc is None or live == 0:
+            return
+        q = np.zeros((1, self.dim), np.float32)
+        seen = set()
+        for nr in n_results_list:
+            k_c = self._k_bucket(min(nr, live))
+            if k_c in seen:
+                continue
+            seen.add(k_c)
+            jax.device_get(self._run_engine(q, dc, k_c))
 
     def query(
         self,
@@ -263,51 +357,55 @@ class VectorStore:
         n_results: int = 10,
         include: Sequence[str] = ("metadatas", "distances"),
     ) -> dict:
-        """Chroma-shaped result: lists-of-lists, ascending cosine distance."""
-        with self._lock:
-            live = self.count()
-            q = np.asarray(query_embeddings, dtype=np.float32)
-            if q.ndim == 1:
-                q = q[None]
-            k = min(n_results, live)
-            out = {
-                "ids": [],
-                "distances": [],
-                "metadatas": [],
-                "documents": [],
-            }
-            if live == 0 or k == 0:
-                for key in out:
-                    out[key] = [[] for _ in range(len(q))]
-                return out
-            dc = self._device_state()
-            # bucket the static k so a growing corpus doesn't recompile the
-            # query every time live-count changes below the requested limit
-            k_c = 1 << max(0, (k - 1)).bit_length()
-            with METRICS.timer("index.query"):
-                scores, idx = tilemax_topk(jnp.asarray(q), dc, k=k_c)
-            scores = np.asarray(scores)[:, :k]
-            idx = np.asarray(idx)[:, :k]
-            for qi in range(len(q)):
-                row_ids, row_d, row_m, row_doc = [], [], [], []
-                for s, i in zip(scores[qi], idx[qi]):
-                    if i < 0:
-                        continue
-                    row_ids.append(self._ids[i])
-                    row_d.append(float(1.0 - s))  # chroma cosine distance
-                    row_m.append(self._meta[i])
-                    row_doc.append(self._docs[i])
-                out["ids"].append(row_ids)
-                out["distances"].append(row_d)
-                out["metadatas"].append(row_m)
-                out["documents"].append(row_doc)
-            if "metadatas" not in include:
-                out.pop("metadatas")
-            if "documents" not in include:
-                out.pop("documents")
-            if "distances" not in include:
-                out.pop("distances")
+        """Chroma-shaped result: lists-of-lists, ascending cosine distance.
+
+        The device matmul runs OUTSIDE the store lock (the lock only
+        guards the snapshot capture), so concurrent searches pipeline on
+        the device instead of serializing behind one another, and writers
+        are never blocked for a full query round-trip.
+        """
+        q = np.asarray(query_embeddings, dtype=np.float32)
+        if q.ndim == 1:
+            q = q[None]
+        live, dc, ids_l, meta_l, docs_l = self._snapshot_for_query()
+        k = min(n_results, live)
+        out = {
+            "ids": [],
+            "distances": [],
+            "metadatas": [],
+            "documents": [],
+        }
+        if live == 0 or k == 0:
+            for key in out:
+                out[key] = [[] for _ in range(len(q))]
             return out
+        k_c = self._k_bucket(k)
+        with METRICS.timer("index.query"):
+            # one transfer for both outputs: each np.asarray would be its
+            # own blocking host round-trip (2x the tunnel RTT)
+            scores, idx = jax.device_get(self._run_engine(q, dc, k_c))
+        scores = scores[:, :k]
+        idx = idx[:, :k]
+        for qi in range(len(q)):
+            row_ids, row_d, row_m, row_doc = [], [], [], []
+            for s, i in zip(scores[qi], idx[qi]):
+                if i < 0:
+                    continue
+                row_ids.append(ids_l[i])
+                row_d.append(float(1.0 - s))  # chroma cosine distance
+                row_m.append(meta_l[i])
+                row_doc.append(docs_l[i])
+            out["ids"].append(row_ids)
+            out["distances"].append(row_d)
+            out["metadatas"].append(row_m)
+            out["documents"].append(row_doc)
+        if "metadatas" not in include:
+            out.pop("metadatas")
+        if "documents" not in include:
+            out.pop("documents")
+        if "distances" not in include:
+            out.pop("distances")
+        return out
 
     # -- persistence --------------------------------------------------------
 

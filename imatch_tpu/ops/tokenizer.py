@@ -21,8 +21,9 @@ Vocabulary sources:
   (256 symbols x {mid-word, end-of-word} + specials, no merges) so the
   whole stack runs end-to-end with random-init models offline.
 
-A C++ fast path (native/bpe.cc) accelerates the merge loop for bulk
-ingest; this module is the reference implementation and the fallback.
+Tokenization is a cold path here (one short query string per search;
+ingest text is filenames) — pure Python with an LRU cache over words is
+fast enough and keeps the implementation auditable.
 """
 
 from __future__ import annotations

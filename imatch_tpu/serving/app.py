@@ -112,6 +112,9 @@ def _warmup(state: AppState):
         img = np.zeros((64, 64, 3), np.uint8)
         emb.embed_images([img])
         if state.store.count():
+            # compile every k bucket the UI's limit select can hit
+            # (10/25/50/100/All) so no user search pays a jit compile
+            state.store.warm()
             state.store.query([emb.embed_text("warmup")], n_results=1)
         logger.info("warmup done in %.1fs", time.time() - t0)
     except Exception as e:
@@ -305,11 +308,20 @@ def create_app(state: Optional[AppState] = None, root: str = ".") -> App:
     @app.put("/api/metadata/{image_id}")
     def update_metadata(req, image_id):
         form = req.form()
+        description = form.get("description")
+        if description is None:
+            # description is Form(...) — required — in the reference
+            # (backend/app/main.py:479); FastAPI rejects its absence with
+            # 422 before any handler logic runs. Without this, a partial
+            # PUT would silently null the stored description.
+            return JSONResponse(
+                {"success": False, "error": "description field required"},
+                422,
+            )
         if image_id not in state.image_metadata:
             return JSONResponse(
                 {"success": False, "error": "Image not found"}, 404
             )
-        description = form.get("description")
         custom_metadata = form.get("custom_metadata")
         with state.lock:
             metadata = dict(state.image_metadata[image_id])

@@ -207,6 +207,20 @@ def test_metadata_update(client):
     )
 
 
+def test_metadata_update_requires_description(client):
+    """description is Form(...) in the reference (main.py:479): a PUT
+    without it must 422, not silently null the stored description."""
+    md = upload(client, description="keep me").json()["metadata"]
+    r = client.put(
+        f"/api/metadata/{md['id']}", data={"custom_metadata": "cm only"}
+    )
+    assert r.status_code == 422
+    r = client.get(f"/api/image/{md['id']}")
+    assert r.json()["image"]["description"] == "keep me"
+    # validation precedes the existence check, like FastAPI's Form(...)
+    assert client.put("/api/metadata/img_nope", data={}).status_code == 422
+
+
 def test_filter_lifecycle_and_backfill(client):
     upload(client, "red drill.jpg")
     upload(client, "orange drill.avif")

@@ -327,3 +327,88 @@ def test_store_query_k_bucketing_consistency():
     r7 = store.query(query_embeddings=[emb[3]], n_results=7)
     assert len(r5["ids"][0]) == 5 and len(r7["ids"][0]) == 7
     assert r7["ids"][0][:5] == r5["ids"][0]
+
+
+def make_engine_store(engine, n=300, dim=32, seed=0, **kw):
+    rng = np.random.default_rng(seed)
+    emb = norm_rows(rng.standard_normal((n, dim)).astype(np.float32))
+    store = VectorStore(engine=engine, **kw)
+    store.add(
+        ids=[f"img_{i:04d}" for i in range(n)],
+        embeddings=emb,
+        metadatas=[{"i": i} for i in range(n)],
+    )
+    return store, emb
+
+
+def test_store_engine_pallas_matches_tilemax():
+    """IMATCH_INDEX_ENGINE=pallas routes queries through the fused Pallas
+    kernel (ops/pallas/topk.py) with identical results."""
+    tstore, emb = make_engine_store("tilemax")
+    pstore, _ = make_engine_store("pallas")
+    rng = np.random.default_rng(9)
+    q = norm_rows(rng.standard_normal((2, 32)).astype(np.float32))
+    rt = tstore.query(query_embeddings=q, n_results=10)
+    rp = pstore.query(query_embeddings=q, n_results=10)
+    assert rt["ids"] == rp["ids"]
+    np.testing.assert_allclose(rt["distances"], rp["distances"], atol=1e-5)
+
+
+def test_store_engine_ivf_smoke():
+    """IVF is approximate; with every cluster probed it is exact."""
+    import os
+
+    os.environ["IMATCH_IVF_NPROBE"] = "100000"
+    try:
+        istore, emb = make_engine_store("ivf", n=200)
+        res = istore.query(query_embeddings=[emb[7]], n_results=5)
+        assert res["ids"][0][0] == "img_0007"
+    finally:
+        del os.environ["IMATCH_IVF_NPROBE"]
+
+
+def test_store_engine_env_selection(monkeypatch):
+    monkeypatch.setenv("IMATCH_INDEX_ENGINE", "pallas")
+    assert VectorStore().engine == "pallas"
+    monkeypatch.setenv("IMATCH_INDEX_ENGINE", "bogus")
+    with pytest.raises(ValueError):
+        VectorStore()
+
+
+def test_store_warm_then_query():
+    store, emb = make_store(n=64)
+    store.warm()  # compiles the limit-select k buckets; must not mutate
+    res = store.query(query_embeddings=[emb[5]], n_results=10)
+    assert res["ids"][0][0] == "img_0005"
+    assert store.count() == 64
+
+
+def test_query_runs_outside_store_lock():
+    """The store lock must be free while the device query executes —
+    a writer grabbing the lock mid-query must not deadlock or wait for
+    the full query round-trip."""
+    import threading
+    import time as _time
+
+    store, emb = make_store(n=128)
+    release = threading.Event()
+    orig = store._run_engine
+
+    def slow_engine(q, dc, k):
+        release.set()
+        _time.sleep(0.2)  # keep the "device" busy
+        return orig(q, dc, k)
+
+    store._run_engine = slow_engine
+    t = threading.Thread(
+        target=lambda: store.query(query_embeddings=[emb[0]], n_results=4)
+    )
+    t.start()
+    assert release.wait(5)
+    t0 = _time.perf_counter()
+    acquired = store._lock.acquire(timeout=5)
+    dt = _time.perf_counter() - t0
+    assert acquired
+    store._lock.release()
+    t.join()
+    assert dt < 0.1, f"writer blocked {dt:.3f}s behind an in-flight query"
