@@ -363,8 +363,15 @@ class VectorStore:
         guards the snapshot capture), so concurrent searches pipeline on
         the device instead of serializing behind one another, and writers
         are never blocked for a full query round-trip.
+
+        ``query_embeddings`` may be a jax.Array still in flight (e.g.
+        ClipEmbedder.embed_text_device output): the scoring matmul then
+        chains onto it on device with no host materialization in between.
         """
-        q = np.asarray(query_embeddings, dtype=np.float32)
+        if isinstance(query_embeddings, jax.Array):
+            q = query_embeddings
+        else:
+            q = np.asarray(query_embeddings, dtype=np.float32)
         if q.ndim == 1:
             q = q[None]
         live, dc, ids_l, meta_l, docs_l = self._snapshot_for_query()

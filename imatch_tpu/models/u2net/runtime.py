@@ -110,8 +110,59 @@ class U2NetSegmenter:
         rgba = np.dstack([arr[..., :3], alpha])
         return rgba
 
+    def _model_inputs_batch(self, arrs) -> jnp.ndarray:
+        """Same-geometry RGB(A) arrays -> (B, S, S, 3) normalized batch.
+        Same semantics as _to_model_input (aspect-squash resize, per-image
+        max normalize, ImageNet mean/std), batched over the bucket."""
+        h, w = arrs[0].shape[:2]
+        size = self.cfg.input_size
+        key = (h, w)
+        if key not in self._resize_cache:
+            if len(self._resize_cache) >= 64:
+                self._resize_cache.pop(next(iter(self._resize_cache)))
+            a_v = resample_matrix(h, size, "bilinear")
+            a_h = resample_matrix(w, size, "bilinear")
+            self._resize_cache[key] = (jnp.asarray(a_v), jnp.asarray(a_h))
+        a_v, a_h = self._resize_cache[key]
+        x = jnp.asarray(
+            np.stack([a[..., :3] for a in arrs]), jnp.float32
+        )
+        x = jnp.einsum("xw,bhwc->bhxc", a_h, x)
+        x = jnp.einsum("yh,bhxc->byxc", a_v, x)
+        m = jnp.max(x, axis=(1, 2, 3), keepdims=True)
+        x = x / jnp.maximum(m, 1e-6)
+        return (x - U2_MEAN) / U2_STD
+
     def remove_background_batch(self, images) -> list:
-        return [self.remove_background(im) for im in images]
+        """Batched rembg: ONE device mask dispatch per (H, W) geometry
+        bucket (batch padded to a power of two to bound recompiles) and
+        one batched upsample per bucket, instead of the per-image call
+        chain the reference pays (utils.py:51-57). Alpha compositing
+        stays on host. Order of results matches the input order."""
+        arrs = []
+        for im in images:
+            a = np.asarray(im)
+            if a.ndim == 2:
+                a = np.stack([a] * 3, axis=-1)
+            arrs.append(a)
+        out: list = [None] * len(arrs)
+        buckets: Dict[tuple, list] = {}
+        for i, a in enumerate(arrs):
+            buckets.setdefault(a.shape[:2], []).append(i)
+        with self._lock:
+            for (h, w), idxs in buckets.items():
+                b = len(idxs)
+                x = self._model_inputs_batch([arrs[i] for i in idxs])
+                b_pad = 1 << max(0, (b - 1)).bit_length()
+                if b_pad > b:
+                    x = jnp.pad(x, ((0, b_pad - b), (0, 0), (0, 0), (0, 0)))
+                masks = self._mask_fn(self.params, x)[:b]  # (b, S, S)
+                up = jax.image.resize(masks, (b, h, w), "bilinear")
+                up = np.asarray(jnp.clip(up, 0.0, 1.0), np.float32)
+                for j, i in enumerate(idxs):
+                    alpha = (up[j] * 255.0 + 0.5).astype(np.uint8)
+                    out[i] = np.dstack([arrs[i][..., :3], alpha])
+        return out
 
 
 def get_segmenter():

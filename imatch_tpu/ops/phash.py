@@ -10,16 +10,22 @@ Two implementations:
   the same primitives (PIL convert('L')/LANCZOS resize, scipy DCT), so ids
   are bit-identical to ``imagehash.phash`` and stable across migration.
 - ``phash_batch`` — batched device version for bulk ingest: grayscale +
-  LANCZOS resample + DCT all as matmuls on the MXU. Matches the host hash
-  exactly except when DCT coefficients sit within float rounding of the
-  median; pipeline/ingest.py uses it for bulk scoring and the host hash
-  for the canonical id.
+  LANCZOS resample + DCT all as matmuls on the MXU. The resample is
+  pixel-exact vs PIL (two-pass uint8 rounding), so the only possible
+  divergence from the host hash is a DCT coefficient within float
+  rounding of the median threshold — ``phash_batch_checked`` reports a
+  per-image confidence flag for exactly that case.
+- ``image_ids_batch`` — the bulk-ingest id path (pipeline/ingest.py):
+  device hashes for large same-geometry buckets with host fallback for
+  the rare unconfident images, threaded host hashing for the rest, so
+  ids stay bit-identical to ``imagehash.phash`` at batch throughput.
 """
 
 from __future__ import annotations
 
 import functools
-from typing import List
+from concurrent.futures import ThreadPoolExecutor
+from typing import Dict, List, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -91,8 +97,11 @@ def _dct2_matrix(n: int) -> np.ndarray:
 _L_WEIGHTS = np.array([19595.0, 38470.0, 7471.0], dtype=np.float32) / 65536.0
 
 
-@functools.partial(jax.jit, static_argnames=("hash_size", "highfreq_factor"))
-def _phash_batch_jit(imgs, a_v, a_h, *, hash_size=8, highfreq_factor=4):
+def phash_core(imgs, a_v, a_h, hash_size=8, highfreq_factor=4):
+    """Traceable pHash: uint8 (B, H, W, 3) frames -> (bits, confident).
+    Shared by the standalone jit below and the fused ingest step
+    (pipeline/embedder.py) that computes hash + CLIP embedding from ONE
+    device upload of the frames."""
     hi = jax.lax.Precision.HIGHEST
     gray = jnp.einsum("bhwc,c->bhw", imgs.astype(jnp.float32), _L_WEIGHTS)
     gray = jnp.floor(gray + 0.5)  # PIL integer rounding of the L conversion
@@ -108,7 +117,35 @@ def _phash_batch_jit(imgs, a_v, a_h, *, hash_size=8, highfreq_factor=4):
     low = d[:, :hash_size, :hash_size]
     flat = low.reshape(low.shape[0], -1)
     med = jnp.median(flat, axis=1, keepdims=True)
-    return (flat > med).reshape(low.shape)
+    # Confidence: the resample is pixel-exact vs PIL, so the device hash
+    # can only differ from the fp64 host hash when a coefficient sits
+    # within float rounding of the median. Flag those images.
+    gap = jnp.abs(flat - med)
+    scale = jnp.maximum(jnp.max(gap, axis=1), 1e-12)
+    confident = (jnp.min(gap, axis=1) / scale) > 1e-3
+    return (flat > med).reshape(low.shape), confident
+
+
+@functools.partial(jax.jit, static_argnames=("hash_size", "highfreq_factor"))
+def _phash_batch_jit(imgs, a_v, a_h, *, hash_size=8, highfreq_factor=4):
+    return phash_core(
+        imgs, a_v, a_h, hash_size=hash_size, highfreq_factor=highfreq_factor
+    )
+
+
+def _phash_batch_device(imgs_u8, hash_size, highfreq_factor):
+    h, w = imgs_u8.shape[1:3]
+    n = hash_size * highfreq_factor
+    a_v = resample_matrix(h, n, "lanczos")
+    a_h = resample_matrix(w, n, "lanczos")
+    bits, confident = _phash_batch_jit(
+        jnp.asarray(imgs_u8),
+        jnp.asarray(a_v),
+        jnp.asarray(a_h),
+        hash_size=hash_size,
+        highfreq_factor=highfreq_factor,
+    )
+    return np.asarray(bits), np.asarray(confident)
 
 
 def phash_batch(
@@ -117,15 +154,67 @@ def phash_batch(
     highfreq_factor: int = 4,
 ) -> List[str]:
     """Device pHash for a same-geometry uint8 RGB batch (B, H, W, 3)."""
-    h, w = imgs_u8.shape[1:3]
-    n = hash_size * highfreq_factor
-    a_v = resample_matrix(h, n, "lanczos")
-    a_h = resample_matrix(w, n, "lanczos")
-    bits = _phash_batch_jit(
-        jnp.asarray(imgs_u8),
-        jnp.asarray(a_v),
-        jnp.asarray(a_h),
-        hash_size=hash_size,
-        highfreq_factor=highfreq_factor,
-    )
-    return [bits_to_hex(b) for b in np.asarray(bits)]
+    bits, _ = _phash_batch_device(imgs_u8, hash_size, highfreq_factor)
+    return [bits_to_hex(b) for b in bits]
+
+
+def phash_batch_checked(
+    imgs_u8: np.ndarray,
+    hash_size: int = 8,
+    highfreq_factor: int = 4,
+) -> Tuple[List[str], np.ndarray]:
+    """Device pHash + per-image confidence. A confident hash is
+    bit-identical to ``phash_host``; unconfident images (a DCT
+    coefficient at the median boundary) need the host hash."""
+    bits, confident = _phash_batch_device(imgs_u8, hash_size, highfreq_factor)
+    return [bits_to_hex(b) for b in bits], confident
+
+
+# Device path only pays off for same-geometry runs: each new (H, W) jit
+# compiles a new resample geometry, so small buckets go to the host pool.
+DEVICE_BUCKET_MIN = 8
+
+
+def image_ids_batch(
+    arrays: List[Optional[np.ndarray]],
+    pool: Optional["ThreadPoolExecutor"] = None,
+) -> List[Optional[str]]:
+    """Bulk ``image_id`` for decoded RGB arrays (None entries skipped).
+
+    Same-geometry runs of >= DEVICE_BUCKET_MIN images hash on the device
+    (one MXU dispatch per geometry); everything else — plus the rare
+    median-boundary images the device flags as unconfident — hashes on
+    the host, fanned out over a thread pool (PIL/scipy release the GIL).
+    Ids are bit-identical to the serial host path either way.
+    """
+    out: List[Optional[str]] = [None] * len(arrays)
+    buckets: Dict[tuple, List[int]] = {}
+    for i, a in enumerate(arrays):
+        if a is not None:
+            buckets.setdefault(a.shape, []).append(i)
+
+    host_idx: List[int] = []
+    for shape, idxs in buckets.items():
+        if len(idxs) >= DEVICE_BUCKET_MIN:
+            hexes, confident = phash_batch_checked(
+                np.stack([arrays[i] for i in idxs])
+            )
+            for j, i in enumerate(idxs):
+                if confident[j]:
+                    out[i] = f"img_{hexes[j]}"
+                else:
+                    host_idx.append(i)
+        else:
+            host_idx.extend(idxs)
+
+    if host_idx:
+        def host_one(i):
+            return i, image_id(Image.fromarray(arrays[i]))
+
+        if pool is not None and len(host_idx) > 1:
+            for i, id_ in pool.map(host_one, host_idx):
+                out[i] = id_
+        else:
+            for i in host_idx:
+                out[i] = host_one(i)[1]
+    return out

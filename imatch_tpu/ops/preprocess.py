@@ -32,19 +32,10 @@ def normalize(pixels01: jax.Array) -> jax.Array:
     return (pixels01 - CLIP_MEAN) / CLIP_STD
 
 
-@functools.partial(
-    jax.jit, static_argnames=("out_size", "quantize", "dtype")
-)
-def _preprocess_same_size(
-    imgs_u8: jax.Array,
-    a_v: jax.Array,
-    a_h: jax.Array,
-    *,
-    out_size: int = 224,
-    quantize: bool = True,
-    dtype=jnp.float32,
-):
-    """(B, H, W, 3) uint8 -> (B, out, out, 3) normalized floats."""
+def preprocess_core(imgs_u8, a_v, a_h, quantize=True, dtype=jnp.float32):
+    """Traceable preprocess: (B, H, W, 3) uint8 -> (B, out, out, 3)
+    normalized floats. Shared by the standalone jit below and the fused
+    ingest step (pipeline/embedder.py)."""
     x = imgs_u8.astype(jnp.float32)
     hi = jax.lax.Precision.HIGHEST
     # Horizontal then vertical resampling on the MXU — PIL's pass order.
@@ -60,6 +51,21 @@ def _preprocess_same_size(
     x = x * (1.0 / 255.0)
     x = (x - CLIP_MEAN) / CLIP_STD
     return x.astype(dtype)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("out_size", "quantize", "dtype")
+)
+def _preprocess_same_size(
+    imgs_u8: jax.Array,
+    a_v: jax.Array,
+    a_h: jax.Array,
+    *,
+    out_size: int = 224,
+    quantize: bool = True,
+    dtype=jnp.float32,
+):
+    return preprocess_core(imgs_u8, a_v, a_h, quantize=quantize, dtype=dtype)
 
 
 def preprocess_batch(

@@ -131,8 +131,25 @@ class ClipEmbedder:
         def _txt_fn(params, tokens):
             return encode_text(params, tokens, cfg, dtype=dt, eos_token_id=eos_id)
 
+        @jax.jit
+        def _fused_fn(params, frames_u8, a_v_c, a_h_c, a_v_p, a_h_p):
+            """Fused bulk-ingest step: the uint8 frames are uploaded to
+            HBM ONCE and both consumers read them there — CLIP preprocess
+            + tower AND the pHash dedup bits. The separate-path
+            alternative uploads every frame twice (and the host<->device
+            link, PCIe or tunnel, is the ingest bottleneck long before
+            the MXU is)."""
+            from imatch_tpu.ops.phash import phash_core
+            from imatch_tpu.ops.preprocess import preprocess_core
+
+            pixels = preprocess_core(frames_u8, a_v_c, a_h_c, dtype=dt)
+            emb = encode_image(params, pixels, cfg, dtype=dt)
+            bits, conf = phash_core(frames_u8, a_v_p, a_h_p)
+            return emb, bits, conf
+
         self._img_fn = _img_fn
         self._txt_fn = _txt_fn
+        self._fused_fn = _fused_fn
         logger.info(
             "embedder ready in %.2fs (dp=%d)", time.time() - t0, self.dp or 1
         )
@@ -145,6 +162,31 @@ class ClipEmbedder:
     def dim(self) -> int:
         return self.cfg.projection_dim
 
+    def _chunk_bounds(self, n: int, chunk: int):
+        """Split n rows into device batches: each chunk is padded up to a
+        power of two (and to the dp mesh), so distinct folder sizes reuse
+        at most log2(chunk) compiled variants instead of one per size and
+        huge uploads stream through the tower in bounded-HBM pieces."""
+        for s in range(0, n, chunk):
+            b = min(chunk, n - s)
+            bp = 1 << max(0, (b - 1)).bit_length()
+            bp = max(bp, self.dp or 1)
+            yield s, b, bp
+
+    def _embed_pixels(self, pixels) -> jax.Array:
+        chunk = int(os.environ.get("IMATCH_EMBED_CHUNK", "512"))
+        n = pixels.shape[0]
+        outs = []
+        with self._lock, METRICS.timer("embed.image"):
+            for s, b, bp in self._chunk_bounds(n, chunk):
+                part = pixels[s : s + b]
+                if bp > b:
+                    part = jnp.concatenate(
+                        [part, jnp.tile(part[-1:], (bp - b, 1, 1, 1))]
+                    )
+                outs.append(self._img_fn(self.params, part)[:b])
+        return outs[0] if len(outs) == 1 else jnp.concatenate(outs)
+
     def embed_images(self, images: Sequence[np.ndarray]) -> np.ndarray:
         """uint8 HWC RGB arrays (any geometries) -> (N, proj) unit fp32."""
         if len(images) == 0:
@@ -155,22 +197,27 @@ class ClipEmbedder:
             out_size=self.cfg.vision.image_size,
             dtype=self.compute_dtype,
         )
-        pad = self._pad_dp(pixels.shape[0])
-        if pad:
-            pixels = jnp.concatenate(
-                [pixels, jnp.tile(pixels[-1:], (pad, 1, 1, 1))]
-            )
-        with self._lock, METRICS.timer("embed.image"):
-            out = self._img_fn(self.params, pixels)
-        return np.asarray(out)[: len(images)]
+        return np.asarray(self._embed_pixels(pixels))
 
-    def embed_texts(self, texts: Sequence[str]) -> np.ndarray:
-        """Strings -> (N, proj) unit fp32, 248-token padded tokenization."""
-        if len(texts) == 0:
-            return np.zeros((0, self.dim), dtype=np.float32)
-        max_len = self.cfg.text.max_positions
+    def _embed_tokens(self, tokens: np.ndarray) -> jax.Array:
+        chunk = int(os.environ.get("IMATCH_EMBED_CHUNK", "512"))
+        n = len(tokens)
+        outs = []
+        with self._lock, METRICS.timer("embed.text"):
+            for s, b, bp in self._chunk_bounds(n, chunk):
+                part = tokens[s : s + b]
+                if bp > b:
+                    part = np.concatenate(
+                        [part, np.tile(part[-1:], (bp - b, 1))]
+                    )
+                outs.append(self._txt_fn(self.params, jnp.asarray(part))[:b])
+        return outs[0] if len(outs) == 1 else jnp.concatenate(outs)
+
+    def _tokenize(self, texts: Sequence[str]) -> np.ndarray:
         tokens = np.asarray(
-            self.tokenizer.encode_batch(texts, max_length=max_len)
+            self.tokenizer.encode_batch(
+                texts, max_length=self.cfg.text.max_positions
+            )
         )
         if self._fold_vocab:
             is_eos = tokens == self.tokenizer.eos_id
@@ -179,18 +226,122 @@ class ClipEmbedder:
                 self._model_eos,
                 tokens % (self.cfg.text.vocab_size - 1),
             )
-        pad = self._pad_dp(len(tokens))
-        if pad:
-            tokens = np.concatenate([tokens, np.tile(tokens[-1:], (pad, 1))])
-        with self._lock, METRICS.timer("embed.text"):
-            out = self._txt_fn(self.params, jnp.asarray(tokens))
-        return np.asarray(out)[: len(texts)]
+        return tokens
+
+    def embed_texts(self, texts: Sequence[str]) -> np.ndarray:
+        """Strings -> (N, proj) unit fp32, 248-token padded tokenization."""
+        if len(texts) == 0:
+            return np.zeros((0, self.dim), dtype=np.float32)
+        return np.asarray(self._embed_tokens(self._tokenize(texts)))
 
     def embed_image(self, image: np.ndarray) -> np.ndarray:
         return self.embed_images([image])[0]
 
     def embed_text(self, text: str) -> np.ndarray:
         return self.embed_texts([text])[0]
+
+    def embed_text_device(self, text: str) -> jax.Array:
+        """Like embed_text but returns the (proj,) embedding WITHOUT
+        materializing to host. Feeding this straight into
+        VectorStore.query chains the text tower and the index matmul on
+        device — the whole text-search request then pays exactly one
+        blocking device->host transfer (the top-k result) instead of two."""
+        return self._embed_tokens(self._tokenize([text]))[0]
+
+    def embed_image_device(self, image: np.ndarray) -> jax.Array:
+        """Device-resident single-image embedding (see embed_text_device)."""
+        pixels = preprocess_images(
+            [image],
+            out_size=self.cfg.vision.image_size,
+            dtype=self.compute_dtype,
+        )
+        return self._embed_pixels(pixels)[0]
+
+    def ids_and_embed_images(self, images: Sequence[np.ndarray], pool=None):
+        """Bulk-ingest fast path: pHash ids AND CLIP embeddings from one
+        device upload per geometry chunk (the fused _fused_fn step).
+
+        Same-geometry runs of >= phash.DEVICE_BUCKET_MIN images go
+        through the fused kernel; device hashes flagged unconfident (a
+        DCT coefficient at the median boundary) and small buckets fall
+        back to the host hash (threaded over ``pool``), so ids are
+        bit-identical to the serial path either way. None entries
+        (failed decodes) pass through as (None, zero row).
+
+        Returns (ids: List[Optional[str]], embeddings: (N, proj) fp32).
+        """
+        from PIL import Image as _Image
+
+        from imatch_tpu.ops.phash import (
+            DEVICE_BUCKET_MIN,
+            bits_to_hex,
+            image_id as _host_image_id,
+        )
+        from imatch_tpu.ops.resize import resample_matrix, resize_crop_matrices
+
+        n = len(images)
+        ids: list = [None] * n
+        emb = np.zeros((n, self.dim), np.float32)
+        buckets: dict = {}
+        for i, im in enumerate(images):
+            if im is not None:
+                buckets.setdefault(im.shape[:2], []).append(i)
+
+        chunk = int(os.environ.get("IMATCH_EMBED_CHUNK", "512"))
+        host_hash_idx: list = []  # need a host hash (small/unconfident)
+        slow_embed_idx: list = []  # small buckets: normal embed path
+        out_size = self.cfg.vision.image_size
+        for (h, w), idxs in buckets.items():
+            if len(idxs) < DEVICE_BUCKET_MIN:
+                host_hash_idx.extend(idxs)
+                slow_embed_idx.extend(idxs)
+                continue
+            a_v_c, a_h_c = resize_crop_matrices(h, w, out_size)
+            a_v_p = resample_matrix(h, 32, "lanczos")
+            a_h_p = resample_matrix(w, 32, "lanczos")
+            consts = tuple(
+                jnp.asarray(m) for m in (a_v_c, a_h_c, a_v_p, a_h_p)
+            )
+            stack = np.stack([images[i] for i in idxs])
+            METRICS.inc("images_embedded", len(idxs))
+            with self._lock, METRICS.timer("ingest.fused"):
+                parts = []
+                for s, b, bp in self._chunk_bounds(len(idxs), chunk):
+                    part = jnp.asarray(stack[s : s + b])
+                    if bp > b:
+                        part = jnp.concatenate(
+                            [part, jnp.tile(part[-1:], (bp - b, 1, 1, 1))]
+                        )
+                    e, bits, conf = self._fused_fn(self.params, part, *consts)
+                    parts.append((e[:b], bits[:b], conf[:b]))
+                parts = jax.device_get(parts)  # one blocking fetch
+            pos = 0
+            for e, bits, conf in parts:
+                for j in range(len(e)):
+                    i = idxs[pos]
+                    emb[i] = e[j]
+                    if conf[j]:
+                        ids[i] = f"img_{bits_to_hex(bits[j])}"
+                    else:
+                        host_hash_idx.append(i)
+                    pos += 1
+
+        if slow_embed_idx:
+            rest = self.embed_images([images[i] for i in slow_embed_idx])
+            for j, i in enumerate(slow_embed_idx):
+                emb[i] = rest[j]
+        if host_hash_idx:
+
+            def host_one(i):
+                return i, _host_image_id(_Image.fromarray(images[i]))
+
+            if pool is not None and len(host_hash_idx) > 1:
+                for i, id_ in pool.map(host_one, host_hash_idx):
+                    ids[i] = id_
+            else:
+                for i in host_hash_idx:
+                    ids[i] = host_one(i)[1]
+        return ids, emb
 
 
 @functools.lru_cache()

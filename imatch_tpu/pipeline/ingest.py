@@ -18,18 +18,35 @@ import datetime
 import json
 import logging
 import os
+from concurrent.futures import ThreadPoolExecutor
 from typing import Dict, List, Optional, Sequence, Tuple
 
 import numpy as np
 from PIL import Image
 
 from imatch_tpu.ops.phash import image_id as phash_image_id
+from imatch_tpu.ops.phash import image_ids_batch
 from imatch_tpu.pipeline.captioner import save_encoded
 from imatch_tpu.pipeline.filters import format_filter_query
 from imatch_tpu.pipeline.state import AppState
 from imatch_tpu.utils.metrics import METRICS
 
 logger = logging.getLogger("imatch.ingest")
+
+# Host-side fan-out for pHash + PNG encode during bulk ingest (PIL and
+# scipy release the GIL in their hot loops). Sized for the host work, not
+# the device — the device pipeline is fed by one thread.
+_HOST_POOL: Optional[ThreadPoolExecutor] = None
+
+
+def _host_pool() -> ThreadPoolExecutor:
+    global _HOST_POOL
+    if _HOST_POOL is None:
+        _HOST_POOL = ThreadPoolExecutor(
+            max_workers=min(16, (os.cpu_count() or 4)),
+            thread_name_prefix="imatch-ingest",
+        )
+    return _HOST_POOL
 
 
 def _now_iso() -> str:
@@ -165,26 +182,56 @@ def process_batch(
     fresh: List[int] = []
     ids: List[Optional[str]] = [None] * len(images)
     arrays: List[Optional[np.ndarray]] = [None] * len(images)
+    pool = _host_pool()
 
+    with METRICS.timer("ingest.to_array"):
+        for i, (im, name) in enumerate(zip(images, filenames)):
+            try:
+                im = im.convert("RGB") if im.mode != "RGB" else im
+                arrays[i] = np.asarray(im)
+            except Exception as e:
+                results[i] = {
+                    "filename": name,
+                    "status": "error",
+                    "error": str(e),
+                }
+
+    # dedup ids for the whole batch: device MXU hashes for same-geometry
+    # runs, threaded host hashes for the rest — bit-identical either way.
+    # Without background removal the embedding input IS the original
+    # frame, so hash + embedding come from ONE device upload of the
+    # frames (the fused step); with it, the embedding happens after
+    # segmentation, so only the hash runs now.
+    use_fused = not (remove_bg and state.segmenter is not None)
+    fused_emb = None
+    with METRICS.timer("ingest.phash"):
+        if use_fused:
+            batch_ids, fused_emb = state.get_embedder().ids_and_embed_images(
+                arrays, pool=pool
+            )
+        else:
+            batch_ids = image_ids_batch(arrays, pool=pool)
     seen_batch = set()
-    for i, (im, name) in enumerate(zip(images, filenames)):
-        try:
-            im = im.convert("RGB") if im.mode != "RGB" else im
-            img_id = phash_image_id(im)
+    with METRICS.timer("ingest.dup"):
+        for i, name in enumerate(filenames):
+            if results[i] is not None:
+                continue
+            img_id = batch_ids[i]
             ids[i] = img_id
-            if img_id in seen_batch or state.store.get(ids=[img_id], include=[])["ids"]:
+            if (
+                img_id in seen_batch
+                or state.store.get(ids=[img_id], include=[])["ids"]
+            ):
                 results[i] = {
                     "filename": name,
                     "status": "skipped",
                     "id": img_id,
                     "message": "Duplicate image detected",
                 }
+                arrays[i] = None
                 continue
             seen_batch.add(img_id)
-            arrays[i] = np.asarray(im)
             fresh.append(i)
-        except Exception as e:
-            results[i] = {"filename": name, "status": "error", "error": str(e)}
 
     if not fresh:
         return results
@@ -233,25 +280,67 @@ def process_batch(
             logger.error("batched caption/filter error: %s", e)
 
     if remove_bg and state.segmenter is not None:
-        for i in fresh:
-            try:
-                arrays[i] = state.segmenter.remove_background(arrays[i])
-            except Exception as e:
-                logger.error("background removal error: %s", e)
+        try:
+            with METRICS.timer("ingest.segment"):
+                # geometry-bucketed: one device call per (H, W) bucket
+                cut = state.segmenter.remove_background_batch(
+                    [arrays[i] for i in fresh]
+                )
+            for i, rgba in zip(fresh, cut):
+                arrays[i] = rgba
+        except Exception as e:
+            logger.error("background removal error: %s", e)
 
-    embed_inputs = [
-        a[..., :3] if a.shape[-1] == 4 else a
-        for a in (arrays[i] for i in fresh)
-    ]
-    embeddings = state.get_embedder().embed_images(embed_inputs)
+    if use_fused:
+        embeddings = fused_emb[fresh]
+    else:
+        embed_inputs = [
+            a[..., :3] if a.shape[-1] == 4 else a
+            for a in (arrays[i] for i in fresh)
+        ]
+        with METRICS.timer("ingest.embed"):
+            embeddings = state.get_embedder().embed_images(embed_inputs)
+
+    # PNG encodes fan out over the host pool (zlib/PIL release the GIL)
+    # while the metadata assembly below runs; reference anchor: one
+    # serial clean_image.save per upload (main.py:665-668).
+    # IMATCH_PNG_COMPRESS (default 1): zlib level for bulk ingest — level
+    # 1 encodes ~4x faster than PIL's default 6 for ~15% larger files,
+    # and PNG encode is pure host CPU, the scarcest resource at
+    # multi-k-img/s ingest rates.
+    png_level = int(os.environ.get("IMATCH_PNG_COMPRESS", "1"))
+
+    def _save(i):
+        Image.fromarray(arrays[i]).save(
+            os.path.join(state.processed_dir, f"{ids[i]}.png"),
+            compress_level=png_level,
+        )
+
+    with METRICS.timer("ingest.save"):
+        save_futs = [pool.submit(_save, i) for i in fresh]
+
+    # saves must land before results return (the metadata URLs point at
+    # them); a failed save demotes that file to an error result
+    save_failed = set()
+    with METRICS.timer("ingest.save_wait"):
+        for i, fut in zip(fresh, save_futs):
+            try:
+                fut.result()
+            except Exception as e:
+                logger.error("processed save failed for %s: %s", ids[i], e)
+                save_failed.add(i)
+                results[i] = {
+                    "filename": filenames[i],
+                    "status": "error",
+                    "error": f"save failed: {e}",
+                }
 
     add_ids, add_embs, add_mds, add_docs = [], [], [], []
     for j, i in enumerate(fresh):
+        if i in save_failed:
+            continue
         img_id = ids[i]
         name = filenames[i]
-        Image.fromarray(arrays[i]).save(
-            os.path.join(state.processed_dir, f"{img_id}.png")
-        )
         description = os.path.splitext(name)[0]
         url = f"/static/processed/{img_id}.png"
         metadata = {
@@ -277,7 +366,7 @@ def process_batch(
             "metadata": metadata,
         }
 
-    with state.lock:
+    with state.lock, METRICS.timer("ingest.add"):
         inserted = set(add_ids)
         try:
             state.store.add(

@@ -23,12 +23,21 @@ ALL_LIMIT = 1000
 
 
 def search_similar(
-    state: AppState, embedding: np.ndarray, limit: int = 10
+    state: AppState, embedding, limit: int = 10
 ) -> List[dict]:
-    """Vector search returning metadata dicts with ``similarity_score``."""
+    """Vector search returning metadata dicts with ``similarity_score``.
+
+    ``embedding`` may be a numpy vector or an in-flight jax.Array (the
+    one-round-trip text-search path); the store handles both."""
+    import jax
+
     actual_limit = ALL_LIMIT if limit <= 0 else limit
+    if isinstance(embedding, jax.Array):
+        qe = embedding[None] if embedding.ndim == 1 else embedding
+    else:
+        qe = [np.asarray(embedding, dtype=np.float32)]
     res = state.store.query(
-        query_embeddings=[np.asarray(embedding, dtype=np.float32)],
+        query_embeddings=qe,
         n_results=actual_limit,
         include=["metadatas", "distances"],
     )
@@ -47,7 +56,9 @@ def search_similar(
 
 
 def search_by_text(state: AppState, query_text: str, limit: int = 10) -> List[dict]:
-    emb = state.get_embedder().embed_text(query_text)
+    # device-chained: the text tower output feeds the index matmul
+    # without a host round-trip in between (one blocking transfer total)
+    emb = state.get_embedder().embed_text_device(query_text)
     return search_similar(state, emb, limit)
 
 
@@ -55,7 +66,7 @@ def search_by_image(
     state: AppState, image: Image.Image, limit: int = 10
 ) -> List[dict]:
     image = image.convert("RGB") if image.mode != "RGB" else image
-    emb = state.get_embedder().embed_image(np.asarray(image))
+    emb = state.get_embedder().embed_image_device(np.asarray(image))
     return search_similar(state, emb, limit)
 
 
@@ -76,11 +87,18 @@ def search_multimodal(
     weight_image: float = 0.5,
     limit: int = 10,
 ) -> List[dict]:
+    import jax.numpy as jnp
+
     image = image.convert("RGB") if image.mode != "RGB" else image
     embedder = state.get_embedder()
-    img_emb = embedder.embed_image(np.asarray(image))
-    txt_emb = embedder.embed_text(query_text)
-    combined = combine_embeddings(img_emb, txt_emb, weight_image)
+    # both towers dispatch without materializing; the blend and the index
+    # matmul chain on device (one blocking transfer for the whole request)
+    img_emb = embedder.embed_image_device(np.asarray(image))
+    txt_emb = embedder.embed_text_device(query_text)
+    i = img_emb / jnp.linalg.norm(img_emb)
+    t = txt_emb / jnp.linalg.norm(txt_emb)
+    c = weight_image * i + (1.0 - weight_image) * t
+    combined = c / jnp.linalg.norm(c)
     return search_similar(state, combined, limit)
 
 

@@ -76,3 +76,37 @@ def test_near_duplicate_hamming_small():
         (img.width // 2, img.height // 2), Image.Resampling.BICUBIC
     )
     assert hamming(phash_host(img), phash_host(shrunk)) <= 6
+
+
+def test_image_ids_batch_bit_identical():
+    """The bulk-ingest id path (device buckets + host fallback) must
+    produce exactly the serial host ids, mixed geometries included."""
+    from imatch_tpu.ops.phash import image_ids_batch
+
+    rng = np.random.default_rng(7)
+    arrays = []
+    # a large same-geometry bucket (device path) ...
+    for i in range(10):
+        arrays.append(rng.integers(0, 256, (128, 160, 3), np.uint8))
+    # ... plus odd sizes (host path) and a None hole (failed decode)
+    arrays.append(rng.integers(0, 256, (97, 55, 3), np.uint8))
+    arrays.append(None)
+    arrays.append(rng.integers(0, 256, (41, 222, 3), np.uint8))
+    got = image_ids_batch(arrays)
+    for a, g in zip(arrays, got):
+        if a is None:
+            assert g is None
+        else:
+            assert g == image_id(Image.fromarray(a))
+
+
+def test_phash_batch_checked_confidence():
+    from imatch_tpu.ops.phash import phash_batch_checked
+
+    rng = np.random.default_rng(8)
+    imgs = rng.integers(0, 256, (6, 64, 64, 3), np.uint8)
+    hexes, confident = phash_batch_checked(imgs)
+    assert len(hexes) == 6 and confident.shape == (6,)
+    for im, h, ok in zip(imgs, hexes, confident):
+        if ok:  # confident device hashes are bit-identical to host
+            assert h == phash_host(Image.fromarray(im))

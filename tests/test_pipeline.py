@@ -279,3 +279,42 @@ def test_batch_dup_race_keeps_survivor_metadata(state):
         state.store.get = real_get
     assert results[0]["status"] == "skipped"
     assert state.image_metadata[md1["id"]]["description"] == "original"
+
+
+def test_fused_ids_and_embeddings_match_separate_paths():
+    """The fused ingest step (one device upload -> pHash + embedding)
+    must produce ids bit-identical to the host hash and embeddings
+    identical to embed_images, across device buckets and host fallback."""
+    from imatch_tpu.ops.phash import image_id as host_image_id
+
+    emb = ClipEmbedder(config=TINY)
+    rng = np.random.default_rng(11)
+    images = [rng.integers(0, 256, (96, 80, 3), np.uint8) for _ in range(9)]
+    images.append(rng.integers(0, 256, (50, 64, 3), np.uint8))  # host bucket
+    images.append(None)  # failed decode hole
+    ids, vecs = emb.ids_and_embed_images(images)
+    assert ids[-1] is None and not vecs[-1].any()
+    live = [im for im in images if im is not None]
+    ref_vecs = emb.embed_images(live)
+    j = 0
+    for i, im in enumerate(images):
+        if im is None:
+            continue
+        assert ids[i] == host_image_id(Image.fromarray(im))
+        np.testing.assert_allclose(vecs[i], ref_vecs[j], atol=2e-6)
+        j += 1
+
+
+def test_process_batch_fused_equals_serial(state):
+    """process_batch (fused path) and process_image must agree on ids
+    and produce search-identical embeddings."""
+    rng = np.random.default_rng(12)
+    arrays = [rng.integers(0, 256, (64, 64, 3), np.uint8) for _ in range(10)]
+    images = [Image.fromarray(a) for a in arrays]
+    results = process_batch(state, images, [f"f{i}.png" for i in range(10)])
+    assert all(r["status"] == "success" for r in results)
+    # a re-upload of the same images via the serial path dedups 10/10
+    for i, a in enumerate(arrays):
+        md, is_new = process_image(state, Image.fromarray(a), f"g{i}.png")
+        assert not is_new
+        assert md["id"] == results[i]["id"]

@@ -139,3 +139,35 @@ def test_ingest_with_segmenter(tmp_path, monkeypatch):
     assert is_new
     out = np.asarray(Image.open(meta["processed_url"]))
     assert out.shape[-1] == 4  # RGBA cutout persisted
+
+
+def test_remove_background_batch_bucketed_dispatch():
+    """N mixed-geometry images -> one mask dispatch per geometry bucket,
+    results identical to the per-image path."""
+    from imatch_tpu.models.u2net.runtime import U2NetSegmenter
+
+    seg = U2NetSegmenter(config="tiny-u2")
+    rng = np.random.default_rng(3)
+    imgs = (
+        [rng.integers(0, 256, (40, 48, 3), np.uint8) for _ in range(3)]
+        + [rng.integers(0, 256, (32, 32, 3), np.uint8) for _ in range(2)]
+    )
+    calls = []
+    orig = seg._mask_fn
+
+    def counting(params, x):
+        calls.append(x.shape)
+        return orig(params, x)
+
+    seg._mask_fn = counting
+    batch = seg.remove_background_batch(imgs)
+    assert len(calls) == 2  # two geometry buckets
+    assert calls[0][0] == 4 and calls[1][0] == 2  # padded to pow2
+    seg._mask_fn = orig
+    for im, rgba in zip(imgs, batch):
+        single = seg.remove_background(im)
+        assert rgba.shape == single.shape == im.shape[:2] + (4,)
+        np.testing.assert_array_equal(rgba[..., :3], im)
+        # alpha from the batched path matches the single path
+        diff = np.abs(rgba[..., 3].astype(int) - single[..., 3].astype(int))
+        assert diff.max() <= 1
