@@ -8,6 +8,9 @@ Implementations:
 - ``NullCaptioner``  — unavailable (the degraded mode).
 - ``MoondreamJax``   — the JAX Moondream-class VLM
   (models/moondream/), selected with IMATCH_CAPTIONER=moondream.
+- ``CloudCaptioner`` — the hosted Moondream API, selected when
+  MOONDREAM_API_KEY is set (cloud -> local -> disabled fallback chain
+  mirroring main.py:94-117).
 
 Encoded image representations are cached to ``static/encoded/<id>.npz``
 replacing the reference's ``torch.save`` .pt files (main.py:647-651).
@@ -15,10 +18,17 @@ replacing the reference's ``torch.save`` .pt files (main.py:647-651).
 
 from __future__ import annotations
 
+import base64
+import io
+import json as _json
+import logging
 import os
+import urllib.request
 from typing import Any, Dict, Optional
 
 import numpy as np
+
+logger = logging.getLogger("imatch.captioner")
 
 
 class NullCaptioner:
@@ -34,6 +44,67 @@ class NullCaptioner:
 
     def query(self, encoded: Any, question: str) -> Dict[str, str]:
         raise RuntimeError("captioner unavailable")
+
+
+class CloudCaptioner:
+    """Hosted Moondream API client — the reference's cloud-first mode
+    (``md.vl(api_key=...)``, main.py:96-99), implemented directly over
+    the HTTP API so no vendor SDK is needed.
+
+    ``encode_image`` packs the frame as a JPEG data URL (what the API
+    consumes); ``caption``/``query`` POST JSON to
+    ``{MOONDREAM_API_URL}/caption`` and ``/query`` with the
+    ``X-Moondream-Auth`` header. Responses: {"caption": ...} /
+    {"answer": ...} — the same dict shapes the local VLM returns, so the
+    ingest/filter pipeline is agnostic to which backend answers.
+    """
+
+    available = True
+
+    def __init__(self, api_key: str, base_url: Optional[str] = None, timeout: float = 60.0):
+        self.api_key = api_key
+        self.base_url = (
+            base_url
+            or os.environ.get("MOONDREAM_API_URL", "https://api.moondream.ai/v1")
+        ).rstrip("/")
+        self.timeout = timeout
+
+    def encode_image(self, image: np.ndarray) -> Dict[str, str]:
+        from PIL import Image
+
+        buf = io.BytesIO()
+        Image.fromarray(np.asarray(image)[..., :3]).save(
+            buf, "JPEG", quality=92
+        )
+        b64 = base64.b64encode(buf.getvalue()).decode("ascii")
+        return {"image_url": f"data:image/jpeg;base64,{b64}"}
+
+    def _post(self, endpoint: str, payload: dict) -> dict:
+        req = urllib.request.Request(
+            f"{self.base_url}/{endpoint}",
+            data=_json.dumps(payload).encode("utf-8"),
+            headers={
+                "Content-Type": "application/json",
+                "X-Moondream-Auth": self.api_key,
+            },
+            method="POST",
+        )
+        with urllib.request.urlopen(req, timeout=self.timeout) as resp:
+            return _json.loads(resp.read().decode("utf-8"))
+
+    def caption(self, encoded: Dict[str, str]) -> Dict[str, str]:
+        out = self._post(
+            "caption",
+            {"image_url": encoded["image_url"], "length": "normal"},
+        )
+        return {"caption": out.get("caption", "")}
+
+    def query(self, encoded: Dict[str, str], question: str) -> Dict[str, str]:
+        out = self._post(
+            "query",
+            {"image_url": encoded["image_url"], "question": question},
+        )
+        return {"answer": out.get("answer", "")}
 
 
 def save_encoded(path_dir: str, image_id: str, encoded: Any) -> str:
@@ -55,12 +126,27 @@ def load_encoded(path_dir: str, image_id: str) -> Optional[Dict[str, np.ndarray]
 
 
 def get_captioner():
-    """Factory from IMATCH_CAPTIONER env (default: moondream if it can
-    initialize, else the null degraded mode — mirroring the reference's
-    cloud -> local -> disabled fallback chain, main.py:87-120)."""
+    """Factory from IMATCH_CAPTIONER env, mirroring the reference's
+    cloud -> local -> disabled fallback chain (main.py:87-120):
+
+    - ``null``: disabled.
+    - ``cloud``: hosted API (requires MOONDREAM_API_KEY).
+    - ``moondream``: the local JAX VLM (raise on init failure).
+    - ``auto`` (default): cloud when MOONDREAM_API_KEY is set, else
+      local, else the null degraded mode.
+    """
     choice = os.environ.get("IMATCH_CAPTIONER", "auto")
     if choice == "null":
         return NullCaptioner()
+    api_key = os.environ.get("MOONDREAM_API_KEY")
+    if choice == "cloud" or (choice == "auto" and api_key):
+        if api_key:
+            logger.info(
+                "moondream cloud API captioner (key %s...)", api_key[:5]
+            )
+            return CloudCaptioner(api_key)
+        if choice == "cloud":
+            raise RuntimeError("IMATCH_CAPTIONER=cloud needs MOONDREAM_API_KEY")
     try:
         from imatch_tpu.models.moondream.runtime import MoondreamJax
 
@@ -68,9 +154,7 @@ def get_captioner():
     except Exception:
         if choice == "moondream":
             raise
-        import logging
-
-        logging.getLogger("imatch.captioner").warning(
+        logger.warning(
             "captioner init failed; captions and filters disabled",
             exc_info=True,
         )

@@ -144,3 +144,46 @@ def test_interleaved_operations(live, tmp_path):
     hits = client.search_text("", filters=["is it a thing"], limit=0)
     # all images answered Yes (fake captioner) through one path or another
     assert len(hits) >= 1
+
+
+def test_concurrent_searches_pipeline_not_serialize():
+    """After the lock-free query fix, N parallel searches must overlap:
+    aggregate wall time ~ one query, not N x serial (regression pin for
+    VectorStore.query holding the lock across the device call)."""
+    from imatch_tpu.index.store import VectorStore
+
+    rng = np.random.default_rng(0)
+    emb = rng.standard_normal((256, 32)).astype(np.float32)
+    emb /= np.linalg.norm(emb, axis=1, keepdims=True)
+    store = VectorStore()
+    store.add(ids=[f"i{i}" for i in range(256)], embeddings=emb)
+    store.query([emb[0]], n_results=4)  # compile + build device state
+
+    orig = store._run_engine
+    delay = 0.15
+
+    def slow_engine(q, dc, k):
+        time.sleep(delay)  # stands in for device latency
+        return orig(q, dc, k)
+
+    store._run_engine = slow_engine
+    n = 8
+    errors = []
+
+    def one(i):
+        try:
+            r = store.query([emb[i]], n_results=4)
+            assert r["ids"][0][0] == f"i{i}"
+        except Exception as e:
+            errors.append(e)
+
+    threads = [threading.Thread(target=one, args=(i,)) for i in range(n)]
+    t0 = time.perf_counter()
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join(timeout=30)
+    wall = time.perf_counter() - t0
+    assert not errors, errors
+    # serialized would be >= n*delay = 1.2s; pipelined ~ delay + overhead
+    assert wall < n * delay / 2, f"searches serialized: {wall:.2f}s"
