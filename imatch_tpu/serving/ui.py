@@ -43,6 +43,8 @@ button:disabled{opacity:.5;cursor:wait}
 dialog{background:#151a22;color:#e6e8eb;border:1px solid #2c3442;border-radius:10px;max-width:640px;width:90%}
 dialog::backdrop{background:rgba(0,0,0,.6)}
 progress{width:100%}
+.dropzone{border:2px dashed #2c3442;border-radius:8px;padding:1.4rem;text-align:center;color:#9aa4b2;cursor:pointer;margin:.3rem 0 .6rem}
+.dropzone.drag{border-color:#3b82f6;background:#101826;color:#e6e8eb}
 """
 
 _SEARCH_JS = """
@@ -144,10 +146,25 @@ SEARCH_HTML = f"""<!doctype html><html><head><meta charset="utf-8">
 _MANAGE_JS = """
 const $=s=>document.querySelector(s);
 const esc=s=>String(s??'').replace(/[&<>"']/g,c=>({'&':'&amp;','<':'&lt;','>':'&gt;','"':'&quot;',"'":'&#39;'}[c]));
+// client-side size cap, matching the reference FileDropzone
+// (frontend/src/components/FileDropzone.tsx:17-24, maxSize 10 MB)
+const MAX_FILE_MB=10;
+function checkSizes(files){
+  const ok=[],rejected=[];
+  [...files].forEach(f=>(f.size<=MAX_FILE_MB*1024*1024?ok:rejected).push(f));
+  return {ok,rejected};
+}
+function sizeMsg(rejected){
+  return rejected.length?`rejected (> ${MAX_FILE_MB} MB): `+
+    rejected.map(f=>f.name).join(', ')+'\\n':'';
+}
 async function upload(ev){
   ev.preventDefault();
+  const f=$('#ufile').files[0];
+  if(f&&f.size>MAX_FILE_MB*1024*1024){
+    $('#ustatus').textContent=`file exceeds ${MAX_FILE_MB} MB`;return;}
   const fd=new FormData();
-  fd.append('file',$('#ufile').files[0]);
+  fd.append('file',f);
   fd.append('description',$('#udesc').value);
   fd.append('custom_metadata',$('#umeta').value);
   fd.append('remove_bg',$('#ubg').checked);
@@ -158,17 +175,78 @@ async function upload(ev){
     :(j.success?'indexed as '+j.metadata.id:'error: '+(j.error||r.status));
   listImages();
 }
+// Sequential per-file upload with live progress and 409 classification —
+// the uploadFolderWithProgress capability (frontend/src/lib/api.ts:125-238),
+// including its 1 Hz filter-activity poll while each file processes.
+async function uploadSequential(files,removeBg){
+  const total=files.length; let ok=0,skip=0,fail=0; const lines=[];
+  const bar=$('#bprogbar'); $('#bprog').style.display='block'; bar.max=total;
+  let pollTimer=null;
+  const cleanup=()=>{if(pollTimer){clearInterval(pollTimer);pollTimer=null;}};
+  for(let i=0;i<total;i++){
+    const f=files[i]; bar.value=i;
+    $('#bstatus').textContent=`Uploading file ${i+1} of ${total}: ${f.name}\\n`+lines.join('\\n');
+    let fi=0;
+    cleanup();
+    pollTimer=setInterval(async()=>{
+      try{const j=await (await fetch('/api/filters')).json();
+        const n=(j.filters||[]).length;
+        if(n>0){fi=Math.min(fi+1,n);
+          $('#bstatus').textContent=
+            `Processing ${i+1}/${total}: applying filters (${fi}/${n})\\n`+lines.join('\\n');}
+      }catch(e){}
+    },1000);
+    try{
+      const fd=new FormData();
+      fd.append('file',f); fd.append('remove_bg',removeBg);
+      const r=await fetch('/api/upload',{method:'POST',body:fd});
+      const j=await r.json();
+      if(r.status===409||(j.error||'').includes('Duplicate')){
+        skip++;lines.push(`${f.name}: skipped — ${j.message||'duplicate'}`);
+      }else if(j.success){ok++;lines.push(`${f.name}: success (${j.metadata.id})`);}
+      else{fail++;lines.push(`${f.name}: error — ${j.error||r.status}`);}
+    }catch(e){fail++;lines.push(`${f.name}: error — ${e}`);}
+    finally{cleanup();}
+  }
+  bar.value=total;
+  $('#bstatus').textContent=`done: ${ok} ok, ${skip} skipped, ${fail} failed\\n`+lines.join('\\n');
+}
 async function uploadBatch(ev){
   ev.preventDefault();
+  const {ok,rejected}=checkSizes($('#bfiles').files);
+  if(!ok.length){$('#bstatus').textContent=sizeMsg(rejected)||'no files';return;}
+  if($('#bseq').checked){
+    await uploadSequential(ok,$('#bbg').checked);
+    $('#bstatus').textContent=sizeMsg(rejected)+$('#bstatus').textContent;
+    listImages();return;
+  }
   const fd=new FormData();
-  [...$('#bfiles').files].forEach(f=>fd.append('files',f));
+  ok.forEach(f=>fd.append('files',f));
   fd.append('remove_bg',$('#bbg').checked);
-  $('#bstatus').textContent='uploading '+$('#bfiles').files.length+' files…';
+  $('#bstatus').textContent=sizeMsg(rejected)+'uploading '+ok.length+' files…';
   const r=await fetch('/api/upload-folder',{method:'POST',body:fd});
   const j=await r.json();
-  $('#bstatus').textContent=`done: ${j.successful} ok, ${j.skipped} skipped, ${j.failed} failed\\n`+
+  $('#bstatus').textContent=sizeMsg(rejected)+
+    `done: ${j.successful} ok, ${j.skipped} skipped, ${j.failed} failed\\n`+
     (j.results||[]).map(x=>`${x.filename}: ${x.status}${x.reason?' — '+x.reason:''}`).join('\\n');
   listImages();
+}
+// drag-and-drop zone (FileDropzone.tsx equivalent)
+function wireDropzone(){
+  const dz=$('#dropzone'), input=$('#bfiles');
+  const stop=e=>{e.preventDefault();e.stopPropagation();};
+  ['dragenter','dragover'].forEach(t=>dz.addEventListener(t,e=>{stop(e);dz.classList.add('drag');}));
+  ['dragleave','drop'].forEach(t=>dz.addEventListener(t,e=>{stop(e);dz.classList.remove('drag');}));
+  dz.addEventListener('drop',e=>{
+    const dt=new DataTransfer();
+    [...input.files].forEach(f=>dt.items.add(f));
+    [...e.dataTransfer.files].forEach(f=>{if(f.type.startsWith('image/'))dt.items.add(f);});
+    input.files=dt.files;
+    dz.querySelector('span').textContent=dt.files.length+' file(s) selected';
+  });
+  dz.addEventListener('click',()=>input.click());
+  input.addEventListener('change',()=>{
+    dz.querySelector('span').textContent=input.files.length+' file(s) selected';});
 }
 async function loadFilters(){
   const r=await fetch('/api/filters');const j=await r.json();
@@ -244,6 +322,7 @@ window.addEventListener('DOMContentLoaded',()=>{
   $('#bform').addEventListener('submit',uploadBatch);
   $('#fform').addEventListener('submit',addFilter);
   $('#eform').addEventListener('submit',saveEdit);
+  wireDropzone();
   loadFilters(); listImages();
 });
 """
@@ -262,9 +341,15 @@ MANAGE_HTML = f"""<!doctype html><html><head><meta charset="utf-8">
 </fieldset></form>
 
 <form id="bform"><fieldset><legend>Batch upload</legend>
-<input type="file" id="bfiles" multiple accept="image/*" required>
+<div id="dropzone" class="dropzone"><span>Drop images here or click to browse
+(max 10 MB each)</span></div>
+<input type="file" id="bfiles" multiple accept="image/*" style="display:none">
 <label><input type="checkbox" id="bbg"> remove background</label>
-<button>Upload all</button><div class="status" id="bstatus"></div>
+<label><input type="checkbox" id="bseq" checked> per-file progress
+(sequential, duplicates reported as skipped)</label>
+<button>Upload all</button>
+<div id="bprog" style="display:none"><progress id="bprogbar" max="1" value="0"></progress></div>
+<div class="status" id="bstatus"></div>
 </fieldset></form>
 
 <form id="fform"><fieldset><legend>Filters</legend>

@@ -382,6 +382,20 @@ def test_ui_pages_serve_and_are_consistent(client):
         assert js_ids <= dom_ids, (path, js_ids - dom_ids)
 
 
+def test_ui_manage_dropzone_capabilities(client):
+    """Pins the FileDropzone-equivalent capability set (reference
+    frontend/src/components/FileDropzone.tsx:17-24, lib/api.ts:125-238):
+    drag-drop zone, 10 MB client cap, sequential per-file progress with
+    409-as-skipped classification."""
+    html = client.get("/manage").text
+    assert 'id="dropzone"' in html
+    assert "MAX_FILE_MB=10" in html
+    assert "uploadSequential" in html
+    assert "Uploading file ${i+1} of ${total}" in html
+    assert "r.status===409" in html  # duplicate classified as skipped
+    assert "dataTransfer" in html  # drop handler wires into the input
+
+
 def test_metrics_and_profiler_endpoints(client):
     # generate some activity
     r = client.post(
