@@ -260,8 +260,12 @@ def encode_image_features(
 
 
 class KVCache(NamedTuple):
-    k: jax.Array  # (L, B, H, S_max, Dh)
-    v: jax.Array  # (L, B, H, S_max, Dh)
+    # S_max LAST: the TPU pads the minor-most (lane) dimension to 128,
+    # so a (..., S, Dh=64) layout would physically allocate (and stream,
+    # every decode step) 2x the cache bytes. With S minor-most the lane
+    # dim is the 128/256-bucketed sequence and Dh=64 sits in sublanes.
+    k: jax.Array  # (L, B, H, Dh, S_max)
+    v: jax.Array  # (L, B, H, Dh, S_max)
 
 
 def init_cache(
@@ -275,7 +279,7 @@ def init_cache(
     max_seq) cuts per-token HBM reads proportionally."""
     t = cfg.text
     n = cache_len or t.max_seq
-    shape = (t.num_layers, batch, t.num_heads, n, t.head_dim)
+    shape = (t.num_layers, batch, t.num_heads, t.head_dim, n)
     return KVCache(jnp.zeros(shape, dtype), jnp.zeros(shape, dtype))
 
 
@@ -303,25 +307,25 @@ def _rotary(x, positions, rotary_dim):
 
 
 def _attend_cached(q, ck, cv, *, valid_len, prec):
-    """q (B,H,Sq,Dh) against a cache (B,H,Smax,Dh) masked to valid_len.
+    """q (B,H,Sq,Dh) against a cache (B,H,Dh,Smax) masked to valid_len.
 
     valid_len: (B, Sq) number of cache slots visible to each q position
     (its own slot included — causal by construction).
     """
     scale = q.shape[-1] ** -0.5
     logits = jnp.einsum(
-        "bhqd,bhkd->bhqk",
+        "bhqd,bhdk->bhqk",
         q,
         ck.astype(q.dtype),
         preferred_element_type=jnp.float32,
         precision=prec,
     ) * scale
-    kpos = jnp.arange(ck.shape[2])
+    kpos = jnp.arange(ck.shape[3])
     mask = kpos[None, None, None, :] < valid_len[:, None, :, None]
     logits = jnp.where(mask, logits, NEG_INF)
     probs = jax.nn.softmax(logits.astype(jnp.float32), axis=-1)
     return jnp.einsum(
-        "bhqk,bhkd->bhqd",
+        "bhqk,bhdk->bhqd",
         probs.astype(q.dtype),
         cv.astype(q.dtype),
         preferred_element_type=jnp.float32,
@@ -355,40 +359,91 @@ def decoder_forward(
     pos = start_pos[:, None] + jnp.arange(sq)[None, :]
     # Cache slots visible to each new token: previous fill + causal self.
     valid = start_pos[:, None] + jnp.arange(1, sq + 1)[None, :]
+    lslice = (1,) + cache.k.shape[1:]
 
+    # The FULL cache rides the scan carry and each layer writes only its
+    # new (L=1, B, H, Dh, Sq) column via dynamic_update_slice. The
+    # earlier design threaded per-layer caches as scan xs/ys, which
+    # re-stacks (allocates + copies) the entire cache every call — at
+    # moondream2 B=8 that is ~3 GB of pure copy traffic per decode step,
+    # dwarfing the 2.6 GB of weight streaming the step actually needs.
+    # Carry + in-place-update is the aliasing-friendly form for XLA.
     def body(carry, xs):
-        h = carry
-        lp, ck, cv = xs
+        h, k_all, v_all = carry
+        li, lp = xs
         y = _layer_norm(h, lp["ln"], t.layer_norm_eps)
-        a = lp["attn"]
-        q = _dense(y, a["wq"], a["bq"], prec)
-        k = _dense(y, a["wk"], a["bk"], prec)
-        v = _dense(y, a["wv"], a["bv"], prec)
+        if "qkv_mlp" in lp:
+            # Packed fast path (pack_text_layers): the Phi parallel block
+            # feeds attention AND the MLP from the same LN output, so
+            # Q, K, V and the MLP-in projection fuse into ONE matmul —
+            # decode at B=1 is dispatch-bound (many small kernels per
+            # step), and this cuts the projection kernels 4 -> 1.
+            z = _dense(y, lp["qkv_mlp"]["w"], lp["qkv_mlp"]["b"], prec)
+            q, k, v, m1 = (
+                z[..., :d],
+                z[..., d : 2 * d],
+                z[..., 2 * d : 3 * d],
+                z[..., 3 * d :],
+            )
+        else:
+            a = lp["attn"]
+            q = _dense(y, a["wq"], a["bq"], prec)
+            k = _dense(y, a["wk"], a["bk"], prec)
+            v = _dense(y, a["wv"], a["bv"], prec)
+            m1 = _dense(y, lp["mlp"]["w1"], lp["mlp"]["b1"], prec)
         q = q.reshape(b, sq, nh, hd).transpose(0, 2, 1, 3)
         k = k.reshape(b, sq, nh, hd).transpose(0, 2, 1, 3)
         v = v.reshape(b, sq, nh, hd).transpose(0, 2, 1, 3)
         q = _rotary(q, pos, t.rotary_dim)
         k = _rotary(k, pos, t.rotary_dim)
-        # Scatter new K/V into the cache at start_pos (same for all rows
-        # in a call: rows are aligned by construction in prefill/decode).
-        ck = jax.lax.dynamic_update_slice(
-            ck, k.astype(ck.dtype), (0, 0, start_pos[0], 0)
-        )
-        cv = jax.lax.dynamic_update_slice(
-            cv, v.astype(cv.dtype), (0, 0, start_pos[0], 0)
-        )
+        # Scatter new K/V into layer li's slots at start_pos (same for
+        # all rows in a call: rows are aligned by construction). Cache
+        # layout is (L, B, H, Dh, S) — see KVCache — so the update
+        # writes along the lane axis.
+        at = (li, 0, 0, 0, start_pos[0])
+        kc = k.astype(k_all.dtype).transpose(0, 1, 3, 2)[None]
+        vc = v.astype(v_all.dtype).transpose(0, 1, 3, 2)[None]
+        k_all = jax.lax.dynamic_update_slice(k_all, kc, at)
+        v_all = jax.lax.dynamic_update_slice(v_all, vc, at)
+        ck = jax.lax.dynamic_slice(k_all, (li, 0, 0, 0, 0), lslice)[0]
+        cv = jax.lax.dynamic_slice(v_all, (li, 0, 0, 0, 0), lslice)[0]
         o = _attend_cached(q, ck, cv, valid_len=valid, prec=prec)
         o = o.transpose(0, 2, 1, 3).reshape(b, sq, d)
         attn_out = _dense(o, lp["attn"]["wo"], lp["attn"]["bo"], prec)
-        m = _gelu(_dense(y, lp["mlp"]["w1"], lp["mlp"]["b1"], prec))
-        mlp_out = _dense(m, lp["mlp"]["w2"], lp["mlp"]["b2"], prec)
+        mlp_out = _dense(_gelu(m1), lp["mlp"]["w2"], lp["mlp"]["b2"], prec)
         h = h + attn_out + mlp_out  # phi parallel residual
-        return h, (ck, cv)
+        return (h, k_all, v_all), None
 
-    x, (new_k, new_v) = jax.lax.scan(
-        body, x, (params["text"]["layers"], cache.k, cache.v)
+    (x, new_k, new_v), _ = jax.lax.scan(
+        body,
+        (x, cache.k, cache.v),
+        (jnp.arange(t.num_layers), params["text"]["layers"]),
     )
     return x, KVCache(new_k, new_v)
+
+
+def pack_text_layers(params: Params) -> Params:
+    """Return a params tree whose decoder layers carry one packed
+    [wq | wk | wv | w1] projection for decoder_forward's fused fast
+    path (the separate arrays are dropped from the copy, so HBM holds
+    one set of weights). The unpacked layout stays the canonical one —
+    checkpoints load into it and the TP sharding specs
+    (parallel/sharding.py) column-split the individual projections."""
+    tl = params["text"]["layers"]
+    a, m = tl["attn"], tl["mlp"]
+    packed = {
+        "w": jnp.concatenate([a["wq"], a["wk"], a["wv"], m["w1"]], axis=-1),
+        "b": jnp.concatenate([a["bq"], a["bk"], a["bv"], m["b1"]], axis=-1),
+    }
+    out = dict(params)
+    out["text"] = dict(params["text"])
+    out["text"]["layers"] = {
+        "ln": tl["ln"],
+        "qkv_mlp": packed,
+        "attn": {"wo": a["wo"], "bo": a["bo"]},
+        "mlp": {"w2": m["w2"], "b2": m["b2"]},
+    }
+    return out
 
 
 def lm_logits(params: Params, hidden: jax.Array, cfg: MoondreamConfig):

@@ -72,6 +72,27 @@ class MoondreamJax:
             )
         else:
             self.params = init_md_params(jax.random.key(0), self.cfg)
+        on_tpu = jax.default_backend() == "tpu"
+        # Param storage dtype: decode streams every weight each step, so
+        # fp32 storage doubles the HBM traffic AND the footprint
+        # (moondream2: 7.4 GB fp32 -> 3.7 GB bf16). bf16 storage is the
+        # TPU default; IMATCH_MD_PARAM_DTYPE=fp32 opts out.
+        pdt = os.environ.get(
+            "IMATCH_MD_PARAM_DTYPE", "bf16" if on_tpu else "fp32"
+        )
+        if pdt in ("bf16", "bfloat16"):
+            self.params = jax.tree.map(
+                lambda x: x.astype(jnp.bfloat16)
+                if x.dtype == jnp.float32
+                else x,
+                self.params,
+            )
+        # Packed QKV+MLP projection: one matmul dispatch instead of four
+        # per decoder layer per step (model.pack_text_layers).
+        if os.environ.get("IMATCH_MD_PACKED", "1") != "0":
+            from imatch_tpu.models.moondream.model import pack_text_layers
+
+            self.params = pack_text_layers(self.params)
         vocab = os.environ.get("IMATCH_MD_VOCAB")
         merges = os.environ.get("IMATCH_MD_MERGES")
         if vocab and merges:

@@ -194,3 +194,28 @@ def test_gpt2_byte_fallback_roundtrip():
     s = "Hello, Yes/No é中"
     assert tok.decode(tok.encode(s)) == s
     assert tok.vocab_size == 258
+
+
+def test_packed_layers_match_unpacked(md):
+    """pack_text_layers' fused QKV+MLP projection must be numerically
+    identical to the separate-projection path (same matmuls, one
+    dispatch): prefill logits and generated tokens agree."""
+    from imatch_tpu.models.moondream.model import pack_text_layers
+    from imatch_tpu.models.moondream.generate import greedy_generate, prefill
+
+    cfg, params = TINY_MD, md
+    packed = pack_text_layers(params)
+    assert "qkv_mlp" in packed["text"]["layers"]
+    assert "wq" not in packed["text"]["layers"]["attn"]
+    feats = jax.random.normal(
+        jax.random.key(3), (2, cfg.vision.num_patches, cfg.text.hidden_size)
+    )
+    tokens = jnp.asarray(
+        [[1, 5, 9, 2], [3, 7, 4, 8]], jnp.int32
+    ) % cfg.text.vocab_size
+    l0, c0, p0 = prefill(params, cfg, feats, tokens)
+    l1, c1, p1 = prefill(packed, cfg, feats, tokens)
+    np.testing.assert_allclose(np.asarray(l0), np.asarray(l1), atol=1e-5)
+    r0 = greedy_generate(params, cfg, l0, c0, p0, max_new=8)
+    r1 = greedy_generate(packed, cfg, l1, c1, p1, max_new=8)
+    np.testing.assert_array_equal(np.asarray(r0.tokens), np.asarray(r1.tokens))
