@@ -169,13 +169,28 @@ def _prec(dtype):
 
 
 def _dense(x, w, b, prec):
-    y = jnp.einsum(
-        "...d,df->...f",
-        x,
-        w.astype(x.dtype),
-        precision=prec,
-        preferred_element_type=jnp.float32,
-    ).astype(x.dtype)
+    """x @ w + b. ``w`` is a plain matrix or an int8 weight-only quant
+    dict {"q": int8 (..., in, out), "s": fp32 (..., 1, out)} from
+    quantize_int8 — dequantization is a per-output-channel scale applied
+    to the fp32 accumulator, so XLA streams int8 bytes from HBM and the
+    cast-to-compute fuses into the matmul read."""
+    if isinstance(w, dict):
+        y = jnp.einsum(
+            "...d,df->...f",
+            x,
+            w["q"].astype(x.dtype),
+            precision=prec,
+            preferred_element_type=jnp.float32,
+        )
+        y = (y * w["s"]).astype(x.dtype)
+    else:
+        y = jnp.einsum(
+            "...d,df->...f",
+            x,
+            w.astype(x.dtype),
+            precision=prec,
+            preferred_element_type=jnp.float32,
+        ).astype(x.dtype)
     if b is not None:
         y = y + b.astype(x.dtype)
     return y
@@ -446,6 +461,54 @@ def pack_text_layers(params: Params) -> Params:
     return out
 
 
+def quantize_int8(params: Params) -> Params:
+    """Weight-only int8 quantization of the text decoder's projection
+    matrices and the lm_head (per-output-channel symmetric scales).
+
+    Decode streams every decoder weight each step, so storage bytes ARE
+    the step time; int8 halves them vs bf16. Activations, embeddings,
+    layernorms and biases stay in the working dtype — this is storage
+    quantization, the matmul still accumulates in fp32 on the MXU.
+    Works on packed (pack_text_layers) or unpacked trees; stacked
+    (L, in, out) layer weights get per-(layer, out) scales. Opt-in via
+    IMATCH_MD_QUANT=int8 (runtime.py) — bf16 stays the default until a
+    real-weights caption-quality check blesses int8.
+    """
+
+    def qmat(w):
+        w32 = w.astype(jnp.float32)
+        a = jnp.max(jnp.abs(w32), axis=-2, keepdims=True)
+        s = jnp.where(a > 0, a, 1.0) / 127.0
+        q = jnp.clip(jnp.round(w32 / s), -127, 127).astype(jnp.int8)
+        return {"q": q, "s": s.astype(jnp.float32)}
+
+    tl = dict(params["text"]["layers"])
+    if "qkv_mlp" in tl:
+        tl["qkv_mlp"] = {"w": qmat(tl["qkv_mlp"]["w"]), "b": tl["qkv_mlp"]["b"]}
+        tl["attn"] = {"wo": qmat(tl["attn"]["wo"]), "bo": tl["attn"]["bo"]}
+        tl["mlp"] = {"w2": qmat(tl["mlp"]["w2"]), "b2": tl["mlp"]["b2"]}
+    else:
+        a, m = tl["attn"], tl["mlp"]
+        tl["attn"] = {
+            "wq": qmat(a["wq"]), "bq": a["bq"],
+            "wk": qmat(a["wk"]), "bk": a["bk"],
+            "wv": qmat(a["wv"]), "bv": a["bv"],
+            "wo": qmat(a["wo"]), "bo": a["bo"],
+        }
+        tl["mlp"] = {
+            "w1": qmat(m["w1"]), "b1": m["b1"],
+            "w2": qmat(m["w2"]), "b2": m["b2"],
+        }
+    out = dict(params)
+    out["text"] = dict(params["text"])
+    out["text"]["layers"] = tl
+    out["text"]["lm_head"] = {
+        "w": qmat(params["text"]["lm_head"]["w"]),
+        "b": params["text"]["lm_head"]["b"],
+    }
+    return out
+
+
 def lm_logits(params: Params, hidden: jax.Array, cfg: MoondreamConfig):
     """(B, Sq, D) -> (B, Sq, V) fp32 logits.
 
@@ -454,6 +517,16 @@ def lm_logits(params: Params, hidden: jax.Array, cfg: MoondreamConfig):
     """
     tp = params["text"]
     h = _layer_norm(hidden, tp["final_ln"], cfg.text.layer_norm_eps)
+    if isinstance(tp["lm_head"]["w"], dict):
+        w = tp["lm_head"]["w"]
+        y = jnp.einsum(
+            "bsd,dv->bsv",
+            h,
+            w["q"].astype(h.dtype),
+            precision=_prec(h.dtype),
+            preferred_element_type=jnp.float32,
+        )
+        return y * w["s"] + tp["lm_head"]["b"].astype(jnp.float32)
     if h.dtype == jnp.float32:
         return jnp.einsum(
             "bsd,dv->bsv",

@@ -93,6 +93,13 @@ class MoondreamJax:
             from imatch_tpu.models.moondream.model import pack_text_layers
 
             self.params = pack_text_layers(self.params)
+        # Opt-in int8 weight-only storage for the decoder + lm_head:
+        # halves decode's weight streaming vs bf16 (model.quantize_int8).
+        # Off by default pending a real-weights caption-quality check.
+        if os.environ.get("IMATCH_MD_QUANT", "") == "int8":
+            from imatch_tpu.models.moondream.model import quantize_int8
+
+            self.params = quantize_int8(self.params)
         vocab = os.environ.get("IMATCH_MD_VOCAB")
         merges = os.environ.get("IMATCH_MD_MERGES")
         if vocab and merges:

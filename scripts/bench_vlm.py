@@ -33,7 +33,14 @@ from imatch_tpu.models.moondream.generate import greedy_generate, prefill
 from imatch_tpu.models.moondream.model import init_md_params
 
 
-def bench(cfg_name: str, batches, param_dtype, packed=False, max_new: int = 32):
+def bench(
+    cfg_name: str,
+    batches,
+    param_dtype,
+    packed=False,
+    quant=False,
+    max_new: int = 32,
+):
     cfg = get_md_config(cfg_name)
     params = init_md_params(jax.random.key(0), cfg)
     if param_dtype != jnp.float32:
@@ -47,6 +54,10 @@ def bench(cfg_name: str, batches, param_dtype, packed=False, max_new: int = 32):
         from imatch_tpu.models.moondream.model import pack_text_layers
 
         params = pack_text_layers(params)
+    if quant:
+        from imatch_tpu.models.moondream.model import quantize_int8
+
+        params = quantize_int8(params)
     dt = jnp.bfloat16 if jax.default_backend() == "tpu" else jnp.float32
 
     import functools
@@ -88,11 +99,13 @@ if __name__ == "__main__":
     batches = [int(x) for x in sys.argv[2:]] or [1, 8]
     print(f"{cfg_name} on {jax.default_backend()}")
     variants = [
-        ("bf16 params, unpacked", jnp.bfloat16, False),
-        ("bf16 params, packed qkv+mlp", jnp.bfloat16, True),
+        ("bf16 params, packed qkv+mlp", jnp.bfloat16, True, False),
+        ("int8 params, packed qkv+mlp", jnp.bfloat16, True, True),
     ]
     if os.environ.get("BENCH_FP32"):
-        variants.insert(0, ("fp32 params, unpacked", jnp.float32, False))
-    for name, dtp, pk in variants:
+        variants.insert(0, ("fp32 params, unpacked", jnp.float32, False, False))
+    if os.environ.get("BENCH_UNPACKED"):
+        variants.insert(0, ("bf16 params, unpacked", jnp.bfloat16, False, False))
+    for name, dtp, pk, qt in variants:
         print(name)
-        bench(cfg_name, batches, dtp, packed=pk)
+        bench(cfg_name, batches, dtp, packed=pk, quant=qt)

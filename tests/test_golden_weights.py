@@ -163,3 +163,29 @@ def test_u2net_mask_quality():
     ours = mask > 0.5
     iou = (ref & ours).sum() / max(1, (ref | ours).sum())
     assert iou >= 0.85, f"IoU vs rembg {iou:.3f}"
+
+
+@needs_md
+def test_moondream_int8_caption_quality():
+    """Real moondream2 weights + IMATCH_MD_QUANT=int8: the quantized
+    decoder must still caption in real language and answer the drill
+    VQA yes — the gate that blesses int8 as a production default."""
+    import os
+
+    from imatch_tpu.models.moondream.runtime import MoondreamJax
+
+    old = os.environ.get("IMATCH_MD_QUANT")
+    os.environ["IMATCH_MD_QUANT"] = "int8"
+    try:
+        md = MoondreamJax()
+    finally:
+        if old is None:
+            os.environ.pop("IMATCH_MD_QUANT", None)
+        else:
+            os.environ["IMATCH_MD_QUANT"] = old
+    images = _load_corpus()
+    enc = md.encode_image(images["red drill.jpg"])
+    caption = md.caption(enc)["caption"]
+    assert len(caption.strip().split()) >= 3, f"degenerate: {caption!r}"
+    ans = md.query(enc, "Yes or No: is there a drill in the image?")["answer"]
+    assert ans.strip().lower().startswith("yes"), ans

