@@ -55,7 +55,12 @@ def _env_engine() -> str:
 
 def _env_score_dtype():
     """IMATCH_SCORE_DTYPE: bf16 (default) | fp32 | int8 (tilemax only)."""
-    return _SCORE_DTYPES[os.environ.get("IMATCH_SCORE_DTYPE", "bf16").lower()]
+    name = os.environ.get("IMATCH_SCORE_DTYPE", "bf16").lower()
+    if name not in _SCORE_DTYPES:
+        raise ValueError(
+            f"unknown score dtype {name!r}; valid: {sorted(_SCORE_DTYPES)}"
+        )
+    return _SCORE_DTYPES[name]
 
 
 class VectorStore:

@@ -3,9 +3,10 @@
 TPU-first shape (same conventions as models/clip/model.py): per-layer
 params stacked on a leading axis and scanned (one compiled layer body);
 bf16 matmuls with fp32 layernorm/softmax; the KV cache is a pair of
-(L, B, H, S_max, Dh) arrays threaded through ``lax.scan`` so prefill and
-every decode step are each a single fused XLA program — no Python in the
-token loop (``lax.while_loop`` drives generation).
+(L, B, H, Dh, S_max) arrays riding the layer-scan CARRY with in-place
+column writes (see decoder_forward) so prefill and every decode step are
+each a single fused XLA program — no Python in the token loop
+(``lax.while_loop`` drives generation) and no per-step cache copies.
 
 Replaces moondream_model.encode_image/caption/query
 (/root/reference/backend/app/main.py:600-603,1001-1002).

@@ -69,15 +69,31 @@ class CloudCaptioner:
         ).rstrip("/")
         self.timeout = timeout
 
-    def encode_image(self, image: np.ndarray) -> Dict[str, str]:
+    def encode_image(self, image: np.ndarray) -> Dict[str, Any]:
         from PIL import Image
 
+        arr = np.asarray(image)
+        if arr.ndim == 2:  # grayscale, same contract as the local VLM
+            arr = np.stack([arr] * 3, axis=-1)
+        elif arr.ndim == 3 and arr.shape[-1] == 1:
+            arr = np.repeat(arr, 3, axis=-1)
         buf = io.BytesIO()
-        Image.fromarray(np.asarray(image)[..., :3]).save(
-            buf, "JPEG", quality=92
-        )
+        Image.fromarray(arr[..., :3]).save(buf, "JPEG", quality=92)
         b64 = base64.b64encode(buf.getvalue()).decode("ascii")
-        return {"image_url": f"data:image/jpeg;base64,{b64}"}
+        url = f"data:image/jpeg;base64,{b64}"
+        # Stored as a uint8 byte array: save_encoded/load_encoded (npz)
+        # round-trip it losslessly, and it avoids the 4x UTF-32 bloat a
+        # numpy unicode scalar would pay on disk.
+        return {"image_url": np.frombuffer(url.encode("ascii"), np.uint8)}
+
+    @staticmethod
+    def _url(encoded: Dict[str, Any]) -> str:
+        u = encoded["image_url"]
+        if isinstance(u, np.ndarray):
+            if u.dtype == np.uint8:
+                return u.tobytes().decode("ascii")
+            return str(u[()])  # legacy unicode-array caches
+        return str(u)
 
     def _post(self, endpoint: str, payload: dict) -> dict:
         req = urllib.request.Request(
@@ -92,17 +108,17 @@ class CloudCaptioner:
         with urllib.request.urlopen(req, timeout=self.timeout) as resp:
             return _json.loads(resp.read().decode("utf-8"))
 
-    def caption(self, encoded: Dict[str, str]) -> Dict[str, str]:
+    def caption(self, encoded: Dict[str, Any]) -> Dict[str, str]:
         out = self._post(
             "caption",
-            {"image_url": encoded["image_url"], "length": "normal"},
+            {"image_url": self._url(encoded), "length": "normal"},
         )
         return {"caption": out.get("caption", "")}
 
-    def query(self, encoded: Dict[str, str], question: str) -> Dict[str, str]:
+    def query(self, encoded: Dict[str, Any], question: str) -> Dict[str, str]:
         out = self._post(
             "query",
-            {"image_url": encoded["image_url"], "question": question},
+            {"image_url": self._url(encoded), "question": question},
         )
         return {"answer": out.get("answer", "")}
 

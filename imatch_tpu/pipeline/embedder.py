@@ -154,23 +154,22 @@ class ClipEmbedder:
             "embedder ready in %.2fs (dp=%d)", time.time() - t0, self.dp or 1
         )
 
-    def _pad_dp(self, n: int) -> int:
-        """Rows of padding needed to split a batch over the dp mesh."""
-        return 0 if self.dp <= 1 else (-n) % self.dp
-
     @property
     def dim(self) -> int:
         return self.cfg.projection_dim
 
     def _chunk_bounds(self, n: int, chunk: int):
         """Split n rows into device batches: each chunk is padded up to a
-        power of two (and to the dp mesh), so distinct folder sizes reuse
-        at most log2(chunk) compiled variants instead of one per size and
-        huge uploads stream through the tower in bounded-HBM pieces."""
+        power of two, then to a multiple of the dp mesh (sharding over
+        'data' requires batch % dp == 0 for ANY dp, not just powers of
+        two). Distinct folder sizes reuse at most ~log2(chunk) compiled
+        variants instead of one per size, and huge uploads stream through
+        the tower in bounded-HBM pieces."""
+        d = self.dp or 1
         for s in range(0, n, chunk):
             b = min(chunk, n - s)
             bp = 1 << max(0, (b - 1)).bit_length()
-            bp = max(bp, self.dp or 1)
+            bp = -(-max(bp, d) // d) * d
             yield s, b, bp
 
     def _embed_pixels(self, pixels) -> jax.Array:

@@ -18,6 +18,7 @@ import datetime
 import json
 import logging
 import os
+import threading
 from concurrent.futures import ThreadPoolExecutor
 from typing import Dict, List, Optional, Sequence, Tuple
 
@@ -37,15 +38,18 @@ logger = logging.getLogger("imatch.ingest")
 # scipy release the GIL in their hot loops). Sized for the host work, not
 # the device — the device pipeline is fed by one thread.
 _HOST_POOL: Optional[ThreadPoolExecutor] = None
+_HOST_POOL_LOCK = threading.Lock()
 
 
 def _host_pool() -> ThreadPoolExecutor:
     global _HOST_POOL
     if _HOST_POOL is None:
-        _HOST_POOL = ThreadPoolExecutor(
-            max_workers=min(16, (os.cpu_count() or 4)),
-            thread_name_prefix="imatch-ingest",
-        )
+        with _HOST_POOL_LOCK:  # two first-uploads must not race two pools
+            if _HOST_POOL is None:
+                _HOST_POOL = ThreadPoolExecutor(
+                    max_workers=min(16, (os.cpu_count() or 4)),
+                    thread_name_prefix="imatch-ingest",
+                )
     return _HOST_POOL
 
 
@@ -205,12 +209,33 @@ def process_batch(
     use_fused = not (remove_bg and state.segmenter is not None)
     fused_emb = None
     with METRICS.timer("ingest.phash"):
-        if use_fused:
-            batch_ids, fused_emb = state.get_embedder().ids_and_embed_images(
-                arrays, pool=pool
-            )
-        else:
-            batch_ids = image_ids_batch(arrays, pool=pool)
+        try:
+            if use_fused:
+                batch_ids, fused_emb = (
+                    state.get_embedder().ids_and_embed_images(arrays, pool=pool)
+                )
+            else:
+                batch_ids = image_ids_batch(arrays, pool=pool)
+        except Exception as e:
+            # Batch hash/embed died whole (device error, corrupt frame in
+            # the fan-out). Degrade to serial per-image hashing so one bad
+            # file costs only itself — the reference's per-file isolation
+            # contract (main.py:1180-1187).
+            logger.error("batched hash/embed failed, per-image fallback: %s", e)
+            use_fused = False
+            fused_emb = None
+            batch_ids = [None] * len(arrays)
+            for i, a in enumerate(arrays):
+                if a is None or results[i] is not None:
+                    continue
+                try:
+                    batch_ids[i] = phash_image_id(Image.fromarray(a))
+                except Exception as ee:
+                    results[i] = {
+                        "filename": filenames[i],
+                        "status": "error",
+                        "error": str(ee),
+                    }
     seen_batch = set()
     with METRICS.timer("ingest.dup"):
         for i, name in enumerate(filenames):
@@ -298,8 +323,21 @@ def process_batch(
             a[..., :3] if a.shape[-1] == 4 else a
             for a in (arrays[i] for i in fresh)
         ]
-        with METRICS.timer("ingest.embed"):
-            embeddings = state.get_embedder().embed_images(embed_inputs)
+        try:
+            with METRICS.timer("ingest.embed"):
+                embeddings = state.get_embedder().embed_images(embed_inputs)
+        except Exception as e:
+            # embed died for the whole chunk: demote the still-pending
+            # files to per-file errors instead of 500ing the request and
+            # losing the dup/error classifications already made.
+            logger.error("batch embed failed: %s", e)
+            for i in fresh:
+                results[i] = {
+                    "filename": filenames[i],
+                    "status": "error",
+                    "error": f"embedding failed: {e}",
+                }
+            return results
 
     # PNG encodes fan out over the host pool (zlib/PIL release the GIL)
     # while the metadata assembly below runs; reference anchor: one

@@ -70,14 +70,16 @@ def search_by_image(
     return search_similar(state, emb, limit)
 
 
-def combine_embeddings(
-    image_emb: np.ndarray, text_emb: np.ndarray, weight_image: float
-) -> np.ndarray:
-    """Normalized weighted blend (main.py:852-860)."""
-    i = image_emb / np.linalg.norm(image_emb)
-    t = text_emb / np.linalg.norm(text_emb)
-    c = weight_image * i + (1 - weight_image) * t
-    return c / np.linalg.norm(c)
+def combine_embeddings(image_emb, text_emb, weight_image: float):
+    """Normalized weighted blend (main.py:852-860). jnp ops so it serves
+    both host numpy arrays and in-flight device arrays (the chained
+    multimodal path) from one definition."""
+    import jax.numpy as jnp
+
+    i = image_emb / jnp.linalg.norm(image_emb)
+    t = text_emb / jnp.linalg.norm(text_emb)
+    c = weight_image * i + (1.0 - weight_image) * t
+    return c / jnp.linalg.norm(c)
 
 
 def search_multimodal(
@@ -87,18 +89,13 @@ def search_multimodal(
     weight_image: float = 0.5,
     limit: int = 10,
 ) -> List[dict]:
-    import jax.numpy as jnp
-
     image = image.convert("RGB") if image.mode != "RGB" else image
     embedder = state.get_embedder()
     # both towers dispatch without materializing; the blend and the index
     # matmul chain on device (one blocking transfer for the whole request)
     img_emb = embedder.embed_image_device(np.asarray(image))
     txt_emb = embedder.embed_text_device(query_text)
-    i = img_emb / jnp.linalg.norm(img_emb)
-    t = txt_emb / jnp.linalg.norm(txt_emb)
-    c = weight_image * i + (1.0 - weight_image) * t
-    combined = c / jnp.linalg.norm(c)
+    combined = combine_embeddings(img_emb, txt_emb, weight_image)
     return search_similar(state, combined, limit)
 
 

@@ -345,8 +345,8 @@ MANAGE_HTML = f"""<!doctype html><html><head><meta charset="utf-8">
 (max 10 MB each)</span></div>
 <input type="file" id="bfiles" multiple accept="image/*" style="display:none">
 <label><input type="checkbox" id="bbg"> remove background</label>
-<label><input type="checkbox" id="bseq" checked> per-file progress
-(sequential, duplicates reported as skipped)</label>
+<label><input type="checkbox" id="bseq"> per-file progress (sequential
+uploads; the default one-request batch uses the fused device path)</label>
 <button>Upload all</button>
 <div id="bprog" style="display:none"><progress id="bprogbar" max="1" value="0"></progress></div>
 <div class="status" id="bstatus"></div>

@@ -52,7 +52,7 @@ def test_cloud_caption_and_query(mock_api):
     cap = CloudCaptioner("sk-test-123", base_url=url)
     img = np.zeros((32, 32, 3), np.uint8)
     enc = cap.encode_image(img)
-    assert enc["image_url"].startswith("data:image/jpeg;base64,")
+    assert CloudCaptioner._url(enc).startswith("data:image/jpeg;base64,")
     assert cap.caption(enc)["caption"].startswith("a red power drill")
     assert cap.query(enc, "Yes or No: is there a drill?")["answer"] == "Yes"
     assert cap.query(enc, "Yes or No: is there a cat?")["answer"] == "No"
@@ -104,3 +104,22 @@ def test_cloud_in_ingest_pipeline(mock_api, tmp_path):
     assert "a red power drill" in md["custom_metadata"]
     fr = json.loads(md["filter_results_json"])
     assert fr == {"is there a drill?": "Yes"}
+
+
+def test_cloud_encoded_cache_roundtrip_and_grayscale(mock_api, tmp_path):
+    """The npz cache round-trip must keep query() working (the filter
+    backfill path loads encodings from disk, backfill.py), and grayscale
+    frames must encode as real images, not 3-px-wide column slices."""
+    from imatch_tpu.pipeline.captioner import load_encoded, save_encoded
+
+    url, seen = mock_api
+    cap = CloudCaptioner("sk-x", base_url=url)
+    enc = cap.encode_image(np.full((16, 16), 128, np.uint8))  # 2-D gray
+    u = CloudCaptioner._url(enc)
+    assert u.startswith("data:image/jpeg;base64,")
+    save_encoded(str(tmp_path), "img_x", enc)
+    loaded = load_encoded(str(tmp_path), "img_x")
+    ans = cap.query(loaded, "Yes or No: is there a drill?")["answer"]
+    assert ans == "Yes"
+    # the JSON body carried the decoded data-URL string, not an ndarray
+    assert seen["bodies"][-1]["image_url"] == u

@@ -318,3 +318,55 @@ def test_process_batch_fused_equals_serial(state):
         md, is_new = process_image(state, Image.fromarray(a), f"g{i}.png")
         assert not is_new
         assert md["id"] == results[i]["id"]
+
+
+def test_chunk_bounds_divisible_by_any_dp():
+    """Padded device batches must be divisible by the dp mesh for ANY
+    dp (sharding over 'data' requires batch % dp == 0), including
+    non-power-of-two meshes — and still reuse pow2-bucketed compile
+    variants."""
+    from imatch_tpu.pipeline.embedder import ClipEmbedder
+
+    for dp in (1, 2, 3, 5, 6, 8):
+        e = ClipEmbedder.__new__(ClipEmbedder)
+        e.dp = dp
+        seen = set()
+        for n in (1, 5, 7, 64, 513, 1000):
+            for s, b, bp in e._chunk_bounds(n, 512):
+                assert bp % dp == 0, (dp, n, bp)
+                assert bp >= b
+                seen.add(bp)
+        assert len(seen) <= 12  # bounded compile-variant count
+
+
+def test_process_batch_survives_batched_hash_failure(tmp_path, monkeypatch):
+    """If the fused batch hash/embed dies whole (device error), the
+    folder upload must degrade to per-image processing instead of
+    500ing — the reference's per-file isolation contract
+    (main.py:1180-1187)."""
+    from PIL import Image
+
+    from imatch_tpu.models.clip.configs import TINY
+    from imatch_tpu.pipeline.captioner import NullCaptioner
+    from imatch_tpu.pipeline.embedder import ClipEmbedder
+    from imatch_tpu.pipeline.ingest import process_batch
+    from imatch_tpu.pipeline.state import AppState
+
+    state = AppState(
+        root=str(tmp_path),
+        embedder=ClipEmbedder(config=TINY),
+        captioner=NullCaptioner(),
+    )
+
+    def boom(*a, **k):
+        raise RuntimeError("simulated device failure")
+
+    monkeypatch.setattr(state.get_embedder(), "ids_and_embed_images", boom)
+    rng = np.random.default_rng(3)
+    imgs = [
+        Image.fromarray(rng.integers(0, 256, (40, 40, 3), np.uint8))
+        for _ in range(3)
+    ]
+    results = process_batch(state, imgs, ["a.png", "b.png", "c.png"])
+    assert [r["status"] for r in results] == ["success"] * 3
+    assert state.store.count() == 3
