@@ -229,9 +229,31 @@ class MoondreamJax:
             return {"answer": text.strip()}
 
     # -- batched paths (the TPU-native win over the reference) ------------
+    #
+    # Every batch streams through FIXED-size device chunks (last chunk
+    # padded by repeating a row): a whole-folder batch would both blow
+    # HBM (the KV cache is ~200 MB/row at moondream2 geometry — 2048
+    # captions at once is a ~400 GB cache) and compile one XLA variant
+    # per distinct folder size. Chunking bounds both: one compiled
+    # variant per path, cache/activations capped at chunk rows.
+
+    @staticmethod
+    def _bucket(b: int, chunk: int) -> int:
+        """Pad target: next power of two, capped at the chunk size —
+        ~log2(chunk) compile variants total, <=2x padding waste."""
+        return min(chunk, 1 << max(0, b - 1).bit_length())
+
+    @staticmethod
+    def _pad_rows(x: jnp.ndarray, n: int) -> jnp.ndarray:
+        if x.shape[0] >= n:
+            return x
+        reps = [x[-1:]] * (n - x.shape[0])
+        return jnp.concatenate([x] + reps, axis=0)
 
     def encode_image_batch(self, images) -> list:
-        """Vision-encode a batch; same-geometry images share device calls."""
+        """Vision-encode a batch; same-geometry images share device calls
+        (chunked — IMATCH_VLM_ENC_CHUNK, default 16)."""
+        chunk = int(os.environ.get("IMATCH_VLM_ENC_CHUNK", "16"))
         arrs = []
         for im in images:
             a = np.asarray(im)
@@ -246,45 +268,70 @@ class MoondreamJax:
             by_size.setdefault(a.shape[:2], []).append(i)
         with self._lock, METRICS.timer("vlm.encode_batch"):
             for _, idxs in by_size.items():
-                pix = jnp.concatenate(
-                    [self._preprocess(arrs[i]) for i in idxs], axis=0
-                )
-                feats = self._encode_fn(self.params, pix)
-                feats = np.asarray(feats, np.float32)
-                for j, i in enumerate(idxs):
-                    out[i] = {"features": feats[j]}
+                for s in range(0, len(idxs), chunk):
+                    part = idxs[s : s + chunk]
+                    pix = jnp.concatenate(
+                        [self._preprocess(arrs[i]) for i in part], axis=0
+                    )
+                    pix = self._pad_rows(pix, self._bucket(len(part), chunk))
+                    feats = self._encode_fn(self.params, pix)
+                    feats = np.asarray(feats, np.float32)
+                    for j, i in enumerate(part):
+                        out[i] = {"features": feats[j]}
         return out
 
     def caption_batch(self, encoded_list, max_new: int = 48) -> list[str]:
-        """One batched prefill + one shared decode loop for N captions
-        (the reference decodes captions one network call at a time)."""
+        """Batched prefill + shared decode loops for N captions, in
+        fixed-size chunks (IMATCH_VLM_CAP_CHUNK, default 8 — the decode
+        KV cache is the HBM budget here). The reference decodes captions
+        one network call at a time."""
         if not encoded_list:
             return []
+        chunk = int(os.environ.get("IMATCH_VLM_CAP_CHUNK", "8"))
+        ids = [self.tokenizer.bos_id] + self.tokenizer.encode(CAPTION_PROMPT)
+        n = len(encoded_list)
+        texts: list = []
         with self._lock, METRICS.timer("vlm.caption_batch"):
-            feats = jnp.concatenate(
-                [self._feats(e) for e in encoded_list], axis=0
-            )
-            ids = [self.tokenizer.bos_id] + self.tokenizer.encode(
-                CAPTION_PROMPT
-            )
-            tokens = jnp.asarray([ids] * feats.shape[0], jnp.int32)
-            result = self._generate_fn(self.params, feats, tokens, max_new)
-            toks = np.asarray(result.tokens)
-            lens = np.asarray(result.lengths)
-            return [
-                self.tokenizer.decode(toks[i][: int(lens[i])]).strip()
-                for i in range(len(encoded_list))
-            ]
+            for s in range(0, n, chunk):
+                part = encoded_list[s : s + chunk]
+                b = self._bucket(len(part), chunk)
+                feats = self._pad_rows(
+                    jnp.concatenate([self._feats(e) for e in part], axis=0),
+                    b,
+                )
+                tokens = jnp.asarray([ids] * b, jnp.int32)
+                result = self._generate_fn(
+                    self.params, feats, tokens, max_new
+                )
+                toks = np.asarray(result.tokens)
+                lens = np.asarray(result.lengths)
+                texts.extend(
+                    self.tokenizer.decode(toks[i][: int(lens[i])]).strip()
+                    for i in range(len(part))
+                )
+        return texts
 
     def query_yes_no_batch(self, encoded_list, question: str) -> list[bool]:
-        """One prefill for a whole batch of images x one question."""
+        """Prefill-only yes/no for a batch of images x one question, in
+        fixed-size chunks (IMATCH_VLM_VQA_CHUNK, default 32 — prefill's
+        cache buckets to the prompt, ~150 MB/row at moondream2)."""
+        if not encoded_list:
+            return []
+        chunk = int(os.environ.get("IMATCH_VLM_VQA_CHUNK", "32"))
+        ids = [self.tokenizer.bos_id] + self.tokenizer.encode(
+            f"\n\nQuestion: {question}\n\nAnswer:"
+        )
+        n = len(encoded_list)
+        out: list = []
         with self._lock, METRICS.timer("vlm.query_batch"):
-            feats = jnp.concatenate(
-                [self._feats(e) for e in encoded_list], axis=0
-            )
-            ids = [self.tokenizer.bos_id] + self.tokenizer.encode(
-                f"\n\nQuestion: {question}\n\nAnswer:"
-            )
-            tokens = jnp.asarray([ids] * feats.shape[0], jnp.int32)
-            ans = self._vqa_fn(self.params, feats, tokens)
-            return [bool(a) for a in np.asarray(ans)]
+            for s in range(0, n, chunk):
+                part = encoded_list[s : s + chunk]
+                b = self._bucket(len(part), chunk)
+                feats = self._pad_rows(
+                    jnp.concatenate([self._feats(e) for e in part], axis=0),
+                    b,
+                )
+                tokens = jnp.asarray([ids] * b, jnp.int32)
+                ans = self._vqa_fn(self.params, feats, tokens)
+                out.extend(bool(a) for a in np.asarray(ans)[: len(part)])
+        return out

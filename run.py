@@ -15,6 +15,12 @@ import os
 
 import jax
 
+# Some TPU plugins self-register and ignore the JAX_PLATFORMS env var;
+# honor it explicitly so `JAX_PLATFORMS=cpu python run.py` really serves
+# from CPU (same handling as __graft_entry__.py / tests/conftest.py).
+if os.environ.get("JAX_PLATFORMS", "").startswith("cpu"):
+    jax.config.update("jax_platforms", "cpu")
+
 # Persistent XLA compilation cache: the towers' first-request compiles
 # (minutes on CPU, ~30s on TPU) are paid once per machine, not per
 # restart. Override location with JAX_COMPILATION_CACHE_DIR.

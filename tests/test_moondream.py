@@ -251,3 +251,34 @@ def test_int8_quantized_decode_close_to_full(md):
             np.linalg.norm(a, axis=-1) * np.linalg.norm(b, axis=-1)
         )
         assert cos.min() >= 0.999, cos
+
+
+def test_batch_paths_chunk_and_match_single(monkeypatch):
+    """Batched caption/VQA/encode must chunk to fixed-size padded device
+    batches (bounded HBM + compile variants) and still agree with the
+    single-image paths, including when the batch doesn't divide the
+    chunk (padded rows must not leak into results)."""
+    monkeypatch.setenv("IMATCH_MD_CONFIG", "tiny-md")
+    monkeypatch.setenv("IMATCH_VLM_CAP_CHUNK", "2")
+    monkeypatch.setenv("IMATCH_VLM_VQA_CHUNK", "2")
+    monkeypatch.setenv("IMATCH_VLM_ENC_CHUNK", "2")
+    svc = MoondreamJax()
+    rng = np.random.default_rng(9)
+    imgs = [
+        rng.integers(0, 256, (40, 56, 3), dtype=np.uint8) for _ in range(5)
+    ]
+    encs = svc.encode_image_batch(imgs)  # 5 = 2+2+1 chunks
+    singles = [svc.encode_image(im) for im in imgs]
+    for e, s in zip(encs, singles):
+        np.testing.assert_allclose(
+            e["features"], s["features"], rtol=2e-4, atol=2e-5
+        )
+    caps = svc.caption_batch(encs, max_new=6)
+    assert len(caps) == 5
+    assert caps == [svc.caption(e, max_new=6)["caption"] for e in encs]
+    answers = svc.query_yes_no_batch(encs, "Yes or No: is this a drill?")
+    assert len(answers) == 5
+    assert answers == [
+        svc.query(e, "Yes or No: is this a drill?")["answer"] == "Yes"
+        for e in encs
+    ]
