@@ -45,6 +45,7 @@ from imatch_tpu.models.moondream.model import (
 )
 from imatch_tpu.ops.resize import resize_crop_matrices
 from imatch_tpu.ops.tokenizer_gpt2 import GPT2Tokenizer
+from imatch_tpu.utils.batching import pad_rows, pow2_bucket, to_rgb
 from imatch_tpu.utils.metrics import METRICS
 
 CAPTION_PROMPT = "\n\nQuestion: Describe this image.\n\nAnswer:"
@@ -80,6 +81,11 @@ class MoondreamJax:
         pdt = os.environ.get(
             "IMATCH_MD_PARAM_DTYPE", "bf16" if on_tpu else "fp32"
         )
+        if pdt not in ("bf16", "bfloat16", "fp32", "float32"):
+            raise ValueError(
+                f"unknown IMATCH_MD_PARAM_DTYPE {pdt!r}; valid: bf16, fp32"
+                " (int8 decode is IMATCH_MD_QUANT=int8)"
+            )
         if pdt in ("bf16", "bfloat16"):
             self.params = jax.tree.map(
                 lambda x: x.astype(jnp.bfloat16)
@@ -160,11 +166,7 @@ class MoondreamJax:
 
     def _preprocess(self, image) -> jnp.ndarray:
         """PIL image or HWC uint8 array -> (1, S, S, 3) in [-1, 1]."""
-        arr = np.asarray(image)
-        if arr.ndim == 2:
-            arr = np.stack([arr] * 3, axis=-1)
-        if arr.shape[-1] == 4:
-            arr = arr[..., :3]
+        arr = to_rgb(image)
         h, w = arr.shape[:2]
         key = (h, w)
         if key not in self._resize_cache:
@@ -194,15 +196,20 @@ class MoondreamJax:
 
     # -- generation -------------------------------------------------------
 
-    def _prompt_ids(self, text: str, max_new: int = 0) -> jnp.ndarray:
+    def _prompt_id_list(self, text: str, max_new: int = 0) -> list:
         """Tokenize, truncated so prompt + image patches + max_new decode
         steps all fit max_seq — otherwise decode would write past the KV
-        cache end (dynamic_update_slice clamps silently -> garbage)."""
+        cache end (dynamic_update_slice rejects the oversized update).
+        EVERY prompt entering prefill — single or batched — must pass
+        through this budget."""
         ids = [self.tokenizer.bos_id] + self.tokenizer.encode(text)
         budget = (
             self.cfg.text.max_seq - self.cfg.vision.num_patches - max_new - 1
         )
-        return jnp.asarray([ids[: max(budget, 1)]], jnp.int32)
+        return ids[: max(budget, 1)]
+
+    def _prompt_ids(self, text: str, max_new: int = 0) -> jnp.ndarray:
+        return jnp.asarray([self._prompt_id_list(text, max_new)], jnp.int32)
 
     def caption(self, encoded: Any, max_new: int = 48) -> Dict[str, str]:
         with self._lock, METRICS.timer("vlm.caption"):
@@ -237,47 +244,26 @@ class MoondreamJax:
     # per distinct folder size. Chunking bounds both: one compiled
     # variant per path, cache/activations capped at chunk rows.
 
-    @staticmethod
-    def _bucket(b: int, chunk: int) -> int:
-        """Pad target: next power of two, capped at the chunk size —
-        ~log2(chunk) compile variants total, <=2x padding waste."""
-        return min(chunk, 1 << max(0, b - 1).bit_length())
-
-    @staticmethod
-    def _pad_rows(x: jnp.ndarray, n: int) -> jnp.ndarray:
-        if x.shape[0] >= n:
-            return x
-        reps = [x[-1:]] * (n - x.shape[0])
-        return jnp.concatenate([x] + reps, axis=0)
-
     def encode_image_batch(self, images) -> list:
-        """Vision-encode a batch; same-geometry images share device calls
-        (chunked — IMATCH_VLM_ENC_CHUNK, default 16)."""
+        """Vision-encode a batch in fixed chunks (IMATCH_VLM_ENC_CHUNK,
+        default 16). _preprocess maps every geometry to the same
+        (S, S, 3) input, so chunks span the WHOLE batch in order —
+        grouping by raw size would fragment mixed-size uploads into
+        singleton dispatches for nothing."""
         chunk = int(os.environ.get("IMATCH_VLM_ENC_CHUNK", "16"))
-        arrs = []
-        for im in images:
-            a = np.asarray(im)
-            if a.ndim == 2:
-                a = np.stack([a] * 3, axis=-1)
-            if a.shape[-1] == 4:
-                a = a[..., :3]
-            arrs.append(a)
+        arrs = [to_rgb(im) for im in images]
         out: list = [None] * len(arrs)
-        by_size: Dict[tuple, list] = {}
-        for i, a in enumerate(arrs):
-            by_size.setdefault(a.shape[:2], []).append(i)
         with self._lock, METRICS.timer("vlm.encode_batch"):
-            for _, idxs in by_size.items():
-                for s in range(0, len(idxs), chunk):
-                    part = idxs[s : s + chunk]
-                    pix = jnp.concatenate(
-                        [self._preprocess(arrs[i]) for i in part], axis=0
-                    )
-                    pix = self._pad_rows(pix, self._bucket(len(part), chunk))
-                    feats = self._encode_fn(self.params, pix)
-                    feats = np.asarray(feats, np.float32)
-                    for j, i in enumerate(part):
-                        out[i] = {"features": feats[j]}
+            for s in range(0, len(arrs), chunk):
+                part = list(range(s, min(s + chunk, len(arrs))))
+                pix = jnp.concatenate(
+                    [self._preprocess(arrs[i]) for i in part], axis=0
+                )
+                pix = pad_rows(pix, pow2_bucket(len(part), chunk))
+                feats = self._encode_fn(self.params, pix)
+                feats = np.asarray(feats, np.float32)
+                for j, i in enumerate(part):
+                    out[i] = {"features": feats[j]}
         return out
 
     def caption_batch(self, encoded_list, max_new: int = 48) -> list[str]:
@@ -288,14 +274,14 @@ class MoondreamJax:
         if not encoded_list:
             return []
         chunk = int(os.environ.get("IMATCH_VLM_CAP_CHUNK", "8"))
-        ids = [self.tokenizer.bos_id] + self.tokenizer.encode(CAPTION_PROMPT)
+        ids = self._prompt_id_list(CAPTION_PROMPT, max_new=max_new)
         n = len(encoded_list)
         texts: list = []
         with self._lock, METRICS.timer("vlm.caption_batch"):
             for s in range(0, n, chunk):
                 part = encoded_list[s : s + chunk]
-                b = self._bucket(len(part), chunk)
-                feats = self._pad_rows(
+                b = pow2_bucket(len(part), chunk)
+                feats = pad_rows(
                     jnp.concatenate([self._feats(e) for e in part], axis=0),
                     b,
                 )
@@ -318,16 +304,19 @@ class MoondreamJax:
         if not encoded_list:
             return []
         chunk = int(os.environ.get("IMATCH_VLM_VQA_CHUNK", "32"))
-        ids = [self.tokenizer.bos_id] + self.tokenizer.encode(
-            f"\n\nQuestion: {question}\n\nAnswer:"
+        # max_new=1: prefill-only, but the prompt must still fit the
+        # budget or the cache update itself overflows (a long filter
+        # question crashed this path before the shared truncation).
+        ids = self._prompt_id_list(
+            f"\n\nQuestion: {question}\n\nAnswer:", max_new=1
         )
         n = len(encoded_list)
         out: list = []
         with self._lock, METRICS.timer("vlm.query_batch"):
             for s in range(0, n, chunk):
                 part = encoded_list[s : s + chunk]
-                b = self._bucket(len(part), chunk)
-                feats = self._pad_rows(
+                b = pow2_bucket(len(part), chunk)
+                feats = pad_rows(
                     jnp.concatenate([self._feats(e) for e in part], axis=0),
                     b,
                 )

@@ -72,13 +72,10 @@ class CloudCaptioner:
     def encode_image(self, image: np.ndarray) -> Dict[str, Any]:
         from PIL import Image
 
-        arr = np.asarray(image)
-        if arr.ndim == 2:  # grayscale, same contract as the local VLM
-            arr = np.stack([arr] * 3, axis=-1)
-        elif arr.ndim == 3 and arr.shape[-1] == 1:
-            arr = np.repeat(arr, 3, axis=-1)
+        from imatch_tpu.utils.batching import to_rgb
+
         buf = io.BytesIO()
-        Image.fromarray(arr[..., :3]).save(buf, "JPEG", quality=92)
+        Image.fromarray(to_rgb(image)).save(buf, "JPEG", quality=92)
         b64 = base64.b64encode(buf.getvalue()).decode("ascii")
         url = f"data:image/jpeg;base64,{b64}"
         # Stored as a uint8 byte array: save_encoded/load_encoded (npz)

@@ -225,17 +225,29 @@ def process_batch(
             use_fused = False
             fused_emb = None
             batch_ids = [None] * len(arrays)
-            for i, a in enumerate(arrays):
-                if a is None or results[i] is not None:
-                    continue
+
+            def _hash_one(i):
                 try:
-                    batch_ids[i] = phash_image_id(Image.fromarray(a))
+                    batch_ids[i] = phash_image_id(Image.fromarray(arrays[i]))
                 except Exception as ee:
                     results[i] = {
                         "filename": filenames[i],
                         "status": "error",
                         "error": str(ee),
                     }
+
+            # fan the host hashes over the pool (PIL/scipy release the
+            # GIL) — the degraded path stays parallel, not serial
+            list(
+                pool.map(
+                    _hash_one,
+                    [
+                        i
+                        for i, a in enumerate(arrays)
+                        if a is not None and results[i] is None
+                    ],
+                )
+            )
     seen_batch = set()
     with METRICS.timer("ingest.dup"):
         for i, name in enumerate(filenames):

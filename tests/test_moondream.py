@@ -282,3 +282,51 @@ def test_batch_paths_chunk_and_match_single(monkeypatch):
         svc.query(e, "Yes or No: is this a drill?")["answer"] == "Yes"
         for e in encs
     ]
+
+
+def test_batch_vqa_long_question_budgeted(monkeypatch):
+    """A filter question long enough to overflow max_seq must be
+    truncated by the shared prompt budget in the BATCH path too (it
+    crashed prefill's cache update before), and still agree with the
+    single-image query()."""
+    monkeypatch.setenv("IMATCH_MD_CONFIG", "tiny-md")
+    svc = MoondreamJax()
+    img = np.random.default_rng(11).integers(0, 256, (32, 32, 3), np.uint8)
+    enc = svc.encode_image(img)
+    q = "Yes or No: " + "is there a very shiny red cordless drill " * 20
+    single = svc.query(enc, q)["answer"]
+    batch = svc.query_yes_no_batch([enc, enc, enc], q)
+    assert batch == [single == "Yes"] * 3
+    caps = svc.caption_batch([enc], max_new=4)  # caption path budgeted too
+    assert len(caps) == 1
+
+
+def test_encode_batch_mixed_geometry_one_dispatch(monkeypatch):
+    """_preprocess maps every geometry to one (S, S, 3) shape, so a
+    mixed-size batch within the chunk must be ONE device dispatch, not
+    one per distinct raw size."""
+    monkeypatch.setenv("IMATCH_MD_CONFIG", "tiny-md")
+    monkeypatch.setenv("IMATCH_VLM_ENC_CHUNK", "8")
+    svc = MoondreamJax()
+    calls = []
+    orig = svc._encode_fn
+
+    def counting(params, pix):
+        calls.append(pix.shape[0])
+        return orig(params, pix)
+
+    svc._encode_fn = counting
+    rng = np.random.default_rng(12)
+    imgs = [
+        rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
+        for h, w in [(40, 56), (64, 32), (33, 33), (50, 20), (28, 80)]
+    ]
+    encs = svc.encode_image_batch(imgs)
+    assert len(calls) == 1 and calls[0] == 8  # 5 -> pow2 pad to 8
+    for im, e in zip(imgs, encs):
+        np.testing.assert_allclose(
+            e["features"],
+            svc.encode_image(im)["features"],
+            rtol=2e-4,
+            atol=2e-5,
+        )
