@@ -164,13 +164,14 @@ class ClipEmbedder:
         'data' requires batch % dp == 0 for ANY dp, not just powers of
         two). Distinct folder sizes reuse at most ~log2(chunk) compiled
         variants instead of one per size, and huge uploads stream through
-        the tower in bounded-HBM pieces."""
+        the tower in bounded-HBM pieces. (utils/batching.pow2_bucket is
+        the one shared policy.)"""
+        from imatch_tpu.utils.batching import pow2_bucket
+
         d = self.dp or 1
         for s in range(0, n, chunk):
             b = min(chunk, n - s)
-            bp = 1 << max(0, (b - 1)).bit_length()
-            bp = -(-max(bp, d) // d) * d
-            yield s, b, bp
+            yield s, b, pow2_bucket(b, max(chunk, d), multiple=d)
 
     def _embed_pixels(self, pixels) -> jax.Array:
         chunk = int(os.environ.get("IMATCH_EMBED_CHUNK", "512"))
