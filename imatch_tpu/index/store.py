@@ -175,6 +175,11 @@ class VectorStore:
         metadatas: Optional[Sequence[dict]] = None,
         documents: Optional[Sequence[Optional[str]]] = None,
     ):
+        if not len(ids):
+            # np.asarray([]) is shape (0,): setting dim from it would
+            # permanently poison the store (dim=0) on a fresh deployment
+            # whose first upload-folder had no decodable files.
+            return
         with self._lock:
             embeddings = np.asarray(embeddings, dtype=np.float32)
             if embeddings.ndim == 1:
@@ -183,9 +188,14 @@ class VectorStore:
                 self.dim = int(embeddings.shape[1])
             metadatas = metadatas or [None] * len(ids)
             documents = documents or [None] * len(ids)
+            seen = set()
             for i in ids:
-                if i in self._slot:
+                # chroma rejects duplicates both against the collection
+                # AND within the batch (an in-batch dup would leave an
+                # unreachable-but-alive phantom slot here)
+                if i in self._slot or i in seen:
                     raise ValueError(f"duplicate id {i}")
+                seen.add(i)
             self._ensure_capacity(len(ids))
             for i, (id_, md, doc) in enumerate(zip(ids, metadatas, documents)):
                 slot = self._n
@@ -287,9 +297,14 @@ class VectorStore:
             if cap == 0:
                 return None
             # Prepared once per mutation: scoring copy + fp32 rescore
-            # copy + validity (engine-specific layout).
-            emb = jnp.asarray(self._emb)
-            alive = jnp.asarray(self._alive)
+            # copy + validity (engine-specific layout). COPIES of the
+            # host buffers: jnp.asarray can alias numpy memory (CPU
+            # zero-copy; async h2d elsewhere), and writers mutate
+            # self._emb/_alive in place after the lock is dropped —
+            # aliasing would let a concurrent add() tear rows inside an
+            # in-flight query or a cached IVF index.
+            emb = jnp.asarray(self._emb.copy())
+            alive = jnp.asarray(self._alive.copy())
             if self.engine == "pallas":
                 from imatch_tpu.ops.pallas.topk import prepare_corpus
 

@@ -91,9 +91,15 @@ def flash_mha(
         interpret = jax.default_backend() != "tpu"
     b, h, s, d = q.shape
     scale = d**-0.5
+    import math
+
     bq = min(block_q, max(8, s))
     bk = min(block_k, max(8, s))
-    s_pad = -(-s // max(bq, bk)) * max(bq, bk)
+    # pad to a multiple of BOTH block sizes: padding to max(bq, bk)
+    # alone leaves trailing q-blocks uncovered when bq doesn't divide
+    # s_pad (uninitialized output rows for the tail queries)
+    step = math.lcm(bq, bk)
+    s_pad = -(-s // step) * step
     nqb = s_pad // bq
 
     def fold(x):

@@ -33,6 +33,7 @@ import json
 from typing import Dict, Iterable, List, Optional, Sequence, Tuple
 
 import numpy as np
+import unicodedata
 
 try:  # CLIP's splitter needs unicode property classes; `regex` ships with transformers.
     import regex as _re
@@ -187,6 +188,10 @@ class CLIPTokenizer:
 
     def encode(self, text: str) -> List[int]:
         """Token ids without specials."""
+        # NFC first: HF's CLIP tokenizer normalizes composed forms (via
+        # ftfy / the fast normalizer), so decomposed input (e.g. 'café'
+        # pasted from macOS as e + U+0301) must map to the same ids.
+        text = unicodedata.normalize("NFC", text)
         text = _WHITESPACE.sub(" ", text.strip()).lower()
         ids: List[int] = []
         for tok in _SPLIT.findall(text):

@@ -30,8 +30,13 @@ def load_filters(filters_file: str) -> List[str]:
 
 def save_filters(filters_file: str, filters: List[str]) -> None:
     os.makedirs(os.path.dirname(filters_file) or ".", exist_ok=True)
-    with open(filters_file, "w", encoding="utf-8") as f:
+    # tmp + rename: a truncate-write in place would let a concurrent
+    # load_filters (or a crash mid-write) observe partial JSON, degrade
+    # to [], and have the next save wipe every existing filter.
+    tmp = filters_file + ".tmp"
+    with open(tmp, "w", encoding="utf-8") as f:
         json.dump(filters, f)
+    os.replace(tmp, filters_file)
 
 
 def format_filter_query(filter_query: str) -> str:

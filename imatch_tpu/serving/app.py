@@ -23,6 +23,7 @@ from PIL import Image
 
 from imatch_tpu.pipeline import search as search_mod
 from imatch_tpu.pipeline.backfill import process_filter_on_all_images
+from imatch_tpu.pipeline.filters import passes_filters
 from imatch_tpu.pipeline.ingest import process_batch, process_image
 from imatch_tpu.pipeline.state import AppState
 from imatch_tpu.runtime.loader import decode_image_bytes, default_loader
@@ -82,20 +83,12 @@ def _maybe_remove_query_bg(state, image):
 
 
 def apply_search_filters(results: List[dict], filters: List[str]) -> List[dict]:
-    """Route-level AND post-pass (backend/app/main.py:202-222)."""
+    """Route-level AND post-pass (backend/app/main.py:202-222) — one
+    semantics definition, shared with ingest/backfill
+    (pipeline/filters.passes_filters)."""
     if not filters:
         return results
-    out = []
-    for r in results:
-        fr = {}
-        if "filter_results_json" in r:
-            try:
-                fr = json.loads(r["filter_results_json"])
-            except (json.JSONDecodeError, TypeError):
-                logger.warning("bad filter_results_json for %s", r.get("id"))
-        if all(str(fr.get(f, "")).lower().strip() == "yes" for f in filters):
-            out.append(r)
-    return out
+    return [r for r in results if passes_filters(r, filters)]
 
 
 def _warmup(state: AppState):
@@ -349,15 +342,19 @@ def create_app(state: Optional[AppState] = None, root: str = ".") -> App:
             return JSONResponse(
                 {"success": False, "error": "filter_query required"}, 422
             )
-        filters = state.load_filters()
-        if filter_query in filters:
-            return {
-                "success": True,
-                "message": "Filter already exists",
-                "filters": filters,
-            }
-        filters.append(filter_query)
-        state.save_filters(filters)
+        # handlers run concurrently on the thread pool: the
+        # load -> append -> save RMW must be atomic or one of two
+        # simultaneous adds is silently lost
+        with state.lock:
+            filters = state.load_filters()
+            if filter_query in filters:
+                return {
+                    "success": True,
+                    "message": "Filter already exists",
+                    "filters": filters,
+                }
+            filters.append(filter_query)
+            state.save_filters(filters)
         app.add_background_task(
             process_filter_on_all_images, state, filter_query
         )
@@ -369,24 +366,26 @@ def create_app(state: Optional[AppState] = None, root: str = ".") -> App:
         form = req.form()
         raw = form.get("filter_queries", "")
         queries = [q.strip() for q in raw.split(",") if q.strip()]
-        filters = state.load_filters()
-        added = []
-        for q in queries:
-            if q not in filters:
-                filters.append(q)
-                added.append(q)
-        state.save_filters(filters)
+        with state.lock:
+            filters = state.load_filters()
+            added = []
+            for q in queries:
+                if q not in filters:
+                    filters.append(q)
+                    added.append(q)
+            state.save_filters(filters)
         for q in added:
             app.add_background_task(process_filter_on_all_images, state, q)
         return {"success": True, "added": added, "filters": filters}
 
     @app.delete("/api/filters/{filter_query}")
     def delete_filter(req, filter_query):
-        filters = state.load_filters()
-        if filter_query in filters:
-            filters.remove(filter_query)
-            state.save_filters(filters)
-            return {"success": True, "filters": filters}
+        with state.lock:
+            filters = state.load_filters()
+            if filter_query in filters:
+                filters.remove(filter_query)
+                state.save_filters(filters)
+                return {"success": True, "filters": filters}
         return JSONResponse(
             {"success": False, "error": "Filter not found"}, 404
         )

@@ -253,18 +253,32 @@ class App:
                     fn()
                 self._started = True
 
-    def _cors_headers(self) -> List[Tuple[str, str]]:
+    def _cors_headers(self, request_origin: str = "") -> List[Tuple[str, str]]:
+        """Fetch-spec-correct CORS: allow-origin must be a SINGLE value,
+        and credentials require echoing the requesting Origin (browsers
+        reject '*' or comma-joined lists for credentialed requests) —
+        the behavior of the reference's Starlette CORSMiddleware
+        (backend/app/main.py:57-63)."""
         if self.cors_origins is None:
             return []
-        origin = (
-            "*" if "*" in self.cors_origins else ", ".join(self.cors_origins)
-        )
-        return [
-            ("access-control-allow-origin", origin),
-            ("access-control-allow-methods", "GET, POST, PUT, DELETE, OPTIONS"),
-            ("access-control-allow-headers", "*"),
-            ("access-control-allow-credentials", "true"),
-        ]
+        allowed = "*" in self.cors_origins or request_origin in self.cors_origins
+        if request_origin and allowed:
+            return [
+                ("access-control-allow-origin", request_origin),
+                ("access-control-allow-methods", "GET, POST, PUT, DELETE, OPTIONS"),
+                ("access-control-allow-headers", "*"),
+                ("access-control-allow-credentials", "true"),
+                ("vary", "origin"),
+            ]
+        if "*" in self.cors_origins:
+            # no Origin header (non-browser client): wildcard without
+            # credentials is the only valid combination
+            return [
+                ("access-control-allow-origin", "*"),
+                ("access-control-allow-methods", "GET, POST, PUT, DELETE, OPTIONS"),
+                ("access-control-allow-headers", "*"),
+            ]
+        return []
 
     async def _handle(self, scope, body: bytes) -> Response:
         self._run_startup()
@@ -307,8 +321,12 @@ class App:
                         return FileResponse(full)
                     return JSONResponse({"error": "not found"}, 404)
 
+        # HEAD serves GET routes (Starlette/FastAPI behavior — the
+        # reference answers HEAD on every GET endpoint); the server
+        # strips the body per RFC 9110 §9.3.2.
+        route_method = "GET" if method == "HEAD" else method
         for m, pattern, names, handler in self._routes:
-            if m != method:
+            if m != route_method:
                 continue
             match = pattern.match(raw_path)
             if match:
@@ -386,7 +404,12 @@ class App:
             ("content-length", str(len(resp.body))),
         ]
         headers += resp.headers
-        headers += self._cors_headers()
+        req_origin = ""
+        for hk, hv in scope.get("headers", ()):
+            if hk == b"origin":
+                req_origin = hv.decode("latin-1")
+                break
+        headers += self._cors_headers(req_origin)
         await send(
             {
                 "type": "http.response.start",

@@ -50,7 +50,19 @@ async def _handle_connection(app, reader, writer):
                 )
                 await writer.drain()
                 return
-            length = int(hdict.get(b"content-length", b"0"))
+            try:
+                length = int(hdict.get(b"content-length", b"0"))
+            except ValueError:
+                length = -1
+            if length < 0:
+                # 'abc' or a negative value: answer 400 instead of an
+                # unhandled exception killing the connection task
+                writer.write(
+                    b"HTTP/1.1 400 Bad Request\r\n"
+                    b"connection: close\r\ncontent-length: 0\r\n\r\n"
+                )
+                await writer.drain()
+                return
             if length > _MAX_BODY:
                 writer.write(b"HTTP/1.1 413 Payload Too Large\r\n\r\n")
                 await writer.drain()
@@ -110,7 +122,13 @@ async def _handle_connection(app, reader, writer):
                 b"connection: keep-alive\r\n" if keep_alive else b"connection: close\r\n"
             )
             resp.append(b"\r\n")
-            writer.write(b"".join(resp) + bytes(out_body))
+            # HEAD: headers only (content-length kept). Sending the body
+            # desyncs keep-alive clients that correctly stop at the
+            # header end (RFC 9110 §9.3.2).
+            if method == "HEAD":
+                writer.write(b"".join(resp))
+            else:
+                writer.write(b"".join(resp) + bytes(out_body))
             await writer.drain()
             if not keep_alive:
                 return

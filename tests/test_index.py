@@ -412,3 +412,46 @@ def test_query_runs_outside_store_lock():
     store._lock.release()
     t.join()
     assert dt < 0.1, f"writer blocked {dt:.3f}s behind an in-flight query"
+
+
+def test_empty_add_does_not_poison_dim():
+    """An empty batch (upload-folder with zero decodable files) must be
+    a no-op: np.asarray([]) is shape (0,) and would set dim=0, after
+    which every real add on the fresh store fails forever."""
+    from imatch_tpu.index.store import VectorStore
+
+    store = VectorStore()
+    store.add(ids=[], embeddings=[])
+    assert store.dim is None and store.count() == 0
+    store.add(ids=["a"], embeddings=[[1.0, 0.0, 0.0]])
+    assert store.dim == 3 and store.count() == 1
+
+
+def test_in_batch_duplicate_ids_rejected():
+    """chroma rejects duplicate ids within one add() batch; accepting
+    them would leave an alive-but-unreachable phantom slot."""
+    from imatch_tpu.index.store import VectorStore
+
+    store = VectorStore(dim=3)
+    with pytest.raises(ValueError):
+        store.add(ids=["a", "a"], embeddings=[[1, 0, 0], [0, 1, 0]])
+    assert store.count() == 0
+
+
+def test_device_snapshot_not_aliased_to_live_buffers():
+    """The lock-free query snapshot must copy the host buffers: writers
+    mutate _emb/_alive in place after the lock drops, and jnp.asarray
+    can alias numpy memory (zero-copy on CPU)."""
+    import numpy as np
+
+    from imatch_tpu.index.store import VectorStore
+
+    store = VectorStore(dim=4)
+    store.add(ids=["a"], embeddings=[[1.0, 0, 0, 0]])
+    dc = store._device_state()
+    # mutate the live buffer the way add()/update() do
+    store._emb[0] = np.asarray([0, 1.0, 0, 0], np.float32)
+    res = store.query([[1.0, 0, 0, 0]], n_results=1)
+    # the cached device corpus must still hold the ORIGINAL row
+    assert res["ids"][0][0] == "a"
+    assert abs(res["distances"][0][0]) < 1e-5  # exact match, not torn

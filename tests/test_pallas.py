@@ -92,3 +92,23 @@ def test_pallas_topk_duplicate_rows_tie_break():
     i = np.asarray(i)
     # Self-match must hit the ORIGINAL (lower) index.
     np.testing.assert_array_equal(i[:, 0], np.arange(3))
+
+
+def test_flash_mismatched_blocks_cover_tail():
+    """block_q != block_k: the sequence must pad to a multiple of BOTH
+    (lcm), or trailing q-blocks are never written and the tail rows
+    return uninitialized memory."""
+    import numpy as np
+
+    from imatch_tpu.ops.attention import _mha_xla
+    from imatch_tpu.ops.pallas.flash_attention import flash_mha
+
+    rng = np.random.default_rng(5)
+    q = jnp.asarray(rng.standard_normal((1, 2, 600, 16)), jnp.float32)
+    k = jnp.asarray(rng.standard_normal((1, 2, 600, 16)), jnp.float32)
+    v = jnp.asarray(rng.standard_normal((1, 2, 600, 16)), jnp.float32)
+    out = flash_mha(q, k, v, block_q=48, block_k=128)
+    ref = _mha_xla(q, k, v, causal=False)
+    np.testing.assert_allclose(
+        np.asarray(out), np.asarray(ref), rtol=2e-4, atol=2e-5
+    )

@@ -84,3 +84,82 @@ def test_http_roundtrip(server_url):
         r = c.post("/api/search/text", data={"query": "drill", "limit": 5})
         assert r.status_code == 200
         assert len(r.json()["results"]) == 1
+
+
+def _raw_request(server_url, payload: bytes) -> bytes:
+    import socket
+
+    host, port = server_url.rsplit("/", 1)[1].split(":")
+    with socket.create_connection((host, int(port)), timeout=5) as s:
+        s.sendall(payload)
+        s.settimeout(2)
+        chunks = []
+        try:
+            while True:
+                b = s.recv(65536)
+                if not b:
+                    break
+                chunks.append(b)
+        except socket.timeout:
+            pass
+    return b"".join(chunks)
+
+
+def test_head_response_has_no_body(server_url):
+    """RFC 9110 §9.3.2: HEAD responses carry headers (incl.
+    content-length) but NO body — a body desyncs keep-alive clients."""
+    raw = _raw_request(
+        server_url,
+        b"HEAD /api/health HTTP/1.1\r\nhost: x\r\nconnection: close\r\n\r\n",
+    )
+    head, _, body = raw.partition(b"\r\n\r\n")
+    assert b"200" in head.split(b"\r\n")[0]
+    assert b"content-length" in head.lower()
+    assert body == b""
+
+
+def test_malformed_content_length_is_400(server_url):
+    raw = _raw_request(
+        server_url,
+        b"POST /api/filters HTTP/1.1\r\nhost: x\r\n"
+        b"content-length: abc\r\nconnection: close\r\n\r\n",
+    )
+    assert raw.split(b"\r\n")[0].split()[1] == b"400"
+    raw = _raw_request(
+        server_url,
+        b"POST /api/filters HTTP/1.1\r\nhost: x\r\n"
+        b"content-length: -5\r\nconnection: close\r\n\r\n",
+    )
+    assert raw.split(b"\r\n")[0].split()[1] == b"400"
+
+
+def test_cors_echoes_single_origin_with_credentials(server_url):
+    """Fetch spec: allow-origin must be ONE value; credentials require
+    echoing the requesting Origin (never '*' or a joined list)."""
+    with httpx.Client(base_url=server_url) as c:
+        r = c.get("/api/health", headers={"Origin": "http://localhost:3000"})
+        assert r.headers["access-control-allow-origin"] == "http://localhost:3000"
+        assert r.headers.get("access-control-allow-credentials") == "true"
+        # no Origin header: wildcard is fine but credentials must be absent
+        r = c.get("/api/health")
+        assert r.headers["access-control-allow-origin"] == "*"
+        assert "access-control-allow-credentials" not in r.headers
+
+
+def test_concurrent_filter_adds_lose_nothing(server_url):
+    """The load->append->save RMW must be atomic across the handler
+    thread pool: N concurrent adds must all land in filters.json."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    names = [f"race filter {i}" for i in range(8)]
+
+    def add(n):
+        with httpx.Client(base_url=server_url) as c:
+            return c.post("/api/filters", data={"filter_query": n}).status_code
+
+    with ThreadPoolExecutor(8) as pool:
+        codes = list(pool.map(add, names))
+    assert codes == [200] * 8
+    with httpx.Client(base_url=server_url) as c:
+        filters = c.get("/api/filters").json()["filters"]
+    assert set(names) <= set(filters)

@@ -104,3 +104,17 @@ def test_byte_fallback_roundtrip():
     batch = tok.encode_batch([text], max_length=248)
     assert batch.shape == (1, 248)
     assert batch[0, 0] == tok.bos_id
+
+
+def test_nfc_normalization_matches_composed():
+    """Decomposed unicode (e + U+0301, macOS-style) must tokenize like
+    the composed form — HF's CLIP tokenizer NFC-normalizes first."""
+    import unicodedata
+
+    from imatch_tpu.ops.tokenizer import CLIPTokenizer
+
+    tok = CLIPTokenizer.byte_fallback()
+    composed = "café résumé"
+    decomposed = unicodedata.normalize("NFD", composed)
+    assert composed != decomposed  # sanity: genuinely different strings
+    assert tok.encode(composed) == tok.encode(decomposed)
