@@ -25,6 +25,7 @@ import numpy as np
 from imatch_tpu.models.u2net.configs import get_u2_config
 from imatch_tpu.models.u2net.model import init_u2_params, u2net_forward
 from imatch_tpu.ops.resize import resample_matrix
+from imatch_tpu.utils.batching import pow2_bucket
 
 # ImageNet normalization used by the released U²-Net / rembg pipeline.
 U2_MEAN = np.array([0.485, 0.456, 0.406], dtype=np.float32)
@@ -65,27 +66,7 @@ class U2NetSegmenter:
         self._mask_fn = _mask
 
     def _to_model_input(self, arr: np.ndarray) -> jnp.ndarray:
-        h, w = arr.shape[:2]
-        size = self.cfg.input_size
-        key = (h, w)
-        if key not in self._resize_cache:
-            if len(self._resize_cache) >= 64:  # bound device-array growth
-                self._resize_cache.pop(next(iter(self._resize_cache)))
-            # Aspect-squash resize (rembg semantics — NOT the CLIP
-            # shortest-edge+crop): the mask must map back onto the full
-            # source frame.
-            a_v = resample_matrix(h, size, "bilinear")
-            a_h = resample_matrix(w, size, "bilinear")
-            self._resize_cache[key] = (jnp.asarray(a_v), jnp.asarray(a_h))
-        a_v, a_h = self._resize_cache[key]
-        x = jnp.asarray(arr[..., :3], jnp.float32)[None]
-        x = jnp.einsum("xw,bhwc->bhxc", a_h, x)
-        x = jnp.einsum("yh,bhxc->byxc", a_v, x)
-        # rembg normalizes by the image's max pixel value (not 255), then
-        # applies ImageNet mean/std — dark images otherwise land at half
-        # the trained input magnitude.
-        x = x / jnp.maximum(jnp.max(x), 1e-6)
-        return (x - U2_MEAN) / U2_STD
+        return self._model_inputs_batch([arr])
 
     def predict_mask(self, image: np.ndarray) -> np.ndarray:
         """(H, W, 3|4) uint8 -> (H, W) float32 alpha in [0, 1]."""
@@ -111,14 +92,18 @@ class U2NetSegmenter:
         return rgba
 
     def _model_inputs_batch(self, arrs) -> jnp.ndarray:
-        """Same-geometry RGB(A) arrays -> (B, S, S, 3) normalized batch.
-        Same semantics as _to_model_input (aspect-squash resize, per-image
-        max normalize, ImageNet mean/std), batched over the bucket."""
+        """Same-geometry RGB(A) arrays -> (B, S, S, 3) normalized batch:
+        aspect-squash resize (rembg semantics — NOT the CLIP
+        shortest-edge+crop: the mask must map back onto the full source
+        frame), per-image max normalize (rembg divides by the image max,
+        not 255 — dark images otherwise land at half the trained input
+        magnitude), ImageNet mean/std. The single-image path is the
+        B=1 case of this function."""
         h, w = arrs[0].shape[:2]
         size = self.cfg.input_size
         key = (h, w)
         if key not in self._resize_cache:
-            if len(self._resize_cache) >= 64:
+            if len(self._resize_cache) >= 64:  # bound device-array growth
                 self._resize_cache.pop(next(iter(self._resize_cache)))
             a_v = resample_matrix(h, size, "bilinear")
             a_h = resample_matrix(w, size, "bilinear")
@@ -149,19 +134,27 @@ class U2NetSegmenter:
         buckets: Dict[tuple, list] = {}
         for i, a in enumerate(arrs):
             buckets.setdefault(a.shape[:2], []).append(i)
+        # chunk caps host+device memory: a geometry bucket of hundreds
+        # of full-res photos stacked as one fp32 array is tens of GB
+        # before the resize shrinks it (IMATCH_U2_CHUNK, default 8)
+        chunk = int(os.environ.get("IMATCH_U2_CHUNK", "8"))
         with self._lock:
             for (h, w), idxs in buckets.items():
-                b = len(idxs)
-                x = self._model_inputs_batch([arrs[i] for i in idxs])
-                b_pad = 1 << max(0, (b - 1)).bit_length()
-                if b_pad > b:
-                    x = jnp.pad(x, ((0, b_pad - b), (0, 0), (0, 0), (0, 0)))
-                masks = self._mask_fn(self.params, x)[:b]  # (b, S, S)
-                up = jax.image.resize(masks, (b, h, w), "bilinear")
-                up = np.asarray(jnp.clip(up, 0.0, 1.0), np.float32)
-                for j, i in enumerate(idxs):
-                    alpha = (up[j] * 255.0 + 0.5).astype(np.uint8)
-                    out[i] = np.dstack([arrs[i][..., :3], alpha])
+                for s0 in range(0, len(idxs), chunk):
+                    part = idxs[s0 : s0 + chunk]
+                    b = len(part)
+                    x = self._model_inputs_batch([arrs[i] for i in part])
+                    b_pad = pow2_bucket(b, chunk)
+                    if b_pad > b:
+                        x = jnp.pad(
+                            x, ((0, b_pad - b), (0, 0), (0, 0), (0, 0))
+                        )
+                    masks = self._mask_fn(self.params, x)[:b]  # (b, S, S)
+                    up = jax.image.resize(masks, (b, h, w), "bilinear")
+                    up = np.asarray(jnp.clip(up, 0.0, 1.0), np.float32)
+                    for j, i in enumerate(part):
+                        alpha = (up[j] * 255.0 + 0.5).astype(np.uint8)
+                        out[i] = np.dstack([arrs[i][..., :3], alpha])
         return out
 
 

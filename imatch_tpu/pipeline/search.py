@@ -102,8 +102,13 @@ def search_multimodal(
 def get_all_images_with_limit(state: AppState, limit: int = 10) -> List[dict]:
     """Newest-first listing for empty-query+filters search
     (main.py:1225-1243)."""
+    # snapshot under the lock: concurrent ingest inserts while sorted()
+    # iterates the live dict raise "dictionary changed size during
+    # iteration" and 500 the search
+    with state.lock:
+        values = list(state.image_metadata.values())
     items = sorted(
-        state.image_metadata.values(),
+        values,
         key=lambda m: m.get("created_at", ""),
         reverse=True,
     )

@@ -94,6 +94,11 @@ def _build_lib() -> Optional[ctypes.CDLL]:
                 ctypes.POINTER(ctypes.c_int),
             ]
             lib.iml_free.argtypes = [ctypes.POINTER(ctypes.c_ubyte)]
+            lib.iml_decode_probe.restype = ctypes.c_int
+            lib.iml_decode_probe.argtypes = [
+                ctypes.c_char_p, ctypes.c_longlong,
+                ctypes.POINTER(ctypes.c_int), ctypes.POINTER(ctypes.c_int),
+            ]
             _lib = lib
         except Exception as e:  # no toolchain / headers -> PIL fallback
             logger.warning("native loader unavailable (%s); using PIL", e)
@@ -182,14 +187,34 @@ class NativeImageLoader:
 
     # -- batch convenience ---------------------------------------------------
 
-    def decode_batch(self, items: Sequence) -> List[np.ndarray]:
-        """bytes or paths -> RGB arrays, decoded concurrently."""
+    def decode_batch(
+        self, items: Sequence, on_error: str = "none"
+    ) -> List[Optional[np.ndarray]]:
+        """bytes or paths -> RGB arrays, decoded concurrently.
+
+        EVERY ticket is drained even when some fail — abandoning tickets
+        after the first exception would leak their decoded C buffers in
+        the pool's results map for the process lifetime. Failures become
+        None entries (on_error="none", per-file isolation for bulk
+        ingest) or re-raise after the drain (on_error="raise")."""
         tickets = [
             self.submit_bytes(x) if isinstance(x, (bytes, bytearray))
             else self.submit_path(x)
             for x in items
         ]
-        return [self.wait(t) for t in tickets]
+        out: List[Optional[np.ndarray]] = []
+        first_exc: Optional[Exception] = None
+        for t in tickets:
+            try:
+                out.append(self.wait(t))
+            except Exception as e:
+                logger.warning("decode failed: %s", e)
+                out.append(None)
+                if first_exc is None:
+                    first_exc = e
+        if on_error == "raise" and first_exc is not None:
+            raise first_exc
+        return out
 
 
 _default_loader: Optional[NativeImageLoader] = None
@@ -210,4 +235,16 @@ def default_loader() -> NativeImageLoader:
 
 
 def decode_image_bytes(data: bytes) -> np.ndarray:
-    return default_loader().decode_batch([data])[0]
+    return default_loader().decode_batch([data], on_error="raise")[0]
+
+
+def probe_image_bytes(data: bytes):
+    """Header-only (w, h) probe via the native pool's codecs; None when
+    unavailable or the format needs the PIL path (AVIF)."""
+    lib = _build_lib()
+    if lib is None or not hasattr(lib, "iml_decode_probe"):
+        return None
+    w = ctypes.c_int()
+    h = ctypes.c_int()
+    rc = lib.iml_decode_probe(data, len(data), ctypes.byref(w), ctypes.byref(h))
+    return (w.value, h.value) if rc == 0 else None

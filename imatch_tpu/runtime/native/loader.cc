@@ -39,6 +39,7 @@
 #include <mutex>
 #include <thread>
 #include <unordered_map>
+#include <unordered_set>
 #include <vector>
 
 namespace {
@@ -63,6 +64,7 @@ struct Pool {
   std::condition_variable cv_job, cv_done;
   std::deque<Job> jobs;
   std::unordered_map<long long, Result> results;
+  std::unordered_set<long long> pending;  // issued, not yet consumed
   std::vector<std::thread> workers;
   long long next_ticket = 0;
   bool stopping = false;
@@ -86,7 +88,10 @@ unsigned char* decode_jpeg(const unsigned char* buf, size_t len, int* w,
   JpegErr jerr;
   cinfo.err = jpeg_std_error(&jerr.mgr);
   jerr.mgr.error_exit = jpeg_err_exit;
-  unsigned char* out = nullptr;
+  // volatile: `out` is written between setjmp and longjmp; without it
+  // the longjmp return path reads an indeterminate (register-restored)
+  // value and the cleanup free() leaks the decoded buffer — or worse.
+  unsigned char* volatile out = nullptr;
   if (setjmp(jerr.jb)) {
     jpeg_destroy_decompress(&cinfo);
     free(out);
@@ -144,8 +149,17 @@ unsigned char* decode_png(const unsigned char* buf, size_t len, int* w,
                           int* h, int* err) {
   png_structp png =
       png_create_read_struct(PNG_LIBPNG_VER_STRING, nullptr, nullptr, nullptr);
+  if (!png) {  // allocation failure: png_jmpbuf(NULL) would derefence NULL
+    *err = 2;
+    return nullptr;
+  }
   png_infop info = png_create_info_struct(png);
-  unsigned char* out = nullptr;
+  if (!info) {
+    png_destroy_read_struct(&png, nullptr, nullptr);
+    *err = 2;
+    return nullptr;
+  }
+  unsigned char* volatile out = nullptr;  // volatile: see decode_jpeg
   std::vector<png_bytep> rows;
   if (setjmp(png_jmpbuf(png))) {
     png_destroy_read_struct(&png, &info, nullptr);
@@ -288,6 +302,7 @@ long long iml_submit_mem(void* pool, const unsigned char* buf, long long len) {
   {
     std::lock_guard<std::mutex> lk(p->mu);
     t = p->next_ticket++;
+    p->pending.insert(t);
     job.ticket = t;
     p->jobs.push_back(std::move(job));
   }
@@ -328,6 +343,7 @@ long long iml_submit_file(void* pool, const char* path) {
   {
     std::lock_guard<std::mutex> lk(p->mu);
     t = p->next_ticket++;
+    p->pending.insert(t);
     job.ticket = t;
     p->jobs.push_back(std::move(job));
   }
@@ -339,12 +355,20 @@ unsigned char* iml_wait(void* pool, long long ticket, int* w, int* h,
                         int* err) {
   Pool* p = static_cast<Pool*>(pool);
   std::unique_lock<std::mutex> lk(p->mu);
+  if (!p->pending.count(ticket)) {
+    // unknown or already-consumed ticket: the documented err 4 instead
+    // of parking the caller on cv_done forever
+    *w = *h = 0;
+    *err = 4;
+    return nullptr;
+  }
   p->cv_done.wait(lk, [&] {
     auto it = p->results.find(ticket);
     return it != p->results.end() && it->second.done;
   });
   Result r = p->results[ticket];
   p->results.erase(ticket);
+  p->pending.erase(ticket);
   *w = r.w;
   *h = r.h;
   *err = r.err;
@@ -354,10 +378,54 @@ unsigned char* iml_wait(void* pool, long long ticket, int* w, int* h,
 void iml_free(unsigned char* ptr) { free(ptr); }
 
 int iml_decode_probe(const unsigned char* buf, long long len, int* w, int* h) {
-  int err = 0;
-  unsigned char* d = decode_any(buf, len, w, h, &err);
-  free(d);
-  return err;
+  // genuinely header-only (the old implementation fully decoded,
+  // allocating up to 540 MB per call despite the API comment)
+  *w = *h = 0;
+  size_t n = static_cast<size_t>(len);
+  if (n >= 3 && buf[0] == 0xFF && buf[1] == 0xD8 && buf[2] == 0xFF) {
+    jpeg_decompress_struct cinfo;
+    JpegErr jerr;
+    cinfo.err = jpeg_std_error(&jerr.mgr);
+    jerr.mgr.error_exit = jpeg_err_exit;
+    if (setjmp(jerr.jb)) {
+      jpeg_destroy_decompress(&cinfo);
+      return 2;
+    }
+    jpeg_create_decompress(&cinfo);
+    jpeg_mem_src(&cinfo, const_cast<unsigned char*>(buf),
+                 static_cast<unsigned long>(n));
+    jpeg_read_header(&cinfo, TRUE);
+    *w = cinfo.image_width;
+    *h = cinfo.image_height;
+    jpeg_destroy_decompress(&cinfo);
+    return 0;
+  }
+  if (n >= 8 && memcmp(buf, "\x89PNG\r\n\x1a\n", 8) == 0) {
+    png_structp png = png_create_read_struct(PNG_LIBPNG_VER_STRING, nullptr,
+                                             nullptr, nullptr);
+    if (!png) return 2;
+    png_infop info = png_create_info_struct(png);
+    if (!info) {
+      png_destroy_read_struct(&png, nullptr, nullptr);
+      return 2;
+    }
+    if (setjmp(png_jmpbuf(png))) {
+      png_destroy_read_struct(&png, &info, nullptr);
+      return 2;
+    }
+    PngReadState st{buf, n, 0};
+    png_set_read_fn(png, &st, png_read_fn);
+    png_read_info(png, info);
+    *w = png_get_image_width(png, info);
+    *h = png_get_image_height(png, info);
+    png_destroy_read_struct(&png, &info, nullptr);
+    return 0;
+  }
+  if (n >= 12 && memcmp(buf, "RIFF", 4) == 0 &&
+      memcmp(buf + 8, "WEBP", 4) == 0) {
+    return WebPGetInfo(buf, n, w, h) ? 0 : 2;
+  }
+  return 1;
 }
 
 }  // extern "C"

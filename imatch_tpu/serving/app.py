@@ -287,7 +287,8 @@ def create_app(state: Optional[AppState] = None, root: str = ".") -> App:
 
     @app.get("/api/images")
     def get_images(req):
-        return {"images": list(state.image_metadata.values())}
+        with state.lock:  # list() iterates; concurrent ingest mutates
+            return {"images": list(state.image_metadata.values())}
 
     @app.get("/api/image/{image_id}")
     def get_image(req, image_id):

@@ -62,9 +62,15 @@ def main() -> int:
     t0 = time.time()
     for lo in range(0, len(paths), args.batch):
         chunk = paths[lo : lo + args.batch]
-        arrays = loader.decode_batch(chunk)
-        images = [Image.fromarray(a) for a in arrays]
-        names = [os.path.basename(p) for p in chunk]
+        arrays = loader.decode_batch(chunk)  # None entries = failed decode
+        images, names = [], []
+        for p_, a in zip(chunk, arrays):
+            if a is None:
+                totals["error"] = totals.get("error", 0) + 1
+                logger.error("decode failed: %s", p_)
+            else:
+                images.append(Image.fromarray(a))
+                names.append(os.path.basename(p_))
         results = process_batch(
             state, images, names, remove_bg=args.remove_bg
         )

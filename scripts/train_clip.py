@@ -159,6 +159,14 @@ def main() -> int:
         def sample_batch():
             idx = rng.integers(0, len(paths), args.batch)
             imgs = loader.decode_batch([paths[i] for i in idx])
+            # failed decodes (None) are replaced with the first good
+            # image so the step's static batch shape holds
+            good = next((g for g in imgs if g is not None), None)
+            if good is None:
+                raise RuntimeError(
+                    "every image in the sampled batch failed to decode"
+                )
+            imgs = [g if g is not None else good for g in imgs]
             return imgs, [texts_all[i] for i in idx]
 
     t_log = time.time()

@@ -61,8 +61,10 @@ def test_grayscale_png(loader):
 
 
 def test_garbage_bytes_fall_back_with_error(loader):
+    # per-file isolation: default decode_batch yields None, not a raise
+    assert loader.decode_batch([b"not an image at all"]) == [None]
     with pytest.raises(Exception):
-        loader.decode_batch([b"not an image at all"])
+        loader.decode_batch([b"not an image at all"], on_error="raise")
 
 
 def test_many_concurrent(loader):
@@ -89,3 +91,55 @@ def test_submit_directory_path_reports_error(loader, tmp_path):
     img = np.random.default_rng(5).integers(0, 256, (8, 9, 3), np.uint8)
     out = loader.decode_batch([_png_bytes(img)])[0]
     np.testing.assert_array_equal(out, img)
+
+
+def test_decode_batch_isolates_failures_and_drains():
+    """One corrupt file must not abandon the rest of the batch (leaked
+    C buffers + lost chunk): failures come back as None, the good
+    entries decode."""
+    import numpy as np
+
+    loader = NativeImageLoader()
+    img = np.full((8, 8, 3), 128, np.uint8)
+    good = _png_bytes(img)
+    out = loader.decode_batch([good, b"not an image at all", good])
+    assert out[0] is not None and out[2] is not None
+    assert out[1] is None
+    np.testing.assert_array_equal(out[0], img)
+    loader.close()
+
+
+def test_decode_image_bytes_raises_on_garbage():
+    import pytest
+
+    with pytest.raises(Exception):
+        decode_image_bytes(b"\x00\x01garbage")
+
+
+def test_probe_is_header_only_and_correct():
+    """iml_decode_probe reports (w, h) without a full decode."""
+    import numpy as np
+
+    from imatch_tpu.runtime.loader import probe_image_bytes
+
+    img = np.zeros((12, 34, 3), np.uint8)
+    got = probe_image_bytes(_png_bytes(img))
+    if got is None:  # no native toolchain: nothing to assert
+        return
+    assert got == (34, 12)
+    assert probe_image_bytes(b"garbage bytes") is None
+
+
+def test_double_wait_returns_instead_of_hanging():
+    """Waiting a consumed ticket must not park the thread forever (the
+    C side answers err=4; the Python side falls back to PIL)."""
+    import numpy as np
+
+    loader = NativeImageLoader()
+    img = np.full((4, 4, 3), 7, np.uint8)
+    t = loader.submit_bytes(_png_bytes(img))
+    a = loader.wait(t)
+    b = loader.wait(t)  # consumed: err=4 -> PIL fallback re-decodes
+    np.testing.assert_array_equal(a, img)
+    np.testing.assert_array_equal(b, img)
+    loader.close()
