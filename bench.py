@@ -94,11 +94,11 @@ def bench_ingest(on_tpu: bool):
     return batch * iters / dt
 
 
-def _make_jpegs(n: int, src: int):
+def _make_jpegs(n: int, src: int, seed: int = 1):
     """Random RGB frames as JPEG bytes (what an upload actually carries)."""
     from PIL import Image
 
-    rng = np.random.default_rng(1)
+    rng = np.random.default_rng(seed)
     out = []
     # low-frequency content so JPEG size is realistic, not noise-worst-case
     for i in range(n):
@@ -134,7 +134,10 @@ def bench_e2e_ingest(embedder, on_tpu: bool):
         )
         # warm the compiled paths (phash geometry, preprocess, tower
         # chunks) with a disjoint set so the timed run hits no compiles
-        warm = _make_jpegs(min(n, 512), src)
+        # DIFFERENT seed than the timed blobs: same-seed frames would be
+        # content-phash duplicates and the timed run would dedup-skip
+        # them, measuring a short-circuited pipeline
+        warm = _make_jpegs(min(n, 512), src, seed=7)
         imgs = [Image.fromarray(loader.wait(loader.submit_bytes(b))) for b in warm]
         process_batch(state, imgs, [f"w{i}.jpg" for i in range(len(imgs))])
 

@@ -41,9 +41,17 @@ def _encode_multipart(fields: Sequence[Tuple[str, Any]]) -> Tuple[bytes, str]:
                 mimetypes.guess_type(filename)[0]
                 or "application/octet-stream"
             )
+            # escape like urllib3: quotes would truncate the server's
+            # filename capture, CR/LF would inject part headers
+            safe_name = (
+                filename.replace("\\", "\\\\")
+                .replace('"', '\\"')
+                .replace("\r", " ")
+                .replace("\n", " ")
+            )
             out += (
                 f'Content-Disposition: form-data; name="{name}"; '
-                f'filename="{filename}"\r\n'
+                f'filename="{safe_name}"\r\n'
                 f"Content-Type: {ctype}\r\n\r\n"
             ).encode()
             out += data
@@ -236,9 +244,15 @@ class ImageMatchClient:
         """Poll /api/filter-progress until completed/error (the UI polls
         at 500 ms, frontend/src/app/manage/page.tsx:122-192)."""
         deadline = time.time() + timeout_s
+        grace = time.time() + 10.0  # registration race: the backfill
+        # thread writes its progress record AFTER POST /api/filters
+        # returns, so an immediate poll can see not_found for a moment
         while time.time() < deadline:
             p = self.filter_progress(filter_query)
-            if p.get("status") in ("completed", "error", "not_found"):
+            status = p.get("status")
+            if status in ("completed", "error"):
+                return p
+            if status == "not_found" and time.time() > grace:
                 return p
             time.sleep(poll_s)
         raise TimeoutError(filter_query)

@@ -111,6 +111,19 @@ class MoondreamJax:
         if vocab and merges:
             self.tokenizer = GPT2Tokenizer.from_files(vocab, merges)
         else:
+            if checkpoint and os.environ.get(
+                "IMATCH_MD_ALLOW_BYTE_VOCAB", ""
+            ) != "1":
+                # Real weights + the offline byte-fallback vocab produce
+                # silently-garbage captions/VQA (byte ids mean nothing to
+                # the model; its eos id isn't in the byte table). Refuse
+                # loudly instead — see WEIGHTS.md for the vocab files.
+                raise RuntimeError(
+                    "IMATCH_MD_CHECKPOINT is set but IMATCH_MD_VOCAB/"
+                    "IMATCH_MD_MERGES are not: real moondream weights "
+                    "need the real GPT-2 vocab (WEIGHTS.md). Set "
+                    "IMATCH_MD_ALLOW_BYTE_VOCAB=1 to override."
+                )
             self.tokenizer = GPT2Tokenizer.byte_fallback(
                 bos_id=min(256, self.cfg.text.vocab_size - 2),
                 eos_id=min(257, self.cfg.text.vocab_size - 1),

@@ -70,6 +70,10 @@ function updateMode(){
 async function doSearch(ev){
   ev.preventDefault();
   const hasImg=$('#qimg').files.length>0, hasTxt=$('#qtext').value.trim().length>0;
+  if(!hasImg&&!hasTxt&&selectedFilters().length===0){
+    $('#status').textContent='enter a text query, pick an image, or select filters';
+    return;
+  }
   const fd=new FormData(); const limit=$('#limit').value;
   fd.append('limit',limit);
   selectedFilters().forEach(f=>fd.append('filters',f));
@@ -251,9 +255,15 @@ function wireDropzone(){
 async function loadFilters(){
   const r=await fetch('/api/filters');const j=await r.json();
   const box=$('#flist');box.innerHTML='';
+  // DOM construction, not inline-onclick HTML: injection-safe for ANY
+  // filter text, no escape gymnastics (the old string-built handler
+  // emitted an invalid unicode escape and killed the whole page script)
   (j.filters||[]).forEach(f=>{
-    box.insertAdjacentHTML('beforeend',
-      `<span class="chip">${esc(f)}<button onclick='delFilter(${JSON.stringify(f).replace(/[<>&"']/g,c=>"\\u"+c.charCodeAt(0).toString(16).padStart(4,"0"))})'>✕</button></span>`);
+    const chip=document.createElement('span');chip.className='chip';
+    chip.appendChild(document.createTextNode(f));
+    const b=document.createElement('button');b.textContent='✕';
+    b.addEventListener('click',()=>delFilter(f));
+    chip.appendChild(b);box.appendChild(chip);
   });
 }
 async function delFilter(f){
@@ -275,13 +285,18 @@ async function addFilter(ev){
 }
 function pollProgress(q){
   const el=$('#fprog'); el.style.display='block';
+  let notFound=0;
   const tick=async()=>{
     const r=await fetch('/api/filter-progress?filter_query='+encodeURIComponent(q));
     const j=await r.json();
     $('#fprogtext').textContent=`${q}: ${j.status} ${j.progress||0}% `+
       (j.current_image?('— '+j.current_image):'');
     $('#fprogbar').value=j.progress||0;
+    // 'not_found' right after add is the registration race (the
+    // backfill thread hasn't written its progress record yet) — keep
+    // polling briefly instead of freezing the bar forever
     if(j.status==='processing'||j.status==='pending'){setTimeout(tick,500);}
+    else if(j.status==='not_found'&&notFound++<20){setTimeout(tick,500);}
   };
   tick();
 }

@@ -579,3 +579,24 @@ def test_no_raw_path_params_not_double_decoded(client):
     status = asyncio.run(call_without_raw_path())
     assert status == 200
     assert "50%2Foff" not in state.load_filters()
+
+
+def test_ui_scripts_have_no_invalid_unicode_escapes(client):
+    """A bare \\u not followed by 4 hex digits inside a JS string is an
+    unconditional ECMAScript parse error that kills the page's entire
+    inline script (every handler dead). No JS engine ships in this
+    image, so pin the byte pattern plus delimiter balance."""
+    import re
+
+    for page in ("/", "/manage"):
+        r = client.get(page)
+        assert r.status_code == 200
+        text = r.text
+        for m in re.finditer(r"\\u(?![0-9a-fA-F]{4})", text):
+            ctx = text[max(0, m.start() - 60) : m.start() + 20]
+            raise AssertionError(f"invalid \\u escape in {page}: ...{ctx!r}")
+        for script in re.findall(r"<script>(.*?)</script>", text, re.S):
+            assert script.count("`") % 2 == 0, f"unbalanced backticks in {page}"
+            assert script.count("{") == script.count("}"), (
+                f"unbalanced braces in {page}"
+            )
