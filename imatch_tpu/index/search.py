@@ -266,3 +266,132 @@ def cosine_topk(
         top_s = jnp.pad(top_s, ((0, 0), (0, k - kk)), constant_values=NEG_INF)
         top_i = jnp.pad(top_i, ((0, 0), (0, k - kk)), constant_values=-1)
     return top_s, top_i
+
+
+# ---------------------------------------------------------------------------
+# Capacity tier: int8 scoring in HBM + host fp32 rescore
+# ---------------------------------------------------------------------------
+
+
+class HostRescoreCorpus(NamedTuple):
+    """Device state for corpora whose fp32 copy does NOT fit HBM.
+
+    The standard DeviceCorpus keeps both the scoring copy and an fp32
+    rescore copy on device — at 10M x 512 that is 20 GB of fp32 alone,
+    over a v5e's 16 GB. This tier keeps ONLY the int8 scoring matrix in
+    HBM (5 GB at 10M x 512) and rescores the selected candidate tiles
+    on the host: a few thousand rows x D per query is microseconds of
+    numpy, and the host copy has to exist anyway (it is the store's
+    source of truth). Selected via IMATCH_INDEX_ENGINE=tilemax-host.
+    """
+
+    scoring: jax.Array  # (N_pad, D) int8, device
+    valid: jax.Array  # (N_pad,) bool, device
+    scale: jax.Array  # (N_pad,) fp32 dequant scale, device
+    host_exact: object  # (N_cap, D) fp32 numpy COPY (mutation-safe)
+    host_valid: object  # (N_cap,) bool numpy copy
+    tile_n: int
+    n: int  # rows represented (pre-padding)
+
+
+@functools.partial(jax.jit, static_argnames=("k", "tile_n"))
+def _phase1_tiles(queries, scoring, valid, scale, *, k: int, tile_n: int):
+    """Phase 1 of the int8 tilemax: top-(k+margin) candidate tile ids."""
+    q32 = queries.astype(jnp.float32)
+    nq = q32.shape[0]
+    n_tiles = scoring.shape[0] // tile_n
+    qmax = jnp.max(jnp.abs(q32), axis=1)
+    qscale = jnp.where(qmax > 0, qmax / 127.0, 1.0)
+    qi = jnp.clip(jnp.round(q32 / qscale[:, None]), -127, 127).astype(
+        jnp.int8
+    )
+    s_int = jnp.einsum(
+        "qd,nd->qn", qi, scoring, preferred_element_type=jnp.int32
+    )
+    s = s_int.astype(jnp.float32) * qscale[:, None] * scale[None, :]
+    s = jnp.where(valid[None, :], s, NEG_INF)
+    tile_max = jnp.max(s.reshape(nq, n_tiles, tile_n), axis=2)
+    kt = min(k + 16, n_tiles)
+    _, top_tiles = jax.lax.top_k(tile_max, kt)
+    return top_tiles
+
+
+def prepare_host_rescore_corpus(
+    emb: "np.ndarray", alive: "np.ndarray", *, tile_n: int = 512
+) -> HostRescoreCorpus:
+    """Host-side quantization (the 4x-smaller int8 matrix is all that
+    crosses to the device), fp32 copy retained on host for rescoring."""
+    import numpy as np
+
+    n = emb.shape[0]
+    scale = np.empty((n,), np.float32)
+    q = np.empty(emb.shape, np.int8)
+    # chunked: full-matrix float temporaries would double the 20 GB
+    # corpus in host RAM during quantization
+    step = 1 << 20
+    for s0 in range(0, n, step):
+        blk = emb[s0 : s0 + step]
+        amax = np.abs(blk).max(axis=1)
+        sc = np.where(amax > 0, amax / 127.0, 1.0).astype(np.float32)
+        scale[s0 : s0 + step] = sc
+        q[s0 : s0 + step] = np.clip(
+            np.round(blk / sc[:, None]), -127, 127
+        ).astype(np.int8)
+    pad = (-n) % tile_n
+    if pad:
+        q = np.pad(q, ((0, pad), (0, 0)))
+        alive_p = np.pad(alive, (0, pad))
+        scale_p = np.pad(scale, (0, pad), constant_values=1.0)
+    else:
+        alive_p, scale_p = alive, scale
+    return HostRescoreCorpus(
+        scoring=jnp.asarray(q),
+        valid=jnp.asarray(alive_p),
+        scale=jnp.asarray(scale_p),
+        host_exact=emb,
+        host_valid=alive,
+        tile_n=tile_n,
+        n=n,
+    )
+
+
+def host_rescore_topk(queries, hc: HostRescoreCorpus, *, k: int):
+    """(Q, k) fp32 scores + int32 indices, -1/-inf padded — same contract
+    as tilemax_topk but returning numpy (the caller's device_get is a
+    pass-through)."""
+    import numpy as np
+
+    tiles = np.asarray(
+        _phase1_tiles(
+            queries if isinstance(queries, jax.Array) else jnp.asarray(queries),
+            hc.scoring,
+            hc.valid,
+            hc.scale,
+            k=k,
+            tile_n=hc.tile_n,
+        )
+    )
+    qh = np.asarray(queries, np.float32)
+    nq = qh.shape[0]
+    out_s = np.full((nq, k), float(NEG_INF), np.float32)
+    out_i = np.full((nq, k), -1, np.int32)
+    col = np.arange(hc.tile_n)
+    for qi in range(nq):
+        rows_idx = (tiles[qi][:, None] * hc.tile_n + col[None, :]).ravel()
+        rows_idx = rows_idx[rows_idx < hc.n]
+        ok = hc.host_valid[rows_idx]
+        rows_idx = rows_idx[ok]
+        if rows_idx.size == 0:
+            continue
+        # float64 accumulate: at least as accurate as the device's fp32
+        # HIGHEST rescore, deterministic ordering
+        es = (hc.host_exact[rows_idx].astype(np.float64) @ qh[qi]).astype(
+            np.float64
+        )
+        kk = min(k, rows_idx.size)
+        # ties break to the lower index (chroma parity): lexsort is
+        # stable with the index as the secondary key
+        order = np.lexsort((rows_idx, -es))[:kk]
+        out_s[qi, :kk] = es[order].astype(np.float32)
+        out_i[qi, :kk] = rows_idx[order]
+    return out_s, out_i

@@ -48,8 +48,10 @@ _SCORE_DTYPES = {
 
 def _env_engine() -> str:
     """IMATCH_INDEX_ENGINE: tilemax (default, exact), pallas (fused
-    Pallas phase-1 kernel), ivf (approximate — opt-in for very large
-    corpora; ordering is no longer chroma-exact)."""
+    Pallas phase-1 kernel), tilemax-host (int8 scoring in HBM + host
+    fp32 rescore — the capacity tier for corpora whose fp32 copy
+    exceeds HBM, e.g. 10M x 512), ivf (approximate — opt-in; ordering
+    is no longer chroma-exact)."""
     return os.environ.get("IMATCH_INDEX_ENGINE", "tilemax").lower()
 
 
@@ -73,7 +75,7 @@ class VectorStore:
     ):
         self.dim = dim
         self.engine = (engine or _env_engine()).lower()
-        if self.engine not in ("tilemax", "pallas", "ivf"):
+        if self.engine not in ("tilemax", "pallas", "ivf", "tilemax-host"):
             raise ValueError(f"unknown index engine {self.engine!r}")
         self.score_dtype = (
             score_dtype if score_dtype is not None else _env_score_dtype()
@@ -305,6 +307,17 @@ class VectorStore:
             # in-flight query or a cached IVF index.
             emb = jnp.asarray(self._emb.copy())
             alive = jnp.asarray(self._alive.copy())
+            if self.engine == "tilemax-host":
+                from imatch_tpu.index.search import (
+                    prepare_host_rescore_corpus,
+                )
+
+                # host-side quantize: only the int8 matrix crosses to
+                # HBM; the fp32 copies stay host-side for the rescore
+                self._device = prepare_host_rescore_corpus(
+                    self._emb.copy(), self._alive.copy()
+                )
+                return self._device
             if self.engine == "pallas":
                 from imatch_tpu.ops.pallas.topk import prepare_corpus
 
@@ -325,7 +338,12 @@ class VectorStore:
         return self._device
 
     def _run_engine(self, q: np.ndarray, dc, k: int):
-        """One device dispatch on the prepared corpus; returns device arrays."""
+        """One device dispatch on the prepared corpus; returns device arrays
+        (numpy for the tilemax-host tier — device_get passes it through)."""
+        if self.engine == "tilemax-host":
+            from imatch_tpu.index.search import host_rescore_topk
+
+            return host_rescore_topk(q, dc, k=k)
         if self.engine == "pallas":
             from imatch_tpu.ops.pallas.topk import pallas_topk_prepared
 

@@ -455,3 +455,34 @@ def test_device_snapshot_not_aliased_to_live_buffers():
     # the cached device corpus must still hold the ORIGINAL row
     assert res["ids"][0][0] == "a"
     assert abs(res["distances"][0][0]) < 1e-5  # exact match, not torn
+
+
+def test_tilemax_host_matches_device_int8():
+    """The tilemax-host capacity tier shares phase 1 (int8 tile
+    selection) with the device int8 engine and rescores the same
+    candidate tiles in >=fp32, so both engines must return identical
+    ids and matching scores — and the store must serve it end-to-end."""
+    import numpy as np
+
+    from imatch_tpu.index.store import VectorStore
+
+    rng = np.random.default_rng(17)
+    n, d = 3000, 32
+    emb = rng.standard_normal((n, d)).astype(np.float32)
+    emb /= np.linalg.norm(emb, axis=1, keepdims=True)
+    ids = [f"r{i:05d}" for i in range(n)]
+
+    dev = VectorStore(dim=d, engine="tilemax", score_dtype=jnp.int8)
+    host = VectorStore(dim=d, engine="tilemax-host")
+    for st in (dev, host):
+        st.add(ids=ids, embeddings=emb)
+    q = emb[rng.integers(0, n, 5)]
+    rd = dev.query(q, n_results=10)
+    rh = host.query(q, n_results=10)
+    assert rh["ids"] == rd["ids"]
+    for a, b in zip(rh["distances"], rd["distances"]):
+        np.testing.assert_allclose(a, b, atol=1e-5)
+    # deletes flow through (device snapshot rebuilt)
+    host.delete([rh["ids"][0][0]])
+    rh2 = host.query(q[:1], n_results=5)
+    assert rh["ids"][0][0] not in rh2["ids"][0]
