@@ -38,6 +38,7 @@ def prefill(
     dtype=jnp.float32,
     cache_dtype=None,
     max_new: int = 0,
+    use_cache: bool = True,
 ) -> Tuple[jax.Array, KVCache, jax.Array]:
     """Run [image patches; prompt tokens] through the decoder.
 
@@ -51,6 +52,17 @@ def prefill(
     b = token_ids.shape[0]
     tok = embed_tokens(params, token_ids, dtype)
     seq = jnp.concatenate([image_embeds.astype(tok.dtype), tok], axis=1)
+    if not use_cache:
+        # cache-free prefill: no (L, B, H, Dh, S) buffers at all — the
+        # VQA fast path only reads the logits, and the discarded cache
+        # is otherwise the HBM ceiling on batch size (~140 MB/row at
+        # moondream2; XLA materializes its zero-init twice).
+        start = jnp.zeros((b,), jnp.int32)
+        hidden, _ = decoder_forward(
+            params, seq, None, start, cfg, dtype=dtype
+        )
+        logits = lm_logits(params, hidden[:, -1:, :], cfg)[:, 0]
+        return logits, None, jnp.full((b,), seq.shape[1], jnp.int32)
     cache_len = 0
     if max_new:
         need = seq.shape[1] + max_new
@@ -129,11 +141,11 @@ def vqa_yes_no(
     yes_ids/no_ids: token-id variants of the answer words (e.g. "Yes",
     " Yes", "yes"); probabilities are summed over variants.
     """
-    # max_new=1: only the prefill logits are consumed, so the KV cache
-    # buckets to the smallest size instead of max_seq (at moondream2
-    # geometry a full-seq cache is ~400 MB per batch row, all discarded).
+    # use_cache=False: only the prefill logits are consumed, so no KV
+    # cache exists at all (at moondream2 geometry a discarded cache is
+    # ~140 MB per batch row — the backfill batch-size ceiling).
     logits, _, _ = prefill(
-        params, cfg, image_embeds, token_ids, dtype=dtype, max_new=1
+        params, cfg, image_embeds, token_ids, dtype=dtype, use_cache=False
     )
     probs = jax.nn.softmax(logits, axis=-1)
     p_yes = probs[:, jnp.asarray(list(yes_ids))].sum(axis=-1)

@@ -14,7 +14,7 @@ Replaces moondream_model.encode_image/caption/query
 
 from __future__ import annotations
 
-from typing import Any, Dict, NamedTuple, Tuple
+from typing import Any, Dict, NamedTuple, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -352,12 +352,12 @@ def _attend_cached(q, ck, cv, *, valid_len, prec):
 def decoder_forward(
     params: Params,
     embeds: jax.Array,
-    cache: KVCache,
+    cache: Optional[KVCache],
     start_pos: jax.Array,
     cfg: MoondreamConfig,
     *,
     dtype=jnp.float32,
-) -> Tuple[jax.Array, KVCache]:
+) -> Tuple[jax.Array, Optional[KVCache]]:
     """Run Sq tokens through the decoder, reading+writing the KV cache.
 
     embeds: (B, Sq, D) input embeddings for positions
@@ -365,6 +365,13 @@ def decoder_forward(
     start_pos: (B,) int32 — current cache fill per row.
     Returns (hidden (B, Sq, D), updated cache). Serves both prefill
     (Sq = prompt length) and decode (Sq = 1) — one compiled body.
+
+    cache=None: CACHE-FREE prefill — attention runs causally over the
+    in-flight K/V of this call (start_pos must be all zeros) and no
+    cache buffers exist at all. The VQA fast path consumes only the
+    prefill logits, and the (L, B, H, Dh, S) cache it would otherwise
+    allocate is pure waste — ~140 MB/row at moondream2 geometry, the
+    HBM ceiling on the filter-backfill batch size.
     """
     t = cfg.text
     b, sq, d = embeds.shape
@@ -375,7 +382,7 @@ def decoder_forward(
     pos = start_pos[:, None] + jnp.arange(sq)[None, :]
     # Cache slots visible to each new token: previous fill + causal self.
     valid = start_pos[:, None] + jnp.arange(1, sq + 1)[None, :]
-    lslice = (1,) + cache.k.shape[1:]
+    lslice = None if cache is None else (1,) + cache.k.shape[1:]
 
     # The FULL cache rides the scan carry and each layer writes only its
     # new (L=1, B, H, Dh, Sq) column via dynamic_update_slice. The
@@ -412,17 +419,25 @@ def decoder_forward(
         v = v.reshape(b, sq, nh, hd).transpose(0, 2, 1, 3)
         q = _rotary(q, pos, t.rotary_dim)
         k = _rotary(k, pos, t.rotary_dim)
-        # Scatter new K/V into layer li's slots at start_pos (same for
-        # all rows in a call: rows are aligned by construction). Cache
-        # layout is (L, B, H, Dh, S) — see KVCache — so the update
-        # writes along the lane axis.
-        at = (li, 0, 0, 0, start_pos[0])
-        kc = k.astype(k_all.dtype).transpose(0, 1, 3, 2)[None]
-        vc = v.astype(v_all.dtype).transpose(0, 1, 3, 2)[None]
-        k_all = jax.lax.dynamic_update_slice(k_all, kc, at)
-        v_all = jax.lax.dynamic_update_slice(v_all, vc, at)
-        ck = jax.lax.dynamic_slice(k_all, (li, 0, 0, 0, 0), lslice)[0]
-        cv = jax.lax.dynamic_slice(v_all, (li, 0, 0, 0, 0), lslice)[0]
+        if k_all is None:
+            # cache-free: attend over this call's K/V directly, in the
+            # cache layout (B, H, Dh, Sq) so the masked-softmax math is
+            # byte-identical to the cached path (valid == causal here
+            # because start_pos == 0)
+            ck = k.transpose(0, 1, 3, 2)
+            cv = v.transpose(0, 1, 3, 2)
+        else:
+            # Scatter new K/V into layer li's slots at start_pos (same
+            # for all rows in a call: rows are aligned by construction).
+            # Cache layout is (L, B, H, Dh, S) — see KVCache — so the
+            # update writes along the lane axis.
+            at = (li, 0, 0, 0, start_pos[0])
+            kc = k.astype(k_all.dtype).transpose(0, 1, 3, 2)[None]
+            vc = v.astype(v_all.dtype).transpose(0, 1, 3, 2)[None]
+            k_all = jax.lax.dynamic_update_slice(k_all, kc, at)
+            v_all = jax.lax.dynamic_update_slice(v_all, vc, at)
+            ck = jax.lax.dynamic_slice(k_all, (li, 0, 0, 0, 0), lslice)[0]
+            cv = jax.lax.dynamic_slice(v_all, (li, 0, 0, 0, 0), lslice)[0]
         o = _attend_cached(q, ck, cv, valid_len=valid, prec=prec)
         o = o.transpose(0, 2, 1, 3).reshape(b, sq, d)
         attn_out = _dense(o, lp["attn"]["wo"], lp["attn"]["bo"], prec)
@@ -432,9 +447,11 @@ def decoder_forward(
 
     (x, new_k, new_v), _ = jax.lax.scan(
         body,
-        (x, cache.k, cache.v),
+        (x, None if cache is None else cache.k, None if cache is None else cache.v),
         (jnp.arange(t.num_layers), params["text"]["layers"]),
     )
+    if cache is None:
+        return x, None
     return x, KVCache(new_k, new_v)
 
 

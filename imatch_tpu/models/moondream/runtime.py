@@ -312,11 +312,14 @@ class MoondreamJax:
 
     def query_yes_no_batch(self, encoded_list, question: str) -> list[bool]:
         """Prefill-only yes/no for a batch of images x one question, in
-        fixed-size chunks (IMATCH_VLM_VQA_CHUNK, default 32 — prefill's
-        cache buckets to the prompt, ~150 MB/row at moondream2)."""
+        fixed-size chunks (IMATCH_VLM_VQA_CHUNK, default 64; the
+        prefill is CACHE-FREE — generate.vqa_yes_no — so the chunk is
+        bounded by activations/attention scores, not a KV cache; 128
+        measured fastest on v5e at moondream2 geometry, 64 leaves
+        headroom for concurrent caption batches)."""
         if not encoded_list:
             return []
-        chunk = int(os.environ.get("IMATCH_VLM_VQA_CHUNK", "32"))
+        chunk = int(os.environ.get("IMATCH_VLM_VQA_CHUNK", "64"))
         # max_new=1: prefill-only, but the prompt must still fit the
         # budget or the cache update itself overflows (a long filter
         # question crashed this path before the shared truncation).

@@ -23,7 +23,7 @@ from imatch_tpu.pipeline.state import AppState
 
 logger = logging.getLogger("imatch.backfill")
 
-BATCH = int(os.environ.get("IMATCH_BACKFILL_BATCH", "16"))
+BATCH = int(os.environ.get("IMATCH_BACKFILL_BATCH", "64"))
 
 
 def _query_batched(state: AppState, encs, formatted):

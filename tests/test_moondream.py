@@ -330,3 +330,27 @@ def test_encode_batch_mixed_geometry_one_dispatch(monkeypatch):
             rtol=2e-4,
             atol=2e-5,
         )
+
+
+def test_cachefree_prefill_matches_cached(md):
+    """use_cache=False must produce byte-identical prefill logits to the
+    cached path (same masked-softmax math over the same K/V) — it is
+    the VQA fast path's memory-ceiling fix, not an approximation."""
+    from imatch_tpu.models.moondream.generate import prefill
+
+    cfg, params = TINY_MD, md
+    feats = jax.random.normal(
+        jax.random.key(21), (3, cfg.vision.num_patches, cfg.text.hidden_size)
+    )
+    tokens = jnp.asarray(
+        [[1, 5, 9], [3, 7, 4], [2, 2, 8]], jnp.int32
+    ) % cfg.text.vocab_size
+    l_cached, cache, pos = prefill(params, cfg, feats, tokens, max_new=1)
+    l_free, no_cache, pos2 = prefill(
+        params, cfg, feats, tokens, use_cache=False
+    )
+    assert no_cache is None
+    np.testing.assert_array_equal(np.asarray(pos), np.asarray(pos2))
+    np.testing.assert_allclose(
+        np.asarray(l_cached), np.asarray(l_free), rtol=1e-6, atol=1e-6
+    )
