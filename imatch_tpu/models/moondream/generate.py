@@ -24,7 +24,6 @@ from imatch_tpu.models.moondream.model import (
     KVCache,
     decoder_forward,
     embed_tokens,
-    init_cache,
     lm_logits,
 )
 
@@ -67,10 +66,21 @@ def prefill(
     if max_new:
         need = seq.shape[1] + max_new
         cache_len = min(cfg.text.max_seq, -(-need // 256) * 256)
-    cache = init_cache(cfg, b, cache_dtype or dtype, cache_len=cache_len)
+    n = cache_len or cfg.text.max_seq
     start = jnp.zeros((b,), jnp.int32)
-    hidden, cache = decoder_forward(
-        params, seq, cache, start, cfg, dtype=dtype
+    # Build the cache FROM the prefill's own K/V (cache-free forward +
+    # one pad) instead of scattering into a zero-initialized cache: XLA
+    # materializes the zero-init twice (broadcast + clone), so the old
+    # path's HBM peak was ~2 extra cache copies — the batch-size
+    # ceiling for caption prefill.
+    hidden, kv = decoder_forward(
+        params, seq, None, start, cfg, dtype=dtype, collect_kv=True
+    )
+    ks, vs = kv
+    cdt = cache_dtype or dtype
+    pad = ((0, 0),) * 4 + ((0, n - seq.shape[1]),)
+    cache = KVCache(
+        jnp.pad(ks.astype(cdt), pad), jnp.pad(vs.astype(cdt), pad)
     )
     logits = lm_logits(params, hidden[:, -1:, :], cfg)[:, 0]
     pos = jnp.full((b,), seq.shape[1], jnp.int32)

@@ -357,6 +357,7 @@ def decoder_forward(
     cfg: MoondreamConfig,
     *,
     dtype=jnp.float32,
+    collect_kv: bool = False,
 ) -> Tuple[jax.Array, Optional[KVCache]]:
     """Run Sq tokens through the decoder, reading+writing the KV cache.
 
@@ -424,9 +425,12 @@ def decoder_forward(
             # cache layout (B, H, Dh, Sq) so the masked-softmax math is
             # byte-identical to the cached path (valid == causal here
             # because start_pos == 0)
-            ck = k.transpose(0, 1, 3, 2)
-            cv = v.transpose(0, 1, 3, 2)
+            ck = k.astype(dtype).transpose(0, 1, 3, 2)
+            cv = v.astype(dtype).transpose(0, 1, 3, 2)
+            kv_out = (ck, cv) if collect_kv else None
         else:
+            kv_out = None
+        if k_all is not None:
             # Scatter new K/V into layer li's slots at start_pos (same
             # for all rows in a call: rows are aligned by construction).
             # Cache layout is (L, B, H, Dh, S) — see KVCache — so the
@@ -443,15 +447,17 @@ def decoder_forward(
         attn_out = _dense(o, lp["attn"]["wo"], lp["attn"]["bo"], prec)
         mlp_out = _dense(_gelu(m1), lp["mlp"]["w2"], lp["mlp"]["b2"], prec)
         h = h + attn_out + mlp_out  # phi parallel residual
-        return (h, k_all, v_all), None
+        return (h, k_all, v_all), kv_out
 
-    (x, new_k, new_v), _ = jax.lax.scan(
+    (x, new_k, new_v), kv_stack = jax.lax.scan(
         body,
         (x, None if cache is None else cache.k, None if cache is None else cache.v),
         (jnp.arange(t.num_layers), params["text"]["layers"]),
     )
     if cache is None:
-        return x, None
+        # kv_stack (when collect_kv): ((L,B,H,Dh,Sq), (L,B,H,Dh,Sq)) —
+        # the prefill's K/V in cache layout, for prefill_cache()
+        return x, kv_stack
     return x, KVCache(new_k, new_v)
 
 

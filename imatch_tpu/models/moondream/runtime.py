@@ -281,12 +281,13 @@ class MoondreamJax:
 
     def caption_batch(self, encoded_list, max_new: int = 48) -> list[str]:
         """Batched prefill + shared decode loops for N captions, in
-        fixed-size chunks (IMATCH_VLM_CAP_CHUNK, default 8 — the decode
-        KV cache is the HBM budget here). The reference decodes captions
-        one network call at a time."""
+        fixed-size chunks (IMATCH_VLM_CAP_CHUNK, default 16 — the
+        decode KV cache is the HBM budget; prefill no longer double-
+        materializes it, see generate.prefill). The reference decodes
+        captions one network call at a time."""
         if not encoded_list:
             return []
-        chunk = int(os.environ.get("IMATCH_VLM_CAP_CHUNK", "8"))
+        chunk = int(os.environ.get("IMATCH_VLM_CAP_CHUNK", "16"))
         ids = self._prompt_id_list(CAPTION_PROMPT, max_new=max_new)
         n = len(encoded_list)
         texts: list = []
