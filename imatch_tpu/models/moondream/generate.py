@@ -22,6 +22,7 @@ import jax.numpy as jnp
 from imatch_tpu.models.moondream.configs import MoondreamConfig
 from imatch_tpu.models.moondream.model import (
     KVCache,
+    _quant_kv_cols,
     decoder_forward,
     embed_tokens,
     lm_logits,
@@ -64,8 +65,12 @@ def prefill(
         return logits, None, jnp.full((b,), seq.shape[1], jnp.int32)
     cache_len = 0
     if max_new:
+        # 128-slot buckets: decode reads the WHOLE cache every step, so
+        # bucket granularity is directly cache-bandwidth (741+32 tokens
+        # bucket to 896 slots instead of 1024 — 12% less traffic);
+        # compile variants stay bounded by the few prompt shapes.
         need = seq.shape[1] + max_new
-        cache_len = min(cfg.text.max_seq, -(-need // 256) * 256)
+        cache_len = min(cfg.text.max_seq, -(-need // 128) * 128)
     n = cache_len or cfg.text.max_seq
     start = jnp.zeros((b,), jnp.int32)
     # Build the cache FROM the prefill's own K/V (cache-free forward +
@@ -79,9 +84,22 @@ def prefill(
     ks, vs = kv
     cdt = cache_dtype or dtype
     pad = ((0, 0),) * 4 + ((0, n - seq.shape[1]),)
-    cache = KVCache(
-        jnp.pad(ks.astype(cdt), pad), jnp.pad(vs.astype(cdt), pad)
-    )
+    if cdt == jnp.int8:
+        # int8 cache (IMATCH_MD_CACHE=int8): per-(B,H,slot) scales;
+        # padded slots get scale 1 (they are masked out of attention)
+        kq, k_s = _quant_kv_cols(ks, axis=3)
+        vq, v_s = _quant_kv_cols(vs, axis=3)
+        spad = ((0, 0),) * 3 + ((0, n - seq.shape[1]),)
+        cache = KVCache(
+            jnp.pad(kq, pad),
+            jnp.pad(vq, pad),
+            jnp.pad(k_s, spad, constant_values=1.0),
+            jnp.pad(v_s, spad, constant_values=1.0),
+        )
+    else:
+        cache = KVCache(
+            jnp.pad(ks.astype(cdt), pad), jnp.pad(vs.astype(cdt), pad)
+        )
     logits = lm_logits(params, hidden[:, -1:, :], cfg)[:, 0]
     pos = jnp.full((b,), seq.shape[1], jnp.int32)
     return logits, cache, pos

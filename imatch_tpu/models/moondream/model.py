@@ -279,9 +279,16 @@ class KVCache(NamedTuple):
     # S_max LAST: the TPU pads the minor-most (lane) dimension to 128,
     # so a (..., S, Dh=64) layout would physically allocate (and stream,
     # every decode step) 2x the cache bytes. With S minor-most the lane
-    # dim is the 128/256-bucketed sequence and Dh=64 sits in sublanes.
+    # dim is the 128-bucketed sequence and Dh=64 sits in sublanes.
+    #
+    # int8 mode (IMATCH_MD_CACHE=int8): k/v are int8 with per-(B, H,
+    # slot) symmetric scales in ks/vs — decode streams the whole cache
+    # every step, so storage bytes are cache-attention time; the scales
+    # fold into the attention logits/probs (see _attend_cached).
     k: jax.Array  # (L, B, H, Dh, S_max)
     v: jax.Array  # (L, B, H, Dh, S_max)
+    ks: Optional[jax.Array] = None  # (L, B, H, S_max) fp32, int8 mode
+    vs: Optional[jax.Array] = None
 
 
 def init_cache(
@@ -296,7 +303,27 @@ def init_cache(
     t = cfg.text
     n = cache_len or t.max_seq
     shape = (t.num_layers, batch, t.num_heads, t.head_dim, n)
+    if dtype == jnp.int8:
+        return KVCache(
+            jnp.zeros(shape, jnp.int8),
+            jnp.zeros(shape, jnp.int8),
+            jnp.ones(shape[:3] + (n,), jnp.float32),
+            jnp.ones(shape[:3] + (n,), jnp.float32),
+        )
     return KVCache(jnp.zeros(shape, dtype), jnp.zeros(shape, dtype))
+
+
+def _quant_kv_cols(x, axis):
+    """Per-column symmetric int8: reduce |max| over ``axis`` (Dh) ->
+    (q int8 like x, scale fp32 like x minus that axis)."""
+    amax = jnp.max(jnp.abs(x.astype(jnp.float32)), axis=axis)
+    scale = jnp.maximum(amax, 1e-6) / 127.0
+    q = jnp.clip(
+        jnp.round(x.astype(jnp.float32) / jnp.expand_dims(scale, axis)),
+        -127,
+        127,
+    ).astype(jnp.int8)
+    return q, scale
 
 
 def _rotary(x, positions, rotary_dim):
@@ -322,11 +349,14 @@ def _rotary(x, positions, rotary_dim):
     return jnp.concatenate([rot, xp], axis=-1)
 
 
-def _attend_cached(q, ck, cv, *, valid_len, prec):
+def _attend_cached(q, ck, cv, *, valid_len, prec, k_scale=None, v_scale=None):
     """q (B,H,Sq,Dh) against a cache (B,H,Dh,Smax) masked to valid_len.
 
     valid_len: (B, Sq) number of cache slots visible to each q position
     (its own slot included — causal by construction).
+    k_scale/v_scale (B, H, Smax): per-slot dequant scales for an int8
+    cache — folded into the logits / the probs, so the int8 bytes are
+    all that streams from HBM.
     """
     scale = q.shape[-1] ** -0.5
     logits = jnp.einsum(
@@ -335,11 +365,16 @@ def _attend_cached(q, ck, cv, *, valid_len, prec):
         ck.astype(q.dtype),
         preferred_element_type=jnp.float32,
         precision=prec,
-    ) * scale
+    )
+    if k_scale is not None:
+        logits = logits * k_scale[:, :, None, :]
+    logits = logits * scale
     kpos = jnp.arange(ck.shape[3])
     mask = kpos[None, None, None, :] < valid_len[:, None, :, None]
     logits = jnp.where(mask, logits, NEG_INF)
     probs = jax.nn.softmax(logits.astype(jnp.float32), axis=-1)
+    if v_scale is not None:
+        probs = probs * v_scale[:, :, None, :]
     return jnp.einsum(
         "bhqk,bhdk->bhqd",
         probs.astype(q.dtype),
@@ -393,7 +428,7 @@ def decoder_forward(
     # dwarfing the 2.6 GB of weight streaming the step actually needs.
     # Carry + in-place-update is the aliasing-friendly form for XLA.
     def body(carry, xs):
-        h, k_all, v_all = carry
+        h, k_all, v_all, ks_all, vs_all = carry
         li, lp = xs
         y = _layer_norm(h, lp["ln"], t.layer_norm_eps)
         if "qkv_mlp" in lp:
@@ -420,6 +455,7 @@ def decoder_forward(
         v = v.reshape(b, sq, nh, hd).transpose(0, 2, 1, 3)
         q = _rotary(q, pos, t.rotary_dim)
         k = _rotary(k, pos, t.rotary_dim)
+        sk = sv = None
         if k_all is None:
             # cache-free: attend over this call's K/V directly, in the
             # cache layout (B, H, Dh, Sq) so the masked-softmax math is
@@ -430,35 +466,57 @@ def decoder_forward(
             kv_out = (ck, cv) if collect_kv else None
         else:
             kv_out = None
-        if k_all is not None:
             # Scatter new K/V into layer li's slots at start_pos (same
             # for all rows in a call: rows are aligned by construction).
             # Cache layout is (L, B, H, Dh, S) — see KVCache — so the
             # update writes along the lane axis.
             at = (li, 0, 0, 0, start_pos[0])
-            kc = k.astype(k_all.dtype).transpose(0, 1, 3, 2)[None]
-            vc = v.astype(v_all.dtype).transpose(0, 1, 3, 2)[None]
+            if k_all.dtype == jnp.int8:
+                kq, k_s = _quant_kv_cols(k, axis=-1)  # (B,H,Sq,Dh)->,(B,H,Sq)
+                vq, v_s = _quant_kv_cols(v, axis=-1)
+                kc = kq.transpose(0, 1, 3, 2)[None]
+                vc = vq.transpose(0, 1, 3, 2)[None]
+                at_s = (li, 0, 0, start_pos[0])
+                ks_all = jax.lax.dynamic_update_slice(ks_all, k_s[None], at_s)
+                vs_all = jax.lax.dynamic_update_slice(vs_all, v_s[None], at_s)
+                sslice = (1,) + ks_all.shape[1:]
+                sk = jax.lax.dynamic_slice(
+                    ks_all, (li, 0, 0, 0), sslice
+                )[0]
+                sv = jax.lax.dynamic_slice(
+                    vs_all, (li, 0, 0, 0), sslice
+                )[0]
+            else:
+                kc = k.astype(k_all.dtype).transpose(0, 1, 3, 2)[None]
+                vc = v.astype(v_all.dtype).transpose(0, 1, 3, 2)[None]
             k_all = jax.lax.dynamic_update_slice(k_all, kc, at)
             v_all = jax.lax.dynamic_update_slice(v_all, vc, at)
             ck = jax.lax.dynamic_slice(k_all, (li, 0, 0, 0, 0), lslice)[0]
             cv = jax.lax.dynamic_slice(v_all, (li, 0, 0, 0, 0), lslice)[0]
-        o = _attend_cached(q, ck, cv, valid_len=valid, prec=prec)
+        o = _attend_cached(
+            q, ck, cv, valid_len=valid, prec=prec, k_scale=sk, v_scale=sv
+        )
         o = o.transpose(0, 2, 1, 3).reshape(b, sq, d)
         attn_out = _dense(o, lp["attn"]["wo"], lp["attn"]["bo"], prec)
         mlp_out = _dense(_gelu(m1), lp["mlp"]["w2"], lp["mlp"]["b2"], prec)
         h = h + attn_out + mlp_out  # phi parallel residual
-        return (h, k_all, v_all), kv_out
+        return (h, k_all, v_all, ks_all, vs_all), kv_out
 
-    (x, new_k, new_v), kv_stack = jax.lax.scan(
-        body,
-        (x, None if cache is None else cache.k, None if cache is None else cache.v),
-        (jnp.arange(t.num_layers), params["text"]["layers"]),
+    carry0 = (
+        x,
+        None if cache is None else cache.k,
+        None if cache is None else cache.v,
+        None if cache is None else cache.ks,
+        None if cache is None else cache.vs,
+    )
+    (x, new_k, new_v, new_ks, new_vs), kv_stack = jax.lax.scan(
+        body, carry0, (jnp.arange(t.num_layers), params["text"]["layers"])
     )
     if cache is None:
         # kv_stack (when collect_kv): ((L,B,H,Dh,Sq), (L,B,H,Dh,Sq)) —
-        # the prefill's K/V in cache layout, for prefill_cache()
+        # the prefill's K/V in cache layout, for generate.prefill
         return x, kv_stack
-    return x, KVCache(new_k, new_v)
+    return x, KVCache(new_k, new_v, new_ks, new_vs)
 
 
 def pack_text_layers(params: Params) -> Params:

@@ -142,10 +142,19 @@ class MoondreamJax:
         def _encode(params, pixels):
             return encode_image_features(params, pixels, cfg, dtype=dt)
 
+        # int8 KV cache (opt-in): decode streams the whole cache every
+        # step, so halving its bytes is decode time at batch >= 8.
+        cache_dt = (
+            jnp.int8
+            if os.environ.get("IMATCH_MD_CACHE", "") == "int8"
+            else None
+        )
+
         @functools.partial(jax.jit, static_argnames=("max_new",))
         def _generate(params, feats, tokens, max_new):
             logits, cache, pos = prefill(
-                params, cfg, feats, tokens, dtype=dt, max_new=max_new
+                params, cfg, feats, tokens, dtype=dt, max_new=max_new,
+                cache_dtype=cache_dt,
             )
             return greedy_generate(
                 params, cfg, logits, cache, pos, max_new=max_new, dtype=dt

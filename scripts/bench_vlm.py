@@ -39,6 +39,7 @@ def bench(
     param_dtype,
     packed=False,
     quant=False,
+    cache_int8=False,
     max_new: int = 32,
 ):
     cfg = get_md_config(cfg_name)
@@ -62,10 +63,13 @@ def bench(
 
     import functools
 
+    cache_dt = jnp.int8 if cache_int8 else None
+
     @functools.partial(jax.jit, static_argnames=("max_new",))
     def gen(params, feats, tokens, max_new):
         logits, cache, pos = prefill(
-            params, cfg, feats, tokens, dtype=dt, max_new=max_new
+            params, cfg, feats, tokens, dtype=dt, max_new=max_new,
+            cache_dtype=cache_dt,
         )
         return greedy_generate(
             params, cfg, logits, cache, pos, max_new=max_new, dtype=dt
@@ -99,13 +103,14 @@ if __name__ == "__main__":
     batches = [int(x) for x in sys.argv[2:]] or [1, 8]
     print(f"{cfg_name} on {jax.default_backend()}")
     variants = [
-        ("bf16 params, packed qkv+mlp", jnp.bfloat16, True, False),
-        ("int8 params, packed qkv+mlp", jnp.bfloat16, True, True),
+        ("bf16 params, packed qkv+mlp", jnp.bfloat16, True, False, False),
+        ("int8 params, packed qkv+mlp", jnp.bfloat16, True, True, False),
+        ("int8 params + int8 kv cache", jnp.bfloat16, True, True, True),
     ]
     if os.environ.get("BENCH_FP32"):
-        variants.insert(0, ("fp32 params, unpacked", jnp.float32, False, False))
+        variants.insert(0, ("fp32 params, unpacked", jnp.float32, False, False, False))
     if os.environ.get("BENCH_UNPACKED"):
-        variants.insert(0, ("bf16 params, unpacked", jnp.bfloat16, False, False))
-    for name, dtp, pk, qt in variants:
+        variants.insert(0, ("bf16 params, unpacked", jnp.bfloat16, False, False, False))
+    for name, dtp, pk, qt, c8 in variants:
         print(name)
-        bench(cfg_name, batches, dtp, packed=pk, quant=qt)
+        bench(cfg_name, batches, dtp, packed=pk, quant=qt, cache_int8=c8)

@@ -354,3 +354,47 @@ def test_cachefree_prefill_matches_cached(md):
     np.testing.assert_allclose(
         np.asarray(l_cached), np.asarray(l_free), rtol=1e-6, atol=1e-6
     )
+
+
+def test_int8_kv_cache_decode_close(md):
+    """IMATCH_MD_CACHE=int8: per-slot-quantized KV cache must track the
+    fp cache closely — the first decode step's logits agree to high
+    cosine and generation runs to completion."""
+    from imatch_tpu.models.moondream.generate import (
+        greedy_generate,
+        prefill,
+    )
+
+    cfg, params = TINY_MD, md
+    feats = jax.random.normal(
+        jax.random.key(31), (2, cfg.vision.num_patches, cfg.text.hidden_size)
+    )
+    tokens = jnp.asarray([[1, 5, 9, 2], [3, 7, 4, 8]], jnp.int32)
+    l_f, cache_f, pos = prefill(params, cfg, feats, tokens, max_new=8)
+    l_q, cache_q, _ = prefill(
+        params, cfg, feats, tokens, max_new=8, cache_dtype=jnp.int8
+    )
+    assert cache_q.k.dtype == jnp.int8 and cache_q.ks is not None
+    np.testing.assert_allclose(
+        np.asarray(l_f), np.asarray(l_q), rtol=1e-5, atol=1e-5
+    )  # prefill logits identical (cache not consumed yet)
+
+    from imatch_tpu.models.moondream.model import (
+        decoder_forward,
+        embed_tokens,
+        lm_logits,
+    )
+
+    nxt = jnp.argmax(l_f, axis=-1).astype(jnp.int32)[:, None]
+    emb = embed_tokens(params, nxt)
+    h_f, _ = decoder_forward(params, emb, cache_f, pos, cfg)
+    h_q, _ = decoder_forward(params, emb, cache_q, pos, cfg)
+    a = np.asarray(lm_logits(params, h_f, cfg)[:, 0], np.float64)
+    b = np.asarray(lm_logits(params, h_q, cfg)[:, 0], np.float64)
+    cos = (a * b).sum(-1) / (
+        np.linalg.norm(a, axis=-1) * np.linalg.norm(b, axis=-1)
+    )
+    assert cos.min() >= 0.999, cos
+
+    out = greedy_generate(params, cfg, l_q, cache_q, pos, max_new=8)
+    assert out.tokens.shape == (2, 8)
