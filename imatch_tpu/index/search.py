@@ -92,6 +92,21 @@ def prepare_device_corpus(
     return DeviceCorpus(scoring, exact, valid, tile_n, scale)
 
 
+def _int8_scores(q32, scoring, scale):
+    """int8 phase-1 scores (ONE definition: the device int8 engine and
+    the tilemax-host tier must select identical tiles — the host tier's
+    pinned-identical-results guarantee depends on sharing this code)."""
+    qmax = jnp.max(jnp.abs(q32), axis=1)
+    qscale = jnp.where(qmax > 0, qmax / 127.0, 1.0)
+    qi = jnp.clip(
+        jnp.round(q32 / qscale[:, None]), -127, 127
+    ).astype(jnp.int8)
+    s_int = jnp.einsum(
+        "qd,nd->qn", qi, scoring, preferred_element_type=jnp.int32
+    )
+    return s_int.astype(jnp.float32) * qscale[:, None] * scale[None, :]
+
+
 @functools.partial(jax.jit, static_argnames=("k", "tile_n"))
 def _tilemax_topk(
     queries, scoring, exact, valid, scale, *, k: int, tile_n: int
@@ -115,15 +130,7 @@ def _tilemax_topk(
     n_tiles = n_pad // tile_n
 
     if scoring.dtype == jnp.int8:
-        qmax = jnp.max(jnp.abs(q32), axis=1)
-        qscale = jnp.where(qmax > 0, qmax / 127.0, 1.0)
-        qi = jnp.clip(
-            jnp.round(q32 / qscale[:, None]), -127, 127
-        ).astype(jnp.int8)
-        s_int = jnp.einsum(
-            "qd,nd->qn", qi, scoring, preferred_element_type=jnp.int32
-        )
-        s = s_int.astype(jnp.float32) * qscale[:, None] * scale[None, :]
+        s = _int8_scores(q32, scoring, scale)
     else:
         qs = q32.astype(scoring.dtype)
         s = jnp.einsum(
@@ -296,19 +303,12 @@ class HostRescoreCorpus(NamedTuple):
 
 @functools.partial(jax.jit, static_argnames=("k", "tile_n"))
 def _phase1_tiles(queries, scoring, valid, scale, *, k: int, tile_n: int):
-    """Phase 1 of the int8 tilemax: top-(k+margin) candidate tile ids."""
+    """Phase 1 of the int8 tilemax: top-(k+margin) candidate tile ids
+    (scores via _int8_scores — shared with the device engine)."""
     q32 = queries.astype(jnp.float32)
     nq = q32.shape[0]
     n_tiles = scoring.shape[0] // tile_n
-    qmax = jnp.max(jnp.abs(q32), axis=1)
-    qscale = jnp.where(qmax > 0, qmax / 127.0, 1.0)
-    qi = jnp.clip(jnp.round(q32 / qscale[:, None]), -127, 127).astype(
-        jnp.int8
-    )
-    s_int = jnp.einsum(
-        "qd,nd->qn", qi, scoring, preferred_element_type=jnp.int32
-    )
-    s = s_int.astype(jnp.float32) * qscale[:, None] * scale[None, :]
+    s = _int8_scores(q32, scoring, scale)
     s = jnp.where(valid[None, :], s, NEG_INF)
     tile_max = jnp.max(s.reshape(nq, n_tiles, tile_n), axis=2)
     kt = min(k + 16, n_tiles)
@@ -384,10 +384,16 @@ def host_rescore_topk(queries, hc: HostRescoreCorpus, *, k: int):
         if rows_idx.size == 0:
             continue
         # float64 accumulate: at least as accurate as the device's fp32
-        # HIGHEST rescore, deterministic ordering
-        es = (hc.host_exact[rows_idx].astype(np.float64) @ qh[qi]).astype(
-            np.float64
-        )
+        # HIGHEST rescore, deterministic ordering. Chunked: at k=1024
+        # ('All' on a big corpus) the candidate set is ~500k rows, and a
+        # one-shot fancy-index + float64 cast would allocate ~3 GB of
+        # temporaries per query.
+        es = np.empty((rows_idx.size,), np.float64)
+        q64 = qh[qi].astype(np.float64)
+        step = 65536
+        for c0 in range(0, rows_idx.size, step):
+            sel = rows_idx[c0 : c0 + step]
+            es[c0 : c0 + step] = hc.host_exact[sel].astype(np.float64) @ q64
         kk = min(k, rows_idx.size)
         # ties break to the lower index (chroma parity): lexsort is
         # stable with the index as the secondary key

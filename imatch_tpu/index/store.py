@@ -96,6 +96,7 @@ class VectorStore:
         self._n = 0  # slots in use (incl. tombstones)
         self._dead = 0
         self._device = None  # cached (corpus jnp, valid jnp)
+        self._gen = 0  # bumped on every invalidation (build-outside-lock)
 
     # -- capacity -----------------------------------------------------------
 
@@ -114,6 +115,7 @@ class VectorStore:
             alive[: self._n] = self._alive[: self._n]
         self._emb, self._alive = emb, alive
         self._device = None
+        self._gen += 1
 
     def _maybe_compact(self):
         if self._dead * 2 > self._n and self._n >= _MIN_CAP:
@@ -130,6 +132,7 @@ class VectorStore:
             self._dead = 0
             self._slot = {d: i for i, d in enumerate(self._ids)}
             self._device = None
+            self._gen += 1
 
     # -- journal ------------------------------------------------------------
 
@@ -209,6 +212,7 @@ class VectorStore:
                 self._slot[id_] = slot
                 self._n += 1
             self._device = None
+            self._gen += 1
             self._journal(
                 *(
                     {
@@ -267,6 +271,7 @@ class VectorStore:
                         embeddings[i], dtype=np.float32
                     )
                     self._device = None
+                    self._gen += 1
                 op = {"op": "update", "id": id_}
                 if metadatas is not None:
                     op["metadata"] = metadatas[i]
@@ -285,6 +290,7 @@ class VectorStore:
                     deleted.append(id_)
             self._maybe_compact()
             self._device = None
+            self._gen += 1
             self._journal(*({"op": "delete", "id": i} for i in deleted))
 
     def count(self) -> int:
@@ -293,48 +299,50 @@ class VectorStore:
 
     # -- search -------------------------------------------------------------
 
+    def _build_device(self, emb_copy: np.ndarray, alive_copy: np.ndarray):
+        """Engine-specific prepared state from COPIES of the host
+        buffers (jnp.asarray can alias numpy memory, and writers mutate
+        the live buffers in place — aliasing would let a concurrent
+        add() tear rows inside an in-flight query or a cached index).
+        Runs OUTSIDE the store lock: at capacity scale the prepare is
+        seconds of quantization/upload and must not block writers."""
+        if self.engine == "tilemax-host":
+            from imatch_tpu.index.search import prepare_host_rescore_corpus
+
+            # host-side quantize: ONLY the int8 matrix crosses to HBM
+            # (the fp32 corpus would not fit); the copies stay host-side
+            # for the rescore
+            return prepare_host_rescore_corpus(emb_copy, alive_copy)
+        emb = jnp.asarray(emb_copy)
+        alive = jnp.asarray(alive_copy)
+        if self.engine == "pallas":
+            from imatch_tpu.ops.pallas.topk import prepare_corpus
+
+            dtype = (
+                jnp.bfloat16
+                if self.score_dtype == jnp.int8
+                else self.score_dtype
+            )
+            return prepare_corpus(emb, alive, score_dtype=dtype)
+        if self.engine == "ivf":
+            from imatch_tpu.index.ivf import build_ivf
+
+            return build_ivf(emb, alive)
+        return prepare_device_corpus(
+            emb, alive, score_dtype=self.score_dtype
+        )
+
     def _device_state(self):
+        """Prepared device state; caller must hold the lock. Kept for
+        non-query internal uses — the query path goes through
+        _snapshot_for_query, which builds outside the lock."""
         if self._device is None:
             cap = 0 if self._emb is None else self._emb.shape[0]
             if cap == 0:
                 return None
-            # Prepared once per mutation: scoring copy + fp32 rescore
-            # copy + validity (engine-specific layout). COPIES of the
-            # host buffers: jnp.asarray can alias numpy memory (CPU
-            # zero-copy; async h2d elsewhere), and writers mutate
-            # self._emb/_alive in place after the lock is dropped —
-            # aliasing would let a concurrent add() tear rows inside an
-            # in-flight query or a cached IVF index.
-            emb = jnp.asarray(self._emb.copy())
-            alive = jnp.asarray(self._alive.copy())
-            if self.engine == "tilemax-host":
-                from imatch_tpu.index.search import (
-                    prepare_host_rescore_corpus,
-                )
-
-                # host-side quantize: only the int8 matrix crosses to
-                # HBM; the fp32 copies stay host-side for the rescore
-                self._device = prepare_host_rescore_corpus(
-                    self._emb.copy(), self._alive.copy()
-                )
-                return self._device
-            if self.engine == "pallas":
-                from imatch_tpu.ops.pallas.topk import prepare_corpus
-
-                dtype = (
-                    jnp.bfloat16
-                    if self.score_dtype == jnp.int8
-                    else self.score_dtype
-                )
-                self._device = prepare_corpus(emb, alive, score_dtype=dtype)
-            elif self.engine == "ivf":
-                from imatch_tpu.index.ivf import build_ivf
-
-                self._device = build_ivf(emb, alive)
-            else:
-                self._device = prepare_device_corpus(
-                    emb, alive, score_dtype=self.score_dtype
-                )
+            self._device = self._build_device(
+                self._emb.copy(), self._alive.copy()
+            )
         return self._device
 
     def _run_engine(self, q: np.ndarray, dc, k: int):
@@ -362,16 +370,38 @@ class VectorStore:
         return 1 << max(0, (k - 1)).bit_length()
 
     def _snapshot_for_query(self):
-        """Consistent (device corpus, id/meta/doc lists) pair, taken under
-        the lock. Safe to read lock-free afterwards: ``add`` only appends
-        (indices in the captured corpus stay valid), ``delete`` only flips
-        the alive mask, and compaction *rebinds* the lists rather than
-        mutating them — the captured references keep the layout the
-        captured corpus was built from."""
+        """Consistent (device corpus, id/meta/doc lists) pair. Safe to
+        read lock-free afterwards: ``add`` only appends (indices in the
+        captured corpus stay valid), ``delete`` only flips the alive
+        mask, and compaction *rebinds* the lists rather than mutating
+        them — the captured references keep the layout the captured
+        corpus was built from.
+
+        The buffer COPY happens under the lock (consistency), but the
+        engine prepare (quantize/tile/upload — seconds at capacity
+        scale) runs OUTSIDE it and is installed with a generation
+        check, so writers never wait on a rebuild."""
         with self._lock:
             live = self.count()
-            dc = self._device_state()
-            return live, dc, self._ids, self._meta, self._docs
+            dc = self._device
+            ids_l, meta_l, docs_l = self._ids, self._meta, self._docs
+            emb = alive = None
+            gen = self._gen
+            if dc is None:
+                cap = 0 if self._emb is None else self._emb.shape[0]
+                if cap == 0:
+                    return live, None, ids_l, meta_l, docs_l
+                emb = self._emb.copy()
+                alive = self._alive.copy()
+        if dc is None:
+            dc = self._build_device(emb, alive)
+            with self._lock:
+                if self._gen == gen and self._device is None:
+                    self._device = dc
+                # a concurrent mutation invalidated us: dc is still
+                # consistent with the ids/meta captured above, so THIS
+                # query uses it; the next query rebuilds fresh
+        return live, dc, ids_l, meta_l, docs_l
 
     def warm(self, n_results_list: Sequence[int] = (1, 10, 25, 50, 100, 1000)):
         """Pre-compile the query engine for the k buckets the serving

@@ -44,7 +44,7 @@ def prefill(
 
     image_embeds: (B, P, D) projected vision features (prefix).
     token_ids: (B, S) prompt token ids (fixed length, no padding).
-    max_new > 0 sizes the KV cache to a 256-bucket just above
+    max_new > 0 sizes the KV cache to a 128-slot bucket just above
     prompt+max_new instead of max_seq — decode attends the whole cache
     per step, so this cuts per-token reads (measured ~2x at moondream2
     geometry). Returns (last logits (B, V), cache, next start_pos (B,)).
