@@ -486,3 +486,31 @@ def test_tilemax_host_matches_device_int8():
     host.delete([rh["ids"][0][0]])
     rh2 = host.query(q[:1], n_results=5)
     assert rh["ids"][0][0] not in rh2["ids"][0]
+
+
+def test_mutation_during_device_build_stays_consistent(monkeypatch):
+    """The prepared-state build runs OUTSIDE the store lock; a mutation
+    landing mid-build must not corrupt the serving query (the stale
+    build still matches its captured snapshot) and the next query must
+    see a fresh build including the mutation (generation check)."""
+    import numpy as np
+
+    from imatch_tpu.index.store import VectorStore
+
+    store = VectorStore(dim=4)
+    store.add(ids=["a"], embeddings=[[1.0, 0, 0, 0]])
+    orig = store._build_device
+
+    def racy(emb, alive):
+        dc = orig(emb, alive)
+        store.add(ids=["b"], embeddings=[[0, 1.0, 0, 0]])  # mid-build write
+        return dc
+
+    monkeypatch.setattr(store, "_build_device", racy)
+    res = store.query([[0, 1.0, 0, 0]], n_results=2)
+    # 'b' was added after the snapshot: this query serves the stale but
+    # self-consistent corpus
+    assert res["ids"][0] == ["a"]
+    monkeypatch.setattr(store, "_build_device", orig)
+    res2 = store.query([[0, 1.0, 0, 0]], n_results=2)
+    assert res2["ids"][0][0] == "b"  # fresh build sees the mutation
