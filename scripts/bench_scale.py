@@ -64,6 +64,33 @@ def main():
     print(f"tilemax-host p50: {p50:.2f} ms/query @ {n:,} rows "
           f"(self-match exact on all 30)", flush=True)
 
+    # The REAL serving path: VectorStore with the tier selected, query()
+    # round-trips through the outside-lock build + id/metadata mapping.
+    del hc
+    from imatch_tpu.index.store import VectorStore
+
+    store = VectorStore(dim=D, engine="tilemax-host")
+    store._emb = emb
+    store._alive = np.ones((n,), bool)
+    store._ids = [f"v{i:08d}" for i in range(n)]
+    store._meta = [None] * n
+    store._docs = [None] * n
+    store._slot = {}  # not needed for querying
+    store._n = n
+    t0 = time.perf_counter()
+    res = store.query(emb[:1], n_results=10)
+    print(f"store.query first (build+query): {time.perf_counter() - t0:.1f}s",
+          flush=True)
+    assert res["ids"][0][0] == "v00000000", res["ids"][0][:3]
+    times = []
+    for r in range(10):
+        t0 = time.perf_counter()
+        res = store.query(emb[r : r + 1], n_results=10)
+        times.append(time.perf_counter() - t0)
+        assert res["ids"][0][0] == f"v{r:08d}"
+    print(f"store.query p50: {float(np.median(times)) * 1e3:.2f} ms @ "
+          f"{n:,} rows (ids exact)", flush=True)
+
 
 if __name__ == "__main__":
     main()
