@@ -55,6 +55,11 @@ BASELINE_IMGS_PER_SEC = 5000.0
 
 
 def bench_ingest(on_tpu: bool):
+    """Headline metric: embedded + INDEXED (BASELINE.md's north star) —
+    each batch's embeddings are fetched and inserted into a live
+    VectorStore while the device runs the next batches (the fetch +
+    host-side add overlap the compute stream, exactly like the real
+    pipelined ingest path)."""
     cfg = get_config("vit-b32")
     params = init_params(jax.random.key(0), cfg)
     dtype = jnp.bfloat16 if on_tpu else jnp.float32
@@ -85,13 +90,72 @@ def bench_ingest(on_tpu: bool):
     np.asarray(ingest_step(params, frames))  # warmup / compile
 
     iters = 20 if on_tpu else 3
+    store = VectorStore(dim=cfg.projection_dim)
+    ids_all = [
+        [f"b{it:03d}_{i:04d}" for i in range(batch)] for it in range(iters)
+    ]
     t0 = time.perf_counter()
-    emb = None
-    for _ in range(iters):
-        emb = ingest_step(params, frames)
-    np.asarray(emb)  # device executes in order: last done => all done
+    outs = [ingest_step(params, frames) for _ in range(iters)]
+    for it, o in enumerate(outs):
+        # np.asarray blocks on THIS batch only; the device keeps running
+        # the later dispatched batches while the transfer + insert happen
+        store.add(ids=ids_all[it], embeddings=np.asarray(o))
     dt = time.perf_counter() - t0
+    assert store.count() == batch * iters
     return batch * iters / dt
+
+
+def bench_rtt_noop(on_tpu: bool):
+    """p50 of the smallest possible device round-trip (jitted x+1 on one
+    float, scalar fetch): the environment's hard floor for any
+    synchronous single-query latency number. If search p50 minus device
+    compute time ~= this, the <10 ms BASELINE target is gated by the
+    link, not the engine."""
+    f = jax.jit(lambda x: x + 1.0)
+    x = jnp.zeros((1,), jnp.float32)
+    np.asarray(f(x))  # compile
+    reps = 50 if on_tpu else 10
+    times = []
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        np.asarray(f(x))
+        times.append(time.perf_counter() - t0)
+    return round(float(np.median(times)) * 1e3, 3)
+
+
+def bench_search_pipelined(store: VectorStore, on_tpu: bool, depth: int = 8):
+    """Depth-N concurrent clients against the same store: per-request
+    latency stays at the round-trip floor, but throughput scales with
+    depth because queries pipeline on the device (lock-free snapshots,
+    dispatch outside the store lock). QPS >> 1/p50 proves the p50 floor
+    is waiting, not engine occupancy."""
+    import threading
+
+    q = store._emb[:1]
+    store.query(q, n_results=10)  # warm
+    total = 96 if on_tpu else 12
+    per = total // depth
+    times = []
+    tlock = threading.Lock()
+
+    def worker():
+        mine = []
+        for _ in range(per):
+            t0 = time.perf_counter()
+            store.query(q, n_results=10)
+            mine.append(time.perf_counter() - t0)
+        with tlock:
+            times.extend(mine)
+
+    threads = [threading.Thread(target=worker) for _ in range(depth)]
+    t0 = time.perf_counter()
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    dt = time.perf_counter() - t0
+    qps = depth * per / dt
+    return round(qps, 1), round(float(np.median(times)) * 1e3, 3)
 
 
 def _make_jpegs(n: int, src: int, seed: int = 1):
@@ -269,6 +333,8 @@ def main():
 
     store = _make_big_store(1_000_000 if on_tpu else 50_000, 512)
     n_vec, store_p50, dev_ms = bench_search(store, on_tpu)
+    rtt_ms = bench_rtt_noop(on_tpu)
+    qps_pipelined, p50_pipelined = bench_search_pipelined(store, on_tpu)
     http_p50 = bench_http_search(embedder, store, on_tpu)
 
     print(
@@ -286,6 +352,9 @@ def main():
                     "search_p50_store_ms": store_p50,
                     "search_p50_http_ms": http_p50,
                     "search_per_query_device_ms": dev_ms,
+                    "search_rtt_noop_p50_ms": rtt_ms,
+                    "search_qps_pipelined_depth8": qps_pipelined,
+                    "search_p50_pipelined_ms": p50_pipelined,
                     "search_corpus_rows": n_vec,
                     "search_dim": 512,
                 },

@@ -383,17 +383,18 @@ def host_rescore_topk(queries, hc: HostRescoreCorpus, *, k: int):
         rows_idx = rows_idx[ok]
         if rows_idx.size == 0:
             continue
-        # float64 accumulate: at least as accurate as the device's fp32
-        # HIGHEST rescore, deterministic ordering. Chunked: at k=1024
-        # ('All' on a big corpus) the candidate set is ~500k rows, and a
-        # one-shot fancy-index + float64 cast would allocate ~3 GB of
-        # temporaries per query.
-        es = np.empty((rows_idx.size,), np.float64)
-        q64 = qh[qi].astype(np.float64)
+        # fp32 accumulate to MIRROR the device engines' fp32 HIGHEST
+        # rescore: tile selection is shared code (_int8_scores) and the
+        # rescore dtype now matches, so near-tie orderings agree across
+        # tiers up to summation order. Chunked: at k=1024 ('All' on a
+        # big corpus) the candidate set is ~500k rows, and a one-shot
+        # fancy-index cast would allocate GBs of temporaries per query.
+        es = np.empty((rows_idx.size,), np.float32)
+        q32 = qh[qi]
         step = 65536
         for c0 in range(0, rows_idx.size, step):
             sel = rows_idx[c0 : c0 + step]
-            es[c0 : c0 + step] = hc.host_exact[sel].astype(np.float64) @ q64
+            es[c0 : c0 + step] = hc.host_exact[sel] @ q32
         kk = min(k, rows_idx.size)
         # ties break to the lower index (chroma parity): lexsort is
         # stable with the index as the secondary key

@@ -47,7 +47,9 @@ _SCORE_DTYPES = {
 
 
 def _env_engine() -> str:
-    """IMATCH_INDEX_ENGINE: tilemax (default, exact), pallas (fused
+    """IMATCH_INDEX_ENGINE: tilemax (default, exact), sharded (exact,
+    corpus row-sharded over every local device — the multi-chip serving
+    engine), auto (sharded when >1 device, else tilemax), pallas (fused
     Pallas phase-1 kernel), tilemax-host (int8 scoring in HBM + host
     fp32 rescore — the capacity tier for corpora whose fp32 copy
     exceeds HBM, e.g. 10M x 512), ivf (approximate — opt-in; ordering
@@ -75,8 +77,21 @@ class VectorStore:
     ):
         self.dim = dim
         self.engine = (engine or _env_engine()).lower()
-        if self.engine not in ("tilemax", "pallas", "ivf", "tilemax-host"):
+        if self.engine == "auto":
+            # the reference serves its whole index from one process
+            # (hnswlib query, /root/reference/backend/app/main.py:761);
+            # on a TPU slice the natural default is the mesh-sharded
+            # exact engine — same results, N/P rows of HBM per chip.
+            self.engine = "sharded" if len(jax.devices()) > 1 else "tilemax"
+        if self.engine not in (
+            "tilemax",
+            "sharded",
+            "pallas",
+            "ivf",
+            "tilemax-host",
+        ):
             raise ValueError(f"unknown index engine {self.engine!r}")
+        self._mesh = None  # lazy data-axis mesh for the sharded engine
         self.score_dtype = (
             score_dtype if score_dtype is not None else _env_score_dtype()
         )
@@ -181,10 +196,10 @@ class VectorStore:
         documents: Optional[Sequence[Optional[str]]] = None,
     ):
         if not len(ids):
-            # np.asarray([]) is shape (0,): setting dim from it would
-            # permanently poison the store (dim=0) on a fresh deployment
-            # whose first upload-folder had no decodable files.
-            return
+            # chroma parity: an empty add is a client error (and
+            # np.asarray([]) is shape (0,) — inferring dim from it would
+            # permanently poison the store with dim=0).
+            raise ValueError("expected non-empty ids for add")
         with self._lock:
             embeddings = np.asarray(embeddings, dtype=np.float32)
             if embeddings.ndim == 1:
@@ -313,6 +328,20 @@ class VectorStore:
             # (the fp32 corpus would not fit); the copies stay host-side
             # for the rescore
             return prepare_host_rescore_corpus(emb_copy, alive_copy)
+        if self.engine == "sharded":
+            from imatch_tpu.parallel.dist_search import prepare_sharded_corpus
+            from imatch_tpu.parallel.mesh import make_mesh
+
+            if self._mesh is None:
+                self._mesh = make_mesh(model_parallel=1)
+            dtype = (
+                jnp.bfloat16
+                if self.score_dtype == jnp.int8
+                else self.score_dtype
+            )
+            return prepare_sharded_corpus(
+                emb_copy, alive_copy, mesh=self._mesh, score_dtype=dtype
+            )
         emb = jnp.asarray(emb_copy)
         alive = jnp.asarray(alive_copy)
         if self.engine == "pallas":
@@ -352,6 +381,10 @@ class VectorStore:
             from imatch_tpu.index.search import host_rescore_topk
 
             return host_rescore_topk(q, dc, k=k)
+        if self.engine == "sharded":
+            from imatch_tpu.parallel.dist_search import sharded_topk_prepared
+
+            return sharded_topk_prepared(q, dc, k=k)
         if self.engine == "pallas":
             from imatch_tpu.ops.pallas.topk import pallas_topk_prepared
 

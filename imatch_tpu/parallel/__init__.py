@@ -15,7 +15,11 @@ from imatch_tpu.parallel.sharding import (
     data_spec,
     replicated,
 )
-from imatch_tpu.parallel.dist_search import sharded_cosine_topk
+from imatch_tpu.parallel.dist_search import (
+    prepare_sharded_corpus,
+    sharded_cosine_topk,
+    sharded_topk_prepared,
+)
 from imatch_tpu.parallel.pipeline import gpipe_scan
 from imatch_tpu.parallel.ring_attention import ring_attention
 from imatch_tpu.parallel.train import (
@@ -31,7 +35,9 @@ __all__ = [
     "clip_param_specs",
     "data_spec",
     "replicated",
+    "prepare_sharded_corpus",
     "sharded_cosine_topk",
+    "sharded_topk_prepared",
     "gpipe_scan",
     "ring_attention",
     "TrainState",

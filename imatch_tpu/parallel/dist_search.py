@@ -15,7 +15,7 @@ algorithm, not something we want SPMD to infer.
 from __future__ import annotations
 
 import functools
-from typing import Tuple
+from typing import NamedTuple, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -85,6 +85,103 @@ def sharded_cosine_topk(
         check_vma=False,
     )
     return shard_mapped(queries, corpus, valid)
+
+
+class ShardedCorpus(NamedTuple):
+    """Query-ready mesh-sharded corpus state — the VectorStore-facing
+    prepared form (IMATCH_INDEX_ENGINE=sharded).
+
+    Like index/search.DeviceCorpus, but each array is row-sharded over
+    the mesh ``data`` axis, so per-chip HBM holds N/P rows: scoring
+    (bf16) + exact (fp32) cost 6 bytes/element, i.e. a 1M x 512 corpus
+    is ~3 GB total, ~384 MB/chip on a v5e-8. The cast/pad happens once
+    per mutation here, not per query."""
+
+    scoring: jax.Array  # (N_pad, D) score dtype, sharded P(data, None)
+    exact: jax.Array  # (N_pad, D) fp32, sharded P(data, None)
+    valid: jax.Array  # (N_pad,) bool, sharded P(data)
+    mesh: Mesh
+    tile_n: int
+
+
+def prepare_sharded_corpus(
+    corpus,
+    valid,
+    *,
+    mesh: Mesh,
+    score_dtype=jnp.bfloat16,
+    tile_n: int = 512,
+) -> ShardedCorpus:
+    """Pad rows to a multiple of dp*tile_n and place both the scoring
+    and fp32-rescore copies row-sharded over the ``data`` axis."""
+    import numpy as np
+
+    corpus = np.asarray(corpus, np.float32)
+    valid = np.asarray(valid, bool)
+    dp = mesh.shape[AXIS_DATA]
+    n = corpus.shape[0]
+    pad = (-n) % (dp * tile_n)
+    if pad:
+        corpus = np.pad(corpus, ((0, pad), (0, 0)))
+        valid = np.pad(valid, (0, pad))
+    row_sh = NamedSharding(mesh, P(AXIS_DATA, None))
+    return ShardedCorpus(
+        scoring=jax.device_put(corpus.astype(score_dtype), row_sh)
+        if score_dtype != jnp.float32
+        else jax.device_put(corpus, row_sh),
+        exact=jax.device_put(corpus, row_sh),
+        valid=jax.device_put(valid, NamedSharding(mesh, P(AXIS_DATA))),
+        mesh=mesh,
+        tile_n=tile_n,
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("k", "mesh", "tile_n"))
+def _sharded_topk_prepared(
+    queries, scoring, exact, valid, *, mesh: Mesh, k: int, tile_n: int
+):
+    dp = mesh.shape[AXIS_DATA]
+    shard_rows = scoring.shape[0] // dp
+
+    def local(q, sc, ex, v):
+        s, i = _tilemax_topk(q, sc, ex, v, None, k=k, tile_n=tile_n)
+        shard = jax.lax.axis_index(AXIS_DATA)
+        i = jnp.where(i >= 0, i + shard * shard_rows, -1)
+        ss = jax.lax.all_gather(s, AXIS_DATA, axis=1, tiled=True)
+        ii = jax.lax.all_gather(i, AXIS_DATA, axis=1, tiled=True)
+        # ties break to the lower global index (chroma parity): order
+        # candidates by global index before the stable top_k
+        order = jnp.argsort(jnp.where(ii < 0, jnp.iinfo(jnp.int32).max, ii))
+        ss = jnp.take_along_axis(ss, order, axis=1)
+        ii = jnp.take_along_axis(ii, order, axis=1)
+        top_s, pos = jax.lax.top_k(ss, k)
+        top_i = jnp.take_along_axis(ii, pos, axis=1)
+        return top_s, top_i
+
+    return jax.shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(P(), P(AXIS_DATA, None), P(AXIS_DATA, None), P(AXIS_DATA)),
+        out_specs=(P(), P()),
+        check_vma=False,
+    )(queries, scoring, exact, valid)
+
+
+def sharded_topk_prepared(
+    queries: jax.Array, sc: ShardedCorpus, *, k: int
+) -> Tuple[jax.Array, jax.Array]:
+    """Top-k against a prepared sharded corpus — the store's hot query
+    path on a multi-chip mesh. Same contract as tilemax_topk: (Q, k)
+    fp32 scores descending + global int32 row indices, -1 padded."""
+    return _sharded_topk_prepared(
+        jnp.asarray(queries),
+        sc.scoring,
+        sc.exact,
+        sc.valid,
+        mesh=sc.mesh,
+        k=k,
+        tile_n=sc.tile_n,
+    )
 
 
 def pad_corpus_for_mesh(corpus, valid, dp: int):

@@ -92,7 +92,14 @@ class CloudCaptioner:
             return str(u[()])  # legacy unicode-array caches
         return str(u)
 
+    # transient statuses worth one bounded retry round (rate limit /
+    # upstream hiccup); anything else fails fast with the body attached
+    _RETRY_STATUSES = (429, 500, 502, 503, 504)
+
     def _post(self, endpoint: str, payload: dict) -> dict:
+        import time as _time
+        from urllib.error import HTTPError
+
         req = urllib.request.Request(
             f"{self.base_url}/{endpoint}",
             data=_json.dumps(payload).encode("utf-8"),
@@ -102,8 +109,30 @@ class CloudCaptioner:
             },
             method="POST",
         )
-        with urllib.request.urlopen(req, timeout=self.timeout) as resp:
-            return _json.loads(resp.read().decode("utf-8"))
+        attempts = 3
+        for attempt in range(attempts):
+            try:
+                with urllib.request.urlopen(req, timeout=self.timeout) as resp:
+                    return _json.loads(resp.read().decode("utf-8"))
+            except HTTPError as e:
+                body = ""
+                try:
+                    body = e.read().decode("utf-8", "replace")[:500]
+                except Exception:
+                    pass
+                if e.code in self._RETRY_STATUSES and attempt < attempts - 1:
+                    delay = 0.5 * (2**attempt)
+                    logger.warning(
+                        "moondream API %s -> HTTP %d, retrying in %.1fs",
+                        endpoint,
+                        e.code,
+                        delay,
+                    )
+                    _time.sleep(delay)
+                    continue
+                raise RuntimeError(
+                    f"moondream API {endpoint} failed: HTTP {e.code} {body}"
+                ) from e
 
     def caption(self, encoded: Dict[str, Any]) -> Dict[str, str]:
         out = self._post(
@@ -155,7 +184,8 @@ def get_captioner():
     if choice == "cloud" or (choice == "auto" and api_key):
         if api_key:
             logger.info(
-                "moondream cloud API captioner (key %s...)", api_key[:5]
+                "moondream cloud API captioner (key configured, %d chars)",
+                len(api_key),
             )
             return CloudCaptioner(api_key)
         if choice == "cloud":

@@ -257,18 +257,29 @@ class ClipEmbedder:
         )
         return self._embed_pixels(pixels)[0]
 
-    def ids_and_embed_images(self, images: Sequence[np.ndarray], pool=None):
-        """Bulk-ingest fast path: pHash ids AND CLIP embeddings from one
-        device upload per geometry chunk (the fused _fused_fn step).
+    def ids_and_embed_images_stream(
+        self, images: Sequence[np.ndarray], pool=None, max_in_flight: int = 4
+    ):
+        """Bulk-ingest fast path, streamed: pHash ids AND CLIP embeddings
+        from one device upload per geometry chunk (the fused _fused_fn
+        step), yielded per chunk so the CALLER's host stages (dup check,
+        PNG encode, store insert) overlap the device work of later
+        chunks — the reference runs this whole chain serially per image
+        (/root/reference/backend/app/main.py:613-746).
+
+        Up to ``max_in_flight`` device chunks are dispatched ahead of the
+        consumer (bounding frames resident in HBM); each yield is one
+        blocking fetch of an already-dispatched chunk, so the device and
+        the host<->device link stay busy while the consumer works.
 
         Same-geometry runs of >= phash.DEVICE_BUCKET_MIN images go
         through the fused kernel; device hashes flagged unconfident (a
         DCT coefficient at the median boundary) and small buckets fall
         back to the host hash (threaded over ``pool``), so ids are
         bit-identical to the serial path either way. None entries
-        (failed decodes) pass through as (None, zero row).
+        (failed decodes) are not yielded.
 
-        Returns (ids: List[Optional[str]], embeddings: (N, proj) fp32).
+        Yields (indices, ids, embeddings (len(indices), proj) fp32).
         """
         from PIL import Image as _Image
 
@@ -279,9 +290,6 @@ class ClipEmbedder:
         )
         from imatch_tpu.ops.resize import resample_matrix, resize_crop_matrices
 
-        n = len(images)
-        ids: list = [None] * n
-        emb = np.zeros((n, self.dim), np.float32)
         buckets: dict = {}
         for i, im in enumerate(images):
             if im is not None:
@@ -291,6 +299,36 @@ class ClipEmbedder:
         host_hash_idx: list = []  # need a host hash (small/unconfident)
         slow_embed_idx: list = []  # small buckets: normal embed path
         out_size = self.cfg.vision.image_size
+
+        # Phase 1: dispatch device chunks for every big bucket, yielding
+        # finished chunks once the in-flight window fills. The lock is
+        # held only around each dispatch — fetches happen outside it, so
+        # concurrent embed calls interleave instead of serializing behind
+        # a whole-batch critical section.
+        in_flight: list = []  # (idxs_chunk, device (e, bits, conf))
+
+        def _drain_one():
+            idxs_chunk, handles = in_flight.pop(0)
+            e, bits, conf = jax.device_get(handles)
+            ids_c: list = [None] * len(idxs_chunk)
+            pending = []  # host-hash fallback within this chunk
+            for j, i in enumerate(idxs_chunk):
+                if conf[j]:
+                    ids_c[j] = f"img_{bits_to_hex(bits[j])}"
+                else:
+                    pending.append(j)
+            if pending:
+                host_all = lambda j: _host_image_id(  # noqa: E731
+                    _Image.fromarray(images[idxs_chunk[j]])
+                )
+                if pool is not None and len(pending) > 1:
+                    for j, id_ in zip(pending, pool.map(host_all, pending)):
+                        ids_c[j] = id_
+                else:
+                    for j in pending:
+                        ids_c[j] = host_all(j)
+            return idxs_chunk, ids_c, e
+
         for (h, w), idxs in buckets.items():
             if len(idxs) < DEVICE_BUCKET_MIN:
                 host_hash_idx.extend(idxs)
@@ -302,45 +340,53 @@ class ClipEmbedder:
             consts = tuple(
                 jnp.asarray(m) for m in (a_v_c, a_h_c, a_v_p, a_h_p)
             )
-            stack = np.stack([images[i] for i in idxs])
             METRICS.inc("images_embedded", len(idxs))
-            with self._lock, METRICS.timer("ingest.fused"):
-                parts = []
-                for s, b, bp in self._chunk_bounds(len(idxs), chunk):
-                    part = jnp.asarray(stack[s : s + b])
+            for s, b, bp in self._chunk_bounds(len(idxs), chunk):
+                part = np.stack([images[i] for i in idxs[s : s + b]])
+                with self._lock, METRICS.timer("ingest.fused"):
+                    dev = jnp.asarray(part)
                     if bp > b:
-                        part = jnp.concatenate(
-                            [part, jnp.tile(part[-1:], (bp - b, 1, 1, 1))]
+                        dev = jnp.concatenate(
+                            [dev, jnp.tile(dev[-1:], (bp - b, 1, 1, 1))]
                         )
-                    e, bits, conf = self._fused_fn(self.params, part, *consts)
-                    parts.append((e[:b], bits[:b], conf[:b]))
-                parts = jax.device_get(parts)  # one blocking fetch
-            pos = 0
-            for e, bits, conf in parts:
-                for j in range(len(e)):
-                    i = idxs[pos]
-                    emb[i] = e[j]
-                    if conf[j]:
-                        ids[i] = f"img_{bits_to_hex(bits[j])}"
-                    else:
-                        host_hash_idx.append(i)
-                    pos += 1
+                    e, bits, conf = self._fused_fn(self.params, dev, *consts)
+                in_flight.append(
+                    (idxs[s : s + b], (e[:b], bits[:b], conf[:b]))
+                )
+                if len(in_flight) >= max_in_flight:
+                    yield _drain_one()
+        while in_flight:
+            yield _drain_one()
 
+        # Phase 2: the leftovers (small geometry buckets) — plain embed
+        # path plus threaded host hashes, one final yield.
         if slow_embed_idx:
             rest = self.embed_images([images[i] for i in slow_embed_idx])
-            for j, i in enumerate(slow_embed_idx):
-                emb[i] = rest[j]
-        if host_hash_idx:
+            ids_r: list = [None] * len(slow_embed_idx)
+            order = {i: j for j, i in enumerate(slow_embed_idx)}
 
             def host_one(i):
                 return i, _host_image_id(_Image.fromarray(images[i]))
 
             if pool is not None and len(host_hash_idx) > 1:
                 for i, id_ in pool.map(host_one, host_hash_idx):
-                    ids[i] = id_
+                    ids_r[order[i]] = id_
             else:
                 for i in host_hash_idx:
-                    ids[i] = host_one(i)[1]
+                    ids_r[order[i]] = host_one(i)[1]
+            yield slow_embed_idx, ids_r, rest
+
+    def ids_and_embed_images(self, images: Sequence[np.ndarray], pool=None):
+        """Whole-batch form of ids_and_embed_images_stream: returns
+        (ids: List[Optional[str]], embeddings: (N, proj) fp32) with None
+        ids / zero rows for None entries (failed decodes)."""
+        n = len(images)
+        ids: list = [None] * n
+        emb = np.zeros((n, self.dim), np.float32)
+        for idxs, ids_c, e in self.ids_and_embed_images_stream(images, pool):
+            for j, i in enumerate(idxs):
+                ids[i] = ids_c[j]
+                emb[i] = e[j]
         return ids, emb
 
 

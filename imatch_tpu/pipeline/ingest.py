@@ -182,10 +182,11 @@ def process_batch(
     Returns per-file results: {"filename", "status": success|skipped|error,
     "id"?, "metadata"?, "error"?}.
     """
-    results: List[dict] = [None] * len(images)
+    n = len(images)
+    results: List[dict] = [None] * n
     fresh: List[int] = []
-    ids: List[Optional[str]] = [None] * len(images)
-    arrays: List[Optional[np.ndarray]] = [None] * len(images)
+    ids: List[Optional[str]] = [None] * n
+    arrays: List[Optional[np.ndarray]] = [None] * n
     pool = _host_pool()
 
     with METRICS.timer("ingest.to_array"):
@@ -200,35 +201,85 @@ def process_batch(
                     "error": str(e),
                 }
 
-    # dedup ids for the whole batch: device MXU hashes for same-geometry
-    # runs, threaded host hashes for the rest — bit-identical either way.
-    # Without background removal the embedding input IS the original
-    # frame, so hash + embedding come from ONE device upload of the
-    # frames (the fused step); with it, the embedding happens after
-    # segmentation, so only the hash runs now.
+    # PNG encodes fan out over the host pool (zlib/PIL release the GIL);
+    # reference anchor: one serial clean_image.save per upload
+    # (main.py:665-668). IMATCH_PNG_COMPRESS (default 1): zlib level for
+    # bulk ingest — level 1 encodes ~4x faster than PIL's default 6 for
+    # ~15% larger files, and PNG encode is pure host CPU, the scarcest
+    # resource at multi-k-img/s ingest rates.
+    png_level = int(os.environ.get("IMATCH_PNG_COMPRESS", "1"))
+    save_futs: Dict[int, object] = {}
+
+    def _save(i):
+        Image.fromarray(arrays[i]).save(
+            os.path.join(state.processed_dir, f"{ids[i]}.png"),
+            compress_level=png_level,
+        )
+
+    seen_batch = set()
+    checked = [False] * n  # dup-checked yet?
+
+    def _dup_check(idx_list, submit_saves: bool):
+        """Classify a run of hashed images as fresh vs duplicate; fresh
+        files' PNG saves start immediately when ``submit_saves`` (their
+        frames are final — no segmentation pending), overlapping the
+        device work of later chunks."""
+        with METRICS.timer("ingest.dup"):
+            for i in idx_list:
+                checked[i] = True
+                if results[i] is not None:
+                    continue
+                img_id = ids[i]
+                if (
+                    img_id in seen_batch
+                    or state.store.get(ids=[img_id], include=[])["ids"]
+                ):
+                    results[i] = {
+                        "filename": filenames[i],
+                        "status": "skipped",
+                        "id": img_id,
+                        "message": "Duplicate image detected",
+                    }
+                    arrays[i] = None
+                    continue
+                seen_batch.add(img_id)
+                fresh.append(i)
+                if submit_saves:
+                    save_futs[i] = pool.submit(_save, i)
+
+    # Dedup ids: device MXU hashes for same-geometry runs, threaded host
+    # hashes for the rest — bit-identical either way. Without background
+    # removal the embedding input IS the original frame, so hash +
+    # embedding come from ONE device upload (the fused step), consumed as
+    # a STREAM: each finished chunk is dup-checked and its PNG saves are
+    # submitted while the device runs the next chunks — the two-deep
+    # producer/consumer the reference's serial per-image chain never has
+    # (main.py:613-746,1124-1188). With background removal the embedding
+    # happens after segmentation, so only the hash runs now.
     use_fused = not (remove_bg and state.segmenter is not None)
-    fused_emb = None
-    with METRICS.timer("ingest.phash"):
+    emb_by_idx: Dict[int, np.ndarray] = {}
+    if use_fused:
         try:
-            if use_fused:
-                batch_ids, fused_emb = (
-                    state.get_embedder().ids_and_embed_images(arrays, pool=pool)
-                )
-            else:
-                batch_ids = image_ids_batch(arrays, pool=pool)
+            with METRICS.timer("ingest.stream"):
+                for idxs, ids_c, e in state.get_embedder().ids_and_embed_images_stream(
+                    arrays, pool=pool
+                ):
+                    for j, i in enumerate(idxs):
+                        ids[i] = ids_c[j]
+                        emb_by_idx[i] = e[j]
+                    _dup_check(idxs, submit_saves=True)
         except Exception as e:
-            # Batch hash/embed died whole (device error, corrupt frame in
-            # the fan-out). Degrade to serial per-image hashing so one bad
-            # file costs only itself — the reference's per-file isolation
-            # contract (main.py:1180-1187).
-            logger.error("batched hash/embed failed, per-image fallback: %s", e)
-            use_fused = False
-            fused_emb = None
-            batch_ids = [None] * len(arrays)
+            # The fused stream died mid-flight (device error, corrupt
+            # frame in the fan-out). Items already streamed keep their
+            # ids/embeddings; the rest degrade to threaded host hashing
+            # + the plain embed path, so one bad file costs only itself —
+            # the reference's per-file isolation contract
+            # (main.py:1180-1187).
+            logger.error("fused ingest stream failed, host fallback: %s", e)
 
             def _hash_one(i):
                 try:
-                    batch_ids[i] = phash_image_id(Image.fromarray(arrays[i]))
+                    ids[i] = phash_image_id(Image.fromarray(arrays[i]))
                 except Exception as ee:
                     results[i] = {
                         "filename": filenames[i],
@@ -236,39 +287,56 @@ def process_batch(
                         "error": str(ee),
                     }
 
-            # fan the host hashes over the pool (PIL/scipy release the
-            # GIL) — the degraded path stays parallel, not serial
             list(
                 pool.map(
                     _hash_one,
                     [
                         i
                         for i, a in enumerate(arrays)
-                        if a is not None and results[i] is None
+                        if a is not None and results[i] is None and ids[i] is None
                     ],
                 )
             )
-    seen_batch = set()
-    with METRICS.timer("ingest.dup"):
-        for i, name in enumerate(filenames):
-            if results[i] is not None:
-                continue
-            img_id = batch_ids[i]
-            ids[i] = img_id
-            if (
-                img_id in seen_batch
-                or state.store.get(ids=[img_id], include=[])["ids"]
-            ):
-                results[i] = {
-                    "filename": name,
-                    "status": "skipped",
-                    "id": img_id,
-                    "message": "Duplicate image detected",
-                }
-                arrays[i] = None
-                continue
-            seen_batch.add(img_id)
-            fresh.append(i)
+    else:
+        with METRICS.timer("ingest.phash"):
+            try:
+                batch_ids = image_ids_batch(arrays, pool=pool)
+            except Exception as e:
+                logger.error(
+                    "batched hash failed, per-image fallback: %s", e
+                )
+                batch_ids = [None] * n
+
+                def _hash_one(i):
+                    try:
+                        batch_ids[i] = phash_image_id(Image.fromarray(arrays[i]))
+                    except Exception as ee:
+                        results[i] = {
+                            "filename": filenames[i],
+                            "status": "error",
+                            "error": str(ee),
+                        }
+
+                list(
+                    pool.map(
+                        _hash_one,
+                        [
+                            i
+                            for i, a in enumerate(arrays)
+                            if a is not None and results[i] is None
+                        ],
+                    )
+                )
+            for i in range(n):
+                if results[i] is None and ids[i] is None:
+                    ids[i] = batch_ids[i]
+
+    # anything the stream never reached (fallback path / non-fused path):
+    # dup-check in file order now
+    _dup_check(
+        [i for i in range(n) if not checked[i] and results[i] is None],
+        submit_saves=use_fused,
+    )
 
     if not fresh:
         return results
@@ -328,54 +396,48 @@ def process_batch(
         except Exception as e:
             logger.error("background removal error: %s", e)
 
-    if use_fused:
-        embeddings = fused_emb[fresh]
-    else:
+    # embeddings for fresh rows the stream did not cover (non-fused path,
+    # or the tail of a failed stream)
+    missing = [i for i in fresh if i not in emb_by_idx]
+    if missing:
         embed_inputs = [
             a[..., :3] if a.shape[-1] == 4 else a
-            for a in (arrays[i] for i in fresh)
+            for a in (arrays[i] for i in missing)
         ]
         try:
             with METRICS.timer("ingest.embed"):
-                embeddings = state.get_embedder().embed_images(embed_inputs)
+                more = state.get_embedder().embed_images(embed_inputs)
+            for j, i in enumerate(missing):
+                emb_by_idx[i] = more[j]
         except Exception as e:
             # embed died for the whole chunk: demote the still-pending
             # files to per-file errors instead of 500ing the request and
             # losing the dup/error classifications already made.
             logger.error("batch embed failed: %s", e)
-            for i in fresh:
+            for i in missing:
                 results[i] = {
                     "filename": filenames[i],
                     "status": "error",
                     "error": f"embedding failed: {e}",
                 }
-            return results
+            fresh = [i for i in fresh if i not in set(missing)]
+            if not fresh:
+                return results
 
-    # PNG encodes fan out over the host pool (zlib/PIL release the GIL)
-    # while the metadata assembly below runs; reference anchor: one
-    # serial clean_image.save per upload (main.py:665-668).
-    # IMATCH_PNG_COMPRESS (default 1): zlib level for bulk ingest — level
-    # 1 encodes ~4x faster than PIL's default 6 for ~15% larger files,
-    # and PNG encode is pure host CPU, the scarcest resource at
-    # multi-k-img/s ingest rates.
-    png_level = int(os.environ.get("IMATCH_PNG_COMPRESS", "1"))
-
-    def _save(i):
-        Image.fromarray(arrays[i]).save(
-            os.path.join(state.processed_dir, f"{ids[i]}.png"),
-            compress_level=png_level,
-        )
-
+    # saves not yet submitted by the stream consumer (segmented frames,
+    # fallback-path files) go out now
     with METRICS.timer("ingest.save"):
-        save_futs = [pool.submit(_save, i) for i in fresh]
+        for i in fresh:
+            if i not in save_futs:
+                save_futs[i] = pool.submit(_save, i)
 
     # saves must land before results return (the metadata URLs point at
     # them); a failed save demotes that file to an error result
     save_failed = set()
     with METRICS.timer("ingest.save_wait"):
-        for i, fut in zip(fresh, save_futs):
+        for i in fresh:
             try:
-                fut.result()
+                save_futs[i].result()
             except Exception as e:
                 logger.error("processed save failed for %s: %s", ids[i], e)
                 save_failed.add(i)
@@ -386,7 +448,7 @@ def process_batch(
                 }
 
     add_ids, add_embs, add_mds, add_docs = [], [], [], []
-    for j, i in enumerate(fresh):
+    for i in fresh:
         if i in save_failed:
             continue
         img_id = ids[i]
@@ -406,7 +468,7 @@ def process_batch(
         if i in filter_results:
             metadata["filter_results_json"] = json.dumps(filter_results[i])
         add_ids.append(img_id)
-        add_embs.append(embeddings[j])
+        add_embs.append(emb_by_idx[i])
         add_mds.append(metadata)
         add_docs.append(description)
         results[i] = {
@@ -415,6 +477,11 @@ def process_batch(
             "id": img_id,
             "metadata": metadata,
         }
+
+    if not add_ids:
+        # every fresh file was demoted to an error: nothing to insert
+        # (store.add raises on empty ids, chroma parity)
+        return results
 
     with state.lock, METRICS.timer("ingest.add"):
         inserted = set(add_ids)

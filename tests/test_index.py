@@ -414,14 +414,15 @@ def test_query_runs_outside_store_lock():
     assert dt < 0.1, f"writer blocked {dt:.3f}s behind an in-flight query"
 
 
-def test_empty_add_does_not_poison_dim():
-    """An empty batch (upload-folder with zero decodable files) must be
-    a no-op: np.asarray([]) is shape (0,) and would set dim=0, after
-    which every real add on the fresh store fails forever."""
+def test_empty_add_raises_and_does_not_poison_dim():
+    """chroma raises on an empty add; and np.asarray([]) is shape (0,),
+    so inferring dim from it would set dim=0, after which every real add
+    on the fresh store fails forever — the raise must come first."""
     from imatch_tpu.index.store import VectorStore
 
     store = VectorStore()
-    store.add(ids=[], embeddings=[])
+    with pytest.raises(ValueError):
+        store.add(ids=[], embeddings=[])
     assert store.dim is None and store.count() == 0
     store.add(ids=["a"], embeddings=[[1.0, 0.0, 0.0]])
     assert store.dim == 3 and store.count() == 1

@@ -361,7 +361,9 @@ def test_process_batch_survives_batched_hash_failure(tmp_path, monkeypatch):
     def boom(*a, **k):
         raise RuntimeError("simulated device failure")
 
-    monkeypatch.setattr(state.get_embedder(), "ids_and_embed_images", boom)
+    monkeypatch.setattr(
+        state.get_embedder(), "ids_and_embed_images_stream", boom
+    )
     rng = np.random.default_rng(3)
     imgs = [
         Image.fromarray(rng.integers(0, 256, (40, 40, 3), np.uint8))
