@@ -31,43 +31,86 @@ class IVFIndex(NamedTuple):
     valid: jax.Array  # (N,) bool
 
 
-@functools.partial(jax.jit, static_argnames=("n_clusters", "iters"))
-def _kmeans(corpus, valid, key, *, n_clusters, iters):
-    n, d = corpus.shape
-    # init: random valid rows (sampling with replacement is fine here)
-    probs = valid.astype(jnp.float32)
+def _pad_chunks(x, chunk, fill=0):
+    n = x.shape[0]
+    n_chunks = max(1, -(-n // chunk))
+    pad = n_chunks * chunk - n
+    if pad:
+        width = ((0, pad),) + ((0, 0),) * (x.ndim - 1)
+        x = jnp.pad(x, width, constant_values=fill)
+    return x.reshape((n_chunks, chunk) + x.shape[1:])
+
+
+@functools.partial(jax.jit, static_argnames=("n_clusters", "iters", "chunk"))
+def _kmeans_chunked(train, tvalid, key, *, n_clusters, iters, chunk):
+    """Lloyd iterations streamed over row chunks: sims + per-chunk
+    one-hot accumulation stay (chunk, C)-sized, never (N, C) — MXU
+    matmuls, no scatter. ``train`` may be bf16 (capacity corpora);
+    accumulation is fp32."""
+    n, d = train.shape
+    probs = tvalid.astype(jnp.float32)
     probs = probs / jnp.sum(probs)
     idx = jax.random.choice(key, n, (n_clusters,), p=probs)
-    cents = corpus[idx]
+    cents = train[idx].astype(jnp.float32)
     cents = cents / jnp.maximum(
         jnp.linalg.norm(cents, axis=1, keepdims=True), 1e-9
     )
-    big_neg = -1e30
+    rows_c = _pad_chunks(train, chunk)
+    ok_c = _pad_chunks(tvalid, chunk)
 
-    def step(_, cents):
-        sims = jnp.einsum(
-            "nd,cd->nc", corpus, cents, preferred_element_type=jnp.float32
+    def lloyd(_, cents):
+        cb = cents.astype(train.dtype)
+
+        def step(carry, xs):
+            sums, counts = carry
+            rows, ok = xs
+            sims = jnp.einsum(
+                "nd,cd->nc", rows, cb, preferred_element_type=jnp.float32
+            )
+            assign = jnp.argmax(
+                jnp.where(ok[:, None], sims, -jnp.inf), axis=1
+            )
+            onehot = jax.nn.one_hot(assign, n_clusters, dtype=train.dtype)
+            onehot = onehot * ok[:, None].astype(train.dtype)
+            sums = sums + jnp.einsum(
+                "nc,nd->cd", onehot, rows, preferred_element_type=jnp.float32
+            )
+            counts = counts + jnp.sum(
+                onehot.astype(jnp.float32), axis=0
+            )
+            return (sums, counts), None
+
+        (sums, counts), _ = jax.lax.scan(
+            step,
+            (
+                jnp.zeros((n_clusters, d), jnp.float32),
+                jnp.zeros((n_clusters,), jnp.float32),
+            ),
+            (rows_c, ok_c),
         )
-        sims = jnp.where(valid[:, None], sims, big_neg)
-        assign = jnp.argmax(sims, axis=1)  # (N,)
-        onehot = jax.nn.one_hot(assign, n_clusters, dtype=jnp.float32)
-        onehot = onehot * valid[:, None]
-        sums = jnp.einsum(
-            "nc,nd->cd", onehot, corpus, preferred_element_type=jnp.float32
-        )
-        counts = jnp.sum(onehot, axis=0)[:, None]
+        counts = counts[:, None]
         new = jnp.where(counts > 0, sums / jnp.maximum(counts, 1.0), cents)
-        new = new / jnp.maximum(
+        return new / jnp.maximum(
             jnp.linalg.norm(new, axis=1, keepdims=True), 1e-9
         )
-        return new
 
-    cents = jax.lax.fori_loop(0, iters, step, cents)
-    sims = jnp.einsum(
-        "nd,cd->nc", corpus, cents, preferred_element_type=jnp.float32
-    )
-    assign = jnp.argmax(sims, axis=1)
-    return cents, assign
+    return jax.lax.fori_loop(0, iters, lloyd, cents)
+
+
+@functools.partial(jax.jit, static_argnames=("chunk",))
+def _assign_chunked(corpus, cents, *, chunk):
+    """argmax cluster id per row, streamed — assignment only, no stats."""
+    rows_c = _pad_chunks(corpus, chunk)
+    cb = cents.astype(corpus.dtype)
+
+    def step(_, rows):
+        sims = jnp.einsum(
+            "nd,cd->nc", rows, cb, preferred_element_type=jnp.float32
+        )
+        return None, jnp.argmax(sims, axis=1).astype(jnp.int32)
+
+    _, assign = jax.lax.scan(step, None, rows_c)
+    return assign.reshape(-1)[: corpus.shape[0]]
 
 
 def build_ivf(
@@ -77,26 +120,47 @@ def build_ivf(
     n_clusters: int = 0,
     iters: int = 10,
     seed: int = 0,
+    sample: int = 1 << 18,
+    chunk: int = 8192,
 ) -> IVFIndex:
-    """K-means build (device matmuls) + host member-list packing."""
-    corpus = jnp.asarray(corpus, jnp.float32)
+    """Scalable k-means build: train centroids on a <=``sample``-row
+    subset (chunked Lloyd — nothing (N, C)-sized ever materializes),
+    assign all rows in a streamed argmax pass, pack member lists with
+    vectorized numpy. ``corpus`` keeps its dtype on device — pass bf16
+    for 10M-row capacity corpora whose fp32 copy exceeds HBM; the query
+    rescore upcasts to fp32 either way."""
+    corpus = jnp.asarray(corpus)
+    if corpus.dtype not in (jnp.float32, jnp.bfloat16):
+        corpus = corpus.astype(jnp.float32)
     valid = jnp.asarray(valid, bool)
     n = corpus.shape[0]
     if n_clusters <= 0:
         n_clusters = max(1, min(n, int(4 * np.sqrt(max(n, 1)))))
     n_clusters = min(n_clusters, n)
-    cents, assign = _kmeans(
-        corpus, valid, jax.random.key(seed), n_clusters=n_clusters, iters=iters
+    key_s, key_k = jax.random.split(jax.random.key(seed))
+    if n > sample:
+        # uniform sample (with replacement — duplicate rows are harmless
+        # for Lloyd); invalid rows masked out inside the update
+        idx = jax.random.randint(key_s, (sample,), 0, n)
+        train, tvalid = corpus[idx], valid[idx]
+    else:
+        train, tvalid = corpus, valid
+    cents = _kmeans_chunked(
+        train, tvalid, key_k, n_clusters=n_clusters, iters=iters, chunk=chunk
     )
-    assign = np.asarray(assign)
+    assign = np.asarray(_assign_chunked(corpus, cents, chunk=chunk))
     ok = np.asarray(valid)
-    lists = [[] for _ in range(n_clusters)]
-    for i in np.nonzero(ok)[0]:
-        lists[assign[i]].append(i)
-    m = max(1, max(len(l) for l in lists))
+    rows = np.nonzero(ok)[0].astype(np.int64)
+    a = assign[rows]
+    order = np.argsort(a, kind="stable")
+    rows_sorted = rows[order].astype(np.int32)
+    a_sorted = a[order]
+    counts = np.bincount(a, minlength=n_clusters)
+    m = max(1, int(counts.max()) if counts.size else 1)
+    starts = np.cumsum(counts) - counts
+    pos = np.arange(len(rows_sorted)) - np.repeat(starts, counts)
     members = np.full((n_clusters, m), -1, np.int32)
-    for c, l in enumerate(lists):
-        members[c, : len(l)] = l
+    members[a_sorted, pos] = rows_sorted
     return IVFIndex(cents, jnp.asarray(members), corpus, valid)
 
 
@@ -125,7 +189,9 @@ def ivf_topk(
     def one(q, clusters):
         ids = index.members[clusters].reshape(n_probe * m)  # (P*M,)
         safe = jnp.maximum(ids, 0)
-        rows = index.corpus[safe]
+        # upcast: corpus may be stored bf16 (capacity tier); the rescore
+        # is fp32 either way
+        rows = index.corpus[safe].astype(jnp.float32)
         ok = jnp.logical_and(ids >= 0, index.valid[safe])
         s = jnp.einsum(
             "nd,d->n",

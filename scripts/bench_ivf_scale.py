@@ -1,0 +1,242 @@
+"""IVF at its design scale: recall@10 vs exact + p50 at 10M x 512.
+
+The ANN tier exists for corpora where even int8 exact scoring reads too
+much HBM per query (hnswlib's role in the reference,
+/root/reference/utils.py:129). This bench makes its tradeoff a table:
+n_probe in {4, 8, 16} -> recall@10 against the exact ordering and
+per-query latency, at 10M x 512 (bf16 storage — the fp32 corpus would
+not fit a 16 GB chip).
+
+Both the exact ground truth and the IVF rescore read the SAME bf16
+corpus and rescore candidates in fp32 HIGHEST, so recall differences are
+pure cluster-miss, not storage precision.
+
+Usage: python scripts/bench_ivf_scale.py [rows] [dim]
+"""
+
+import functools
+import json
+import os
+import sys
+import time
+
+import jax
+
+jax.config.update(
+    "jax_compilation_cache_dir",
+    os.environ.get(
+        "IMATCH_XLA_CACHE", os.path.expanduser("~/.cache/imatch_tpu/xla")
+    ),
+)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+if os.environ.get("JAX_PLATFORMS", "").startswith("cpu"):
+    jax.config.update("jax_platforms", "cpu")
+
+import jax.numpy as jnp
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from imatch_tpu.index.ivf import build_ivf, ivf_topk
+
+NEG_INF = jnp.float32(-3.0e38)
+
+
+N_LATENT = 4096  # semantic modes for the clustered (realistic) corpus
+SIGMA = 0.35  # TOTAL noise norm around a center (per-component scaled by
+# 1/sqrt(dim)); same-mode similarity ~ 1/(1+SIGMA^2) ~ 0.89
+
+
+def make_corpus(rows, dim, dist, chunk=1 << 20):
+    """Unit-norm bf16 corpus generated on device in chunks (a one-shot
+    fp32 (N, D) temporary would be 2x the bf16 corpus size).
+
+    dist='clustered': rows drawn around N_LATENT latent centers — the
+    shape real embedding corpora have (low intrinsic dimension), which
+    is the regime IVF exists for. dist='uniform': isotropic random — the
+    adversarial floor where NO partitioning index can work (neighbors at
+    cos~0.3 are spread uniformly over clusters), reported so the
+    tradeoff table is honest about both ends."""
+    centers = None
+    if dist == "clustered":
+        centers = jax.random.normal(
+            jax.random.key(55), (N_LATENT, dim), jnp.float32
+        )
+        centers = centers / jnp.linalg.norm(centers, axis=-1, keepdims=True)
+    parts = []
+    for s, i in enumerate(range(0, rows, chunk)):
+        b = min(chunk, rows - i)
+        key = jax.random.key(100 + s)
+        if dist == "clustered":
+            k1, k2 = jax.random.split(key)
+            cid = jax.random.randint(k1, (b,), 0, N_LATENT)
+            x = centers[cid] + (SIGMA / np.sqrt(dim)) * jax.random.normal(
+                k2, (b, dim), jnp.float32
+            )
+        else:
+            x = jax.random.normal(key, (b, dim), jnp.float32)
+        x = x / jnp.linalg.norm(x, axis=-1, keepdims=True)
+        parts.append(x.astype(jnp.bfloat16))
+    out = jnp.concatenate(parts) if len(parts) > 1 else parts[0]
+    return jax.block_until_ready(out)
+
+
+@functools.partial(jax.jit, static_argnames=("k", "chunk", "margin"))
+def exact_topk_bf16(queries, corpus, *, k, chunk=1 << 19, margin=54):
+    """Exact ground truth on bf16 storage: streaming bf16 scores with a
+    running top-(k+margin) merge, then fp32 HIGHEST rescore of the
+    candidates. Ties break to the lower index (earlier chunks win the
+    stable top_k; in-chunk iota is ascending)."""
+    q32 = queries.astype(jnp.float32)
+    qb = queries.astype(jnp.bfloat16)
+    n, d = corpus.shape
+    nq = q32.shape[0]
+    kk = min(k + margin, n)
+    n_chunks = max(1, -(-n // chunk))
+    pad = n_chunks * chunk - n
+    cp = jnp.pad(corpus, ((0, pad), (0, 0))) if pad else corpus
+    rows_c = cp.reshape(n_chunks, chunk, d)
+    offsets = jnp.arange(n_chunks, dtype=jnp.int32) * chunk
+
+    def step(carry, xs):
+        best_s, best_i = carry
+        rows, off = xs
+        s = jnp.einsum(
+            "qd,nd->qn", qb, rows, preferred_element_type=jnp.float32
+        )
+        idx = off + jax.lax.broadcasted_iota(jnp.int32, (nq, chunk), 1)
+        s = jnp.where(idx < n, s, NEG_INF)
+        cand_s = jnp.concatenate([best_s, s], axis=1)
+        cand_i = jnp.concatenate([best_i, idx], axis=1)
+        ts, pos = jax.lax.top_k(cand_s, kk)
+        return (ts, jnp.take_along_axis(cand_i, pos, axis=1)), None
+
+    init = (
+        jnp.full((nq, kk), NEG_INF, jnp.float32),
+        jnp.full((nq, kk), -1, jnp.int32),
+    )
+    (cs, ci), _ = jax.lax.scan(step, init, (rows_c, offsets))
+    rows = corpus[jnp.maximum(ci, 0)].astype(jnp.float32)
+    es = jnp.einsum(
+        "qd,qkd->qk",
+        q32,
+        rows,
+        precision=jax.lax.Precision.HIGHEST,
+        preferred_element_type=jnp.float32,
+    )
+    es = jnp.where(ci >= 0, es, NEG_INF)
+    order = jnp.argsort(
+        jnp.where(ci < 0, jnp.iinfo(jnp.int32).max, ci), axis=1
+    )
+    es = jnp.take_along_axis(es, order, axis=1)
+    ci = jnp.take_along_axis(ci, order, axis=1)
+    ts, pos = jax.lax.top_k(es, k)
+    return ts, jnp.take_along_axis(ci, pos, axis=1)
+
+
+def run_dist(dist, rows, dim):
+    k = 10
+    nq = 32
+
+    t0 = time.perf_counter()
+    corpus = make_corpus(rows, dim, dist)
+    gen_s = time.perf_counter() - t0
+
+    # queries: perturbed corpus rows (realistic near-match workload)
+    qi = np.linspace(0, rows - 1, nq).astype(np.int64)
+    base = corpus[jnp.asarray(qi)].astype(jnp.float32)
+    noise = (0.15 / np.sqrt(dim)) * jax.random.normal(
+        jax.random.key(7), base.shape
+    )
+    queries = base + noise
+    queries = queries / jnp.linalg.norm(queries, axis=-1, keepdims=True)
+    queries = jax.block_until_ready(queries)
+
+    t0 = time.perf_counter()
+    es, ei = exact_topk_bf16(queries, corpus, k=k)
+    exact_ids = np.asarray(ei)
+    exact_build_query_s = time.perf_counter() - t0
+
+    # exact per-query time (pipelined, amortized)
+    qs1 = queries[:1]
+    jax.block_until_ready(exact_topk_bf16(qs1, corpus, k=k))
+    t0 = time.perf_counter()
+    outs = [exact_topk_bf16(qs1, corpus, k=k) for _ in range(10)]
+    np.asarray(outs[-1][0].ravel()[0])
+    exact_ms = (time.perf_counter() - t0) * 1e3 / 10
+
+    t0 = time.perf_counter()
+    valid = jnp.ones((rows,), bool)
+    index = build_ivf(corpus, valid)
+    jax.block_until_ready(index.centroids)
+    build_s = time.perf_counter() - t0
+
+    table = {}
+    for n_probe in (8, 16, 32, 64):
+        s, i = ivf_topk(queries, index, k=k, n_probe=n_probe)
+        got = np.asarray(i)
+        recall = float(
+            np.mean(
+                [
+                    len(set(got[r]) & set(exact_ids[r])) / k
+                    for r in range(nq)
+                ]
+            )
+        )
+        # single-query p50 (round-trips) + pipelined amortized
+        jax.block_until_ready(ivf_topk(qs1, index, k=k, n_probe=n_probe))
+        times = []
+        for _ in range(20):
+            t0 = time.perf_counter()
+            r = ivf_topk(qs1, index, k=k, n_probe=n_probe)
+            np.asarray(r[0].ravel()[0])
+            times.append(time.perf_counter() - t0)
+        p50 = float(np.median(times)) * 1e3
+        t0 = time.perf_counter()
+        outs = [ivf_topk(qs1, index, k=k, n_probe=n_probe) for _ in range(20)]
+        np.asarray(outs[-1][0].ravel()[0])
+        amort = (time.perf_counter() - t0) * 1e3 / 20
+        table[n_probe] = {
+            "recall_at_10": round(recall, 4),
+            "p50_ms": round(p50, 3),
+            "amortized_device_ms": round(amort, 3),
+            "scan_fraction": round(
+                n_probe * index.members.shape[1] / rows, 5
+            ),
+        }
+
+    return {
+        "n_clusters": int(index.centroids.shape[0]),
+        "max_cluster": int(index.members.shape[1]),
+        "corpus_gen_s": round(gen_s, 1),
+        "build_s": round(build_s, 1),
+        "exact_amortized_ms": round(exact_ms, 3),
+        "exact_first_batch_s": round(exact_build_query_s, 1),
+        "probe_table": table,
+    }
+
+
+def main():
+    on_tpu = jax.default_backend() == "tpu"
+    rows = int(sys.argv[1]) if len(sys.argv) > 1 else (
+        10_000_000 if on_tpu else 100_000
+    )
+    dim = int(sys.argv[2]) if len(sys.argv) > 2 else 512
+    dists = sys.argv[3].split(",") if len(sys.argv) > 3 else [
+        "clustered",
+        "uniform",
+    ]
+    out = {
+        "metric": "ivf_scale",
+        "backend": jax.default_backend(),
+        "rows": rows,
+        "dim": dim,
+        "storage": "bf16",
+    }
+    for dist in dists:
+        out[dist] = run_dist(dist, rows, dim)
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

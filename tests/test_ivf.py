@@ -61,6 +61,38 @@ def test_ivf_full_probe_is_exact():
     assert 77 not in np.asarray(i)
 
 
+def test_ivf_sampled_training_and_bf16_storage():
+    """The scalable build path: centroids trained on a row sample
+    (chunked Lloyd, no (N, C) temporaries), bf16 corpus storage with
+    fp32 rescore — the 10M-row capacity configuration, exercised small."""
+    corpus = clustered_corpus(n_clusters=32, per=40, d=32, seed=5)
+    n = len(corpus)
+    idx = build_ivf(
+        jnp.asarray(corpus, jnp.bfloat16),
+        np.ones(n, bool),
+        n_clusters=32,
+        seed=1,
+        sample=256,  # < n: forces the sampled-training path
+        chunk=128,
+    )
+    assert idx.corpus.dtype == jnp.bfloat16
+    # member packing: every valid row exactly once
+    m = np.asarray(idx.members)
+    flat = m[m >= 0]
+    assert len(flat) == n and len(set(flat.tolist())) == n
+    rng = np.random.default_rng(6)
+    q_ids = rng.integers(0, n, 16)
+    s, i = ivf_topk(jnp.asarray(corpus[q_ids]), idx, k=10, n_probe=8)
+    i = np.asarray(i)
+    ref = corpus @ corpus.T
+    recalls = []
+    for row, qi in enumerate(q_ids):
+        true = set(np.argsort(-ref[qi], kind="stable")[:10].tolist())
+        recalls.append(len(true & set(i[row].tolist())) / 10)
+    assert np.mean(recalls) >= 0.9, np.mean(recalls)
+    assert (i[:, 0] == q_ids).all()  # self-match survives bf16 storage
+
+
 def test_ivf_small_corpus_padding():
     rng = np.random.default_rng(4)
     corpus = norm_rows(rng.standard_normal((5, 8)).astype(np.float32))
