@@ -8,6 +8,8 @@ Env config (SURVEY.md §5 config table):
   IMATCH_CLIP_CHECKPOINT  local HF checkpoint dir for real weights
   IMATCH_CAPTIONER      auto | moondream | null
   IMATCH_SAMPLES_DIR    sample corpus for /upload-samples
+  IMATCH_INDEX_ENGINE   auto (default here: sharded when >1 device) |
+                        tilemax | sharded | pallas | tilemax-host | ivf
 """
 
 import logging
@@ -41,6 +43,10 @@ logging.basicConfig(
 )
 
 if __name__ == "__main__":
+    # Production default: use every chip on the slice for the index
+    # (row-sharded exact search); single-chip stays tilemax. Explicit
+    # IMATCH_INDEX_ENGINE always wins.
+    os.environ.setdefault("IMATCH_INDEX_ENGINE", "auto")
     root = os.environ.get("IMATCH_ROOT", ".")
     port = int(os.environ.get("PORT", "8000"))
     app = create_app(root=root)
