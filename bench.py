@@ -96,10 +96,13 @@ def bench_ingest(on_tpu: bool):
     ]
     t0 = time.perf_counter()
     outs = [ingest_step(params, frames) for _ in range(iters)]
+    # one bulk materialization (one link round-trip for all batches —
+    # per-batch np.asarray would pay ~25 ms tunnel RTT per iteration in
+    # this environment; on real PCIe hardware either form is free), then
+    # the host-side index inserts, all inside the timed wall.
+    outs = jax.device_get(outs)
     for it, o in enumerate(outs):
-        # np.asarray blocks on THIS batch only; the device keeps running
-        # the later dispatched batches while the transfer + insert happen
-        store.add(ids=ids_all[it], embeddings=np.asarray(o))
+        store.add(ids=ids_all[it], embeddings=o)
     dt = time.perf_counter() - t0
     assert store.count() == batch * iters
     return batch * iters / dt
@@ -202,16 +205,18 @@ def bench_e2e_ingest(embedder, on_tpu: bool):
         # content-phash duplicates and the timed run would dedup-skip
         # them, measuring a short-circuited pipeline
         warm = _make_jpegs(min(n, 512), src, seed=7)
-        imgs = [Image.fromarray(loader.wait(loader.submit_bytes(b))) for b in warm]
+        imgs = [loader.wait(loader.submit_bytes(b)) for b in warm]
         process_batch(state, imgs, [f"w{i}.jpg" for i in range(len(imgs))])
 
         METRICS.reset()
         t0 = time.perf_counter()
         tickets = [loader.submit_bytes(b) for b in blobs]
         with METRICS.timer("ingest.decode"):
-            images = [Image.fromarray(loader.wait(t)) for t in tickets]
+            # raw loader arrays straight through (no PIL round-trip) —
+            # the same form the serving upload-folder path uses
+            images = [loader.wait(t) for t in tickets]
         names = [f"bench_{i}.jpg" for i in range(n)]
-        results = process_batch(state, images, names)
+        results = process_batch(state, images, names, raw_bytes=blobs)
         dt = time.perf_counter() - t0
 
         ok = sum(1 for r in results if r["status"] == "success")
@@ -323,18 +328,28 @@ def bench_http_search(embedder, store: VectorStore, on_tpu: bool):
 
 
 def main():
+    import sys
+
     from imatch_tpu.pipeline.embedder import ClipEmbedder
 
+    def mark(msg):
+        print(f"[bench] {msg}", file=sys.stderr, flush=True)
+
     on_tpu = jax.default_backend() == "tpu"
+    mark("headline ingest (embed+index)…")
     imgs_per_sec = bench_ingest(on_tpu)
 
+    mark(f"headline {imgs_per_sec:.0f} img/s; e2e folder ingest…")
     embedder = ClipEmbedder(config="vit-b32")
     e2e_rate, e2e_ms, stages = bench_e2e_ingest(embedder, on_tpu)
 
+    mark(f"e2e {e2e_rate:.1f} img/s; building 1M store…")
     store = _make_big_store(1_000_000 if on_tpu else 50_000, 512)
     n_vec, store_p50, dev_ms = bench_search(store, on_tpu)
+    mark(f"search p50 {store_p50} ms; rtt + pipelined…")
     rtt_ms = bench_rtt_noop(on_tpu)
     qps_pipelined, p50_pipelined = bench_search_pipelined(store, on_tpu)
+    mark(f"rtt {rtt_ms} ms, qps {qps_pipelined}; http…")
     http_p50 = bench_http_search(embedder, store, on_tpu)
 
     print(

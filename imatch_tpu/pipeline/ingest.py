@@ -34,23 +34,39 @@ from imatch_tpu.utils.metrics import METRICS
 
 logger = logging.getLogger("imatch.ingest")
 
-# Host-side fan-out for pHash + PNG encode during bulk ingest (PIL and
-# scipy release the GIL in their hot loops). Sized for the host work, not
-# the device — the device pipeline is fed by one thread.
+# Host-side fan-out pools for bulk ingest (PIL and scipy release the GIL
+# in their hot loops). TWO pools on purpose: pHash fallback hashing is on
+# the CRITICAL path (the dup decision gates everything downstream), while
+# PNG encodes are deferrable background work — sharing one FIFO pool put
+# each chunk's hash fan-out behind the previous chunk's hundreds of
+# queued saves (measured 3x e2e regression on a 1-core host).
 _HOST_POOL: Optional[ThreadPoolExecutor] = None
-_HOST_POOL_LOCK = threading.Lock()
+_SAVE_POOL: Optional[ThreadPoolExecutor] = None
+_POOL_LOCK = threading.Lock()
 
 
 def _host_pool() -> ThreadPoolExecutor:
     global _HOST_POOL
     if _HOST_POOL is None:
-        with _HOST_POOL_LOCK:  # two first-uploads must not race two pools
+        with _POOL_LOCK:  # two first-uploads must not race two pools
             if _HOST_POOL is None:
                 _HOST_POOL = ThreadPoolExecutor(
                     max_workers=min(16, (os.cpu_count() or 4)),
                     thread_name_prefix="imatch-ingest",
                 )
     return _HOST_POOL
+
+
+def _save_pool() -> ThreadPoolExecutor:
+    global _SAVE_POOL
+    if _SAVE_POOL is None:
+        with _POOL_LOCK:
+            if _SAVE_POOL is None:
+                _SAVE_POOL = ThreadPoolExecutor(
+                    max_workers=min(8, (os.cpu_count() or 4)),
+                    thread_name_prefix="imatch-save",
+                )
+    return _SAVE_POOL
 
 
 def _now_iso() -> str:
@@ -170,14 +186,33 @@ def process_image(
     return metadata, True
 
 
+# formats browsers render natively: safe to store the original bytes
+# verbatim instead of re-encoding a PNG of the identical pixels
+_RAW_EXTS = {".jpg", ".jpeg", ".png", ".webp", ".avif", ".gif"}
+
+
 def process_batch(
     state: AppState,
     images: Sequence[Image.Image],
     filenames: Sequence[str],
     remove_bg: bool = False,
+    raw_bytes: Optional[Sequence[Optional[bytes]]] = None,
 ) -> List[dict]:
     """Batched ingest: one device pass for embeddings instead of the
     reference's per-file serial loop (main.py:1124-1188).
+
+    ``images`` entries may be PIL Images or decoded RGB uint8 numpy
+    arrays (the native loader's output — passing those directly skips a
+    full-frame PIL->numpy copy per image).
+
+    ``raw_bytes``: the original encoded files, when the caller has them.
+    Without background removal the processed image IS the upload, so
+    (IMATCH_SAVE_ORIGINAL=1, the default) the original bytes are stored
+    verbatim under their own extension instead of re-encoding a PNG of
+    identical pixels — the display contract (metadata ``url`` ->
+    renderable image, main.py:665-668) is unchanged and the PNG encode
+    CPU disappears from bulk ingest. IMATCH_SAVE_ORIGINAL=0 restores
+    the reference's always-PNG behavior.
 
     Returns per-file results: {"filename", "status": success|skipped|error,
     "id"?, "metadata"?, "error"?}.
@@ -192,8 +227,13 @@ def process_batch(
     with METRICS.timer("ingest.to_array"):
         for i, (im, name) in enumerate(zip(images, filenames)):
             try:
-                im = im.convert("RGB") if im.mode != "RGB" else im
-                arrays[i] = np.asarray(im)
+                if isinstance(im, np.ndarray):
+                    # native-loader output (RGB uint8 HWC) — no PIL
+                    # round-trip copy; RGBA defensively narrowed
+                    arrays[i] = im[..., :3] if im.shape[-1] == 4 else im
+                else:
+                    im = im.convert("RGB") if im.mode != "RGB" else im
+                    arrays[i] = np.asarray(im)
             except Exception as e:
                 results[i] = {
                     "filename": name,
@@ -208,9 +248,29 @@ def process_batch(
     # ~15% larger files, and PNG encode is pure host CPU, the scarcest
     # resource at multi-k-img/s ingest rates.
     png_level = int(os.environ.get("IMATCH_PNG_COMPRESS", "1"))
+    save_original = (
+        os.environ.get("IMATCH_SAVE_ORIGINAL", "1") != "0"
+        and not remove_bg
+        and raw_bytes is not None
+    )
     save_futs: Dict[int, object] = {}
+    save_ext: Dict[int, str] = {}  # chosen stored extension per index
+
+    def _ext_for(i) -> str:
+        if save_original and raw_bytes[i] is not None:
+            ext = os.path.splitext(filenames[i])[1].lower()
+            if ext in _RAW_EXTS:
+                return ext
+        return ".png"
 
     def _save(i):
+        if save_ext[i] != ".png":
+            with open(
+                os.path.join(state.processed_dir, f"{ids[i]}{save_ext[i]}"),
+                "wb",
+            ) as f:
+                f.write(raw_bytes[i])
+            return
         Image.fromarray(arrays[i]).save(
             os.path.join(state.processed_dir, f"{ids[i]}.png"),
             compress_level=png_level,
@@ -245,7 +305,8 @@ def process_batch(
                 seen_batch.add(img_id)
                 fresh.append(i)
                 if submit_saves:
-                    save_futs[i] = pool.submit(_save, i)
+                    save_ext[i] = _ext_for(i)
+                    save_futs[i] = _save_pool().submit(_save, i)
 
     # Dedup ids: device MXU hashes for same-geometry runs, threaded host
     # hashes for the rest — bit-identical either way. Without background
@@ -429,7 +490,8 @@ def process_batch(
     with METRICS.timer("ingest.save"):
         for i in fresh:
             if i not in save_futs:
-                save_futs[i] = pool.submit(_save, i)
+                save_ext[i] = _ext_for(i)
+                save_futs[i] = _save_pool().submit(_save, i)
 
     # saves must land before results return (the metadata URLs point at
     # them); a failed save demotes that file to an error result
@@ -454,7 +516,8 @@ def process_batch(
         img_id = ids[i]
         name = filenames[i]
         description = os.path.splitext(name)[0]
-        url = f"/static/processed/{img_id}.png"
+        ext = save_ext.get(i, ".png")
+        url = f"/static/processed/{img_id}{ext}"
         metadata = {
             "id": img_id,
             "filename": name,
@@ -462,7 +525,9 @@ def process_batch(
             "custom_metadata": captions.get(i, ""),
             "url": url,
             "thumbnail_url": url,
-            "processed_url": os.path.join(state.processed_dir, f"{img_id}.png"),
+            "processed_url": os.path.join(
+                state.processed_dir, f"{img_id}{ext}"
+            ),
             "created_at": _now_iso(),
         }
         if i in filter_results:

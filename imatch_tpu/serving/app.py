@@ -181,10 +181,13 @@ def create_app(state: Optional[AppState] = None, root: str = ".") -> App:
                 continue
             # submit everything first: the C++ pool decodes concurrently
             tickets.append((i, f, loader.submit_bytes(f.content)))
+        raws = []
         for i, f, t in tickets:
             try:
-                images.append(Image.fromarray(loader.wait(t)))
+                # raw arrays straight into process_batch — no PIL wrap
+                images.append(loader.wait(t))
                 names.append(f.filename)
+                raws.append(f.content)
             except Exception as e:
                 results.append(
                     {
@@ -193,7 +196,9 @@ def create_app(state: Optional[AppState] = None, root: str = ".") -> App:
                         "reason": f"Cannot open image: {e}",
                     }
                 )
-        batch = process_batch(state, images, names, remove_bg=remove_bg)
+        batch = process_batch(
+            state, images, names, remove_bg=remove_bg, raw_bytes=raws
+        )
         for r in batch:
             entry = {"filename": r["filename"], "status": r["status"]}
             if r["status"] == "success":
@@ -471,7 +476,7 @@ def create_app(state: Optional[AppState] = None, root: str = ".") -> App:
         ]
         for f, t in tickets:
             try:
-                images.append(Image.fromarray(loader.wait(t)))
+                images.append(loader.wait(t))
                 names.append(f)
             except Exception:
                 continue

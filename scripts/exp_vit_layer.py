@@ -146,6 +146,53 @@ def body_packed(h, lp, prec, kmask=None):
     return h + _dense(y, m["w2"], m["b2"], prec), None
 
 
+def _ln_normalize(x, eps):
+    """LN without the affine: the scale/bias are folded into the next
+    matmul's weights (one fewer VPU multiply-add pass over the (B,S,D)
+    activation per LN)."""
+    x32 = x.astype(jnp.float32)
+    mean = jnp.mean(x32, axis=-1, keepdims=True)
+    var = jnp.var(x32, axis=-1, keepdims=True)
+    return ((x32 - mean) * jax.lax.rsqrt(var + eps)).astype(x.dtype)
+
+
+def fold_ln(layers):
+    """Fold ln1 into wq/wk/wv and ln2 into mlp.w1:
+    (g*y + b) @ W + c  ==  y @ (g[:,None]*W) + (b @ W + c)."""
+    out = dict(layers)
+    a = dict(layers["attn"])
+    m = dict(layers["mlp"])
+    g1 = layers["ln1"]["scale"]  # (L, D)
+    b1 = layers["ln1"]["bias"]
+    g2 = layers["ln2"]["scale"]
+    b2 = layers["ln2"]["bias"]
+    for t in "qkv":
+        w = layers["attn"][f"w{t}"]  # (L, D, D)
+        a[f"w{t}"] = g1[:, :, None] * w
+        a[f"b{t}"] = jnp.einsum("ld,ldf->lf", b1, w) + layers["attn"][f"b{t}"]
+    w1 = layers["mlp"]["w1"]
+    m["w1"] = g2[:, :, None] * w1
+    m["b1"] = jnp.einsum("ld,ldf->lf", b2, w1) + layers["mlp"]["b1"]
+    out["attn"] = a
+    out["mlp"] = m
+    return out
+
+
+def body_fold(h, lp, prec, kmask=None):
+    b, s, d = h.shape
+    y = _ln_normalize(h, EPS)
+    a = lp["attn"]
+    q = _dense(y, a["wq"], a["bq"], prec).reshape(b, s, H, HD)
+    k = _dense(y, a["wk"], a["bk"], prec).reshape(b, s, H, HD)
+    v = _dense(y, a["wv"], a["bv"], prec).reshape(b, s, H, HD)
+    o = _attn_bshd(q, k, v, prec, kmask).reshape(b, s, d)
+    h = h + _dense(o, a["wo"], a["bo"], prec)
+    y = _ln_normalize(h, EPS)
+    m = lp["mlp"]
+    y = _act(_dense(y, m["w1"], m["b1"], prec), ACT)
+    return h + _dense(y, m["w2"], m["b2"], prec), None
+
+
 def run_variant(name, layers, x, kmask=None, iters=20):
     prec = _prec(x.dtype)
     if name == "base":
@@ -155,6 +202,9 @@ def run_variant(name, layers, x, kmask=None, iters=20):
     elif name == "packed":
         layers = pack_qkv(layers)
         body = lambda h, lp: body_packed(h, lp, prec, kmask)  # noqa: E731
+    elif name == "fold":
+        layers = fold_ln(layers)
+        body = lambda h, lp: body_fold(h, lp, prec, kmask)  # noqa: E731
     else:
         raise ValueError(name)
 

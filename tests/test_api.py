@@ -600,3 +600,47 @@ def test_ui_scripts_have_no_invalid_unicode_escapes(client):
             assert script.count("{") == script.count("}"), (
                 f"unbalanced braces in {page}"
             )
+
+
+def test_upload_folder_stores_original_bytes_verbatim(client, monkeypatch):
+    """Bulk ingest without background removal stores the uploaded file's
+    exact bytes under its own extension (no lossless-but-slow PNG
+    re-encode of identical pixels); IMATCH_SAVE_ORIGINAL=0 restores the
+    reference's always-PNG behavior."""
+    import io as _io
+
+    from PIL import Image as _Image
+
+    rng = np.random.default_rng(77)
+    im = _Image.fromarray(rng.integers(0, 256, (40, 40, 3), np.uint8))
+    buf = _io.BytesIO()
+    im.save(buf, "JPEG", quality=90)
+    jpeg = buf.getvalue()
+
+    r = client.post(
+        "/api/upload-folder",
+        files=[("files", ("photo.jpg", jpeg, "image/jpeg"))],
+    )
+    assert r.status_code == 200
+    res = r.json()["results"][0]
+    assert res["status"] == "success"
+    md = client.state.image_metadata[res["id"]]
+    assert md["url"].endswith(".jpg")
+    with open(md["processed_url"], "rb") as f:
+        assert f.read() == jpeg  # byte-for-byte the original
+    assert client.get(md["url"]).status_code == 200
+
+    # reference-parity mode: always re-encode PNG
+    monkeypatch.setenv("IMATCH_SAVE_ORIGINAL", "0")
+    buf2 = _io.BytesIO()
+    _Image.fromarray(rng.integers(0, 256, (40, 40, 3), np.uint8)).save(
+        buf2, "JPEG", quality=90
+    )
+    r = client.post(
+        "/api/upload-folder",
+        files=[("files", ("photo2.jpg", buf2.getvalue(), "image/jpeg"))],
+    )
+    res = r.json()["results"][0]
+    assert res["status"] == "success"
+    md = client.state.image_metadata[res["id"]]
+    assert md["url"].endswith(".png")

@@ -103,10 +103,17 @@ def test_image_ids_batch_bit_identical():
 def test_phash_batch_checked_confidence():
     from imatch_tpu.ops.phash import phash_batch_checked
 
+    from imatch_tpu.ops.phash import host_bits_from_small
+
     rng = np.random.default_rng(8)
     imgs = rng.integers(0, 256, (6, 64, 64, 3), np.uint8)
-    hexes, confident = phash_batch_checked(imgs)
+    hexes, confident, smalls = phash_batch_checked(imgs)
     assert len(hexes) == 6 and confident.shape == (6,)
-    for im, h, ok in zip(imgs, hexes, confident):
+    assert smalls.shape == (6, 32, 32) and smalls.dtype == np.uint8
+    for im, h, ok, sm in zip(imgs, hexes, confident, smalls):
+        ref = phash_host(Image.fromarray(im))
         if ok:  # confident device hashes are bit-identical to host
-            assert h == phash_host(Image.fromarray(im))
+            assert h == ref
+        # the cheap fallback path (fp64 DCT on the device-resampled
+        # grid) is bit-identical to the full host hash for EVERY image
+        assert host_bits_from_small(sm) == ref

@@ -372,3 +372,48 @@ def test_process_batch_survives_batched_hash_failure(tmp_path, monkeypatch):
     results = process_batch(state, imgs, ["a.png", "b.png", "c.png"])
     assert [r["status"] for r in results] == ["success"] * 3
     assert state.store.count() == 3
+
+
+def test_process_batch_survives_midstream_failure(tmp_path, monkeypatch):
+    """The pipelined stream dying AFTER yielding some chunks must keep
+    the already-streamed results and degrade only the tail to the host
+    fallback — per-file isolation, not all-or-nothing."""
+    from PIL import Image
+
+    from imatch_tpu.models.clip.configs import TINY
+    from imatch_tpu.pipeline.captioner import NullCaptioner
+    from imatch_tpu.pipeline.embedder import ClipEmbedder
+    from imatch_tpu.pipeline.ingest import process_batch
+    from imatch_tpu.pipeline.state import AppState
+
+    state = AppState(
+        root=str(tmp_path),
+        embedder=ClipEmbedder(config=TINY),
+        captioner=NullCaptioner(),
+    )
+    emb = state.get_embedder()
+    real = emb.ids_and_embed_images_stream
+
+    def partial_stream(images, pool=None, **kw):
+        it = real(images, pool=pool, **kw)
+        yield next(it)  # first chunk lands
+        raise RuntimeError("simulated mid-stream device failure")
+
+    monkeypatch.setattr(emb, "ids_and_embed_images_stream", partial_stream)
+    # two geometry buckets so the stream yields at least once before dying
+    rng = np.random.default_rng(4)
+    imgs = [
+        Image.fromarray(rng.integers(0, 256, (sz, sz, 3), np.uint8))
+        for sz in (40, 40, 40, 40, 48, 48, 48, 48)
+    ]
+    names = [f"f{i}.png" for i in range(len(imgs))]
+    results = process_batch(state, imgs, names)
+    assert [r["status"] for r in results] == ["success"] * len(imgs)
+    assert state.store.count() == len(imgs)
+    # every processed PNG landed (saves submitted in both phases)
+    import os
+
+    for r in results:
+        assert os.path.exists(
+            os.path.join(state.processed_dir, f"{r['id']}.png")
+        )
