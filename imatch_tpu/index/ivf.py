@@ -134,8 +134,14 @@ def build_ivf(
         corpus = corpus.astype(jnp.float32)
     valid = jnp.asarray(valid, bool)
     n = corpus.shape[0]
+    # size clusters by LIVE rows, not array capacity: the store hands us
+    # its capacity-padded buffer (e.g. 6 live rows in a 1024-slot
+    # array), and sqrt-of-capacity would scatter a handful of rows over
+    # a hundred clusters
+    n_live = int(jnp.sum(valid))
     if n_clusters <= 0:
-        n_clusters = max(1, min(n, int(4 * np.sqrt(max(n, 1)))))
+        base = max(n_live, 1)
+        n_clusters = max(1, min(base, int(4 * np.sqrt(base))))
     n_clusters = min(n_clusters, n)
     key_s, key_k = jax.random.split(jax.random.key(seed))
     if n > sample:
@@ -161,22 +167,54 @@ def build_ivf(
     pos = np.arange(len(rows_sorted)) - np.repeat(starts, counts)
     members = np.full((n_clusters, m), -1, np.int32)
     members[a_sorted, pos] = rows_sorted
+    # prune empty clusters: their centroids are k-means leftovers
+    # (random-init positions, dead-row artifacts) that would compete
+    # for probe slots against real clusters — on a near-empty
+    # capacity-padded corpus a query's every probe could land on one
+    # and return nothing. Pruning also shrinks the (Q, C) probe matmul
+    # to the clusters that can possibly contribute.
+    nonempty = np.nonzero(counts > 0)[0]
+    if nonempty.size and nonempty.size < n_clusters:
+        members = members[nonempty]
+        cents = cents[jnp.asarray(nonempty, dtype=jnp.int32)]
+    elif not nonempty.size:
+        members = members[:1]
+        cents = cents[:1]
     return IVFIndex(cents, jnp.asarray(members), corpus, valid)
 
 
-@functools.partial(jax.jit, static_argnames=("k", "n_probe"))
+@functools.partial(
+    jax.jit, static_argnames=("k", "n_probe", "rescore_margin")
+)
 def ivf_topk(
-    queries: jax.Array, index: IVFIndex, *, k: int, n_probe: int = 8
+    queries: jax.Array,
+    index: IVFIndex,
+    *,
+    k: int,
+    n_probe: int = 8,
+    rescore_margin: int = 32,
 ) -> Tuple[jax.Array, jax.Array]:
-    """Approximate top-k: probe ``n_probe`` clusters, exact fp32 rescore.
+    """Approximate top-k: probe ``n_probe`` clusters, two-phase rescore.
+
+    Phase 1 scores every probed member in the corpus's STORAGE dtype
+    (bf16 MXU passes on capacity corpora, fp32 otherwise) and keeps
+    top-(k + rescore_margin); phase 2 rescores just those survivors in
+    fp32 HIGHEST — the same bf16-select/fp32-rescore scheme as
+    search.tilemax_topk, so final ordering matches the exact engines.
+    Queries run through ``lax.map``, so peak HBM is ONE query's
+    (n_probe * max_cluster, D) gather — not the whole batch's (the vmap
+    form OOMed at 10M x 512: an 8-query batch materialized a 4.8 GB
+    fp32 temp on top of the 9.8 GB corpus).
 
     Same return contract as search.tilemax_topk (-1/-inf padding; ties
     break to the lower row index).
     """
     q32 = queries.astype(jnp.float32)
-    nq = q32.shape[0]
     c, m = index.members.shape
     n_probe = min(n_probe, c)
+    cand = n_probe * m
+    kk = min(k + rescore_margin, cand)
+    big = jnp.iinfo(jnp.int32).max
 
     csims = jnp.einsum(
         "qd,cd->qc",
@@ -186,30 +224,42 @@ def ivf_topk(
     )
     _, probe = jax.lax.top_k(csims, n_probe)  # (Q, n_probe)
 
-    def one(q, clusters):
-        ids = index.members[clusters].reshape(n_probe * m)  # (P*M,)
+    def one(args):
+        q, clusters = args
+        ids = index.members[clusters].reshape(cand)  # (P*M,)
         safe = jnp.maximum(ids, 0)
-        # upcast: corpus may be stored bf16 (capacity tier); the rescore
-        # is fp32 either way
-        rows = index.corpus[safe].astype(jnp.float32)
+        rows = index.corpus[safe]  # storage dtype — no fp32 blow-up
         ok = jnp.logical_and(ids >= 0, index.valid[safe])
-        s = jnp.einsum(
+        s1 = jnp.einsum(
             "nd,d->n",
             rows,
+            q.astype(rows.dtype),
+            preferred_element_type=jnp.float32,
+        )
+        s1 = jnp.where(ok, s1, NEG_INF)
+        # lower-index tie-break (chroma parity): order by id first
+        order = jnp.argsort(jnp.where(ok, ids, big))
+        s1, ids_o = s1[order], ids[order]
+        ts1, pos1 = jax.lax.top_k(s1, kk)
+        cid = jnp.where(ts1 <= NEG_INF / 2, -1, ids_o[pos1])
+        # phase 2: fp32 HIGHEST rescore of the k+margin survivors only
+        crows = index.corpus[jnp.maximum(cid, 0)].astype(jnp.float32)
+        s2 = jnp.einsum(
+            "nd,d->n",
+            crows,
             q,
             precision=jax.lax.Precision.HIGHEST,
             preferred_element_type=jnp.float32,
         )
-        s = jnp.where(ok, s, NEG_INF)
-        # lower-index tie-break (chroma parity): order by id first
-        order = jnp.argsort(jnp.where(ids < 0, jnp.iinfo(jnp.int32).max, ids))
-        s, ids_o = s[order], ids[order]
-        kk = min(k, n_probe * m)
-        ts, pos = jax.lax.top_k(s, kk)
-        ti = jnp.where(ts <= NEG_INF / 2, -1, ids_o[pos])
-        if kk < k:
-            ts = jnp.pad(ts, (0, k - kk), constant_values=NEG_INF)
-            ti = jnp.pad(ti, (0, k - kk), constant_values=-1)
+        s2 = jnp.where(cid >= 0, s2, NEG_INF)
+        order2 = jnp.argsort(jnp.where(cid >= 0, cid, big))
+        s2, cid_o = s2[order2], cid[order2]
+        kf = min(k, kk)
+        ts, pos = jax.lax.top_k(s2, kf)
+        ti = jnp.where(ts <= NEG_INF / 2, -1, cid_o[pos])
+        if kf < k:
+            ts = jnp.pad(ts, (0, k - kf), constant_values=NEG_INF)
+            ti = jnp.pad(ti, (0, k - kf), constant_values=-1)
         return ts, ti
 
-    return jax.vmap(one)(q32, probe)
+    return jax.lax.map(one, (q32, probe))

@@ -57,28 +57,65 @@ def make_corpus(rows, dim, dist, chunk=1 << 20):
     adversarial floor where NO partitioning index can work (neighbors at
     cos~0.3 are spread uniformly over clusters), reported so the
     tradeoff table is honest about both ends."""
-    centers = None
-    if dist == "clustered":
-        centers = jax.random.normal(
-            jax.random.key(55), (N_LATENT, dim), jnp.float32
-        )
-        centers = centers / jnp.linalg.norm(centers, axis=-1, keepdims=True)
-    parts = []
-    for s, i in enumerate(range(0, rows, chunk)):
-        b = min(chunk, rows - i)
-        key = jax.random.key(100 + s)
-        if dist == "clustered":
-            k1, k2 = jax.random.split(key)
-            cid = jax.random.randint(k1, (b,), 0, N_LATENT)
-            x = centers[cid] + (SIGMA / np.sqrt(dim)) * jax.random.normal(
-                k2, (b, dim), jnp.float32
+    if chunk > rows:
+        chunk = rows
+    while rows % chunk:
+        chunk //= 2  # keep an exact divisor: no padded copies
+    n_chunks = rows // chunk
+    clustered = dist == "clustered"
+
+    @functools.partial(
+        jax.jit, static_argnames=("rows", "dim", "chunk", "clustered")
+    )
+    def gen(key, *, rows, dim, chunk, clustered):
+        """Write chunks into ONE preallocated bf16 buffer with in-place
+        dynamic_update_slice inside fori_loop — peak HBM ~= corpus size
+        + one fp32 chunk, instead of 2x corpus for a concat."""
+        if clustered:
+            centers = jax.random.normal(
+                jax.random.key(55), (N_LATENT, dim), jnp.float32
             )
-        else:
-            x = jax.random.normal(key, (b, dim), jnp.float32)
-        x = x / jnp.linalg.norm(x, axis=-1, keepdims=True)
-        parts.append(x.astype(jnp.bfloat16))
-    out = jnp.concatenate(parts) if len(parts) > 1 else parts[0]
-    return jax.block_until_ready(out)
+            centers = centers / jnp.linalg.norm(
+                centers, axis=-1, keepdims=True
+            )
+
+        def body(i, buf):
+            k = jax.random.fold_in(key, i)
+            if clustered:
+                k1, k2 = jax.random.split(k)
+                cid = jax.random.randint(k1, (chunk,), 0, N_LATENT)
+                x = centers[cid] + (
+                    SIGMA / np.sqrt(dim)
+                ) * jax.random.normal(k2, (chunk, dim), jnp.float32)
+            else:
+                x = jax.random.normal(k, (chunk, dim), jnp.float32)
+            x = x / jnp.linalg.norm(x, axis=-1, keepdims=True)
+            return jax.lax.dynamic_update_slice(
+                buf, x.astype(jnp.bfloat16), (i * chunk, 0)
+            )
+
+        return jax.lax.fori_loop(
+            0, rows // chunk, body, jnp.zeros((rows, dim), jnp.bfloat16)
+        )
+
+    return jax.block_until_ready(
+        gen(
+            jax.random.key(100),
+            rows=rows,
+            dim=dim,
+            chunk=chunk,
+            clustered=clustered,
+        )
+    )
+
+
+def _divisor_chunk(n, target):
+    """Largest divisor of n that is <= target (>= target//8 preferred):
+    exact chunking means jit never builds a padded copy of the corpus."""
+    c = min(n, target)
+    while c > 1 and n % c:
+        c -= 1
+    return max(c, 1)
 
 
 @functools.partial(jax.jit, static_argnames=("k", "chunk", "margin"))
@@ -152,28 +189,36 @@ def run_dist(dist, rows, dim):
     queries = queries / jnp.linalg.norm(queries, axis=-1, keepdims=True)
     queries = jax.block_until_ready(queries)
 
+    ck = _divisor_chunk(rows, 1 << 19)
     t0 = time.perf_counter()
-    es, ei = exact_topk_bf16(queries, corpus, k=k)
+    es, ei = exact_topk_bf16(queries, corpus, k=k, chunk=ck)
     exact_ids = np.asarray(ei)
     exact_build_query_s = time.perf_counter() - t0
 
-    # exact per-query time (pipelined, amortized)
+    # exact per-query time (pipelined, amortized). Warm with several
+    # dispatches, not one: the first ~10 executions of a fresh
+    # executable in this environment run ~5x slow (measured: first
+    # amortized loop 111 ms vs 22 ms steady-state, for EITHER dist,
+    # order-swapped — a per-process runtime warmup, not data).
     qs1 = queries[:1]
-    jax.block_until_ready(exact_topk_bf16(qs1, corpus, k=k))
+    warm = [exact_topk_bf16(qs1, corpus, k=k, chunk=ck) for _ in range(12)]
+    jax.block_until_ready(warm[-1])
     t0 = time.perf_counter()
-    outs = [exact_topk_bf16(qs1, corpus, k=k) for _ in range(10)]
+    outs = [exact_topk_bf16(qs1, corpus, k=k, chunk=ck) for _ in range(10)]
     np.asarray(outs[-1][0].ravel()[0])
     exact_ms = (time.perf_counter() - t0) * 1e3 / 10
 
     t0 = time.perf_counter()
     valid = jnp.ones((rows,), bool)
-    index = build_ivf(corpus, valid)
+    index = build_ivf(corpus, valid, chunk=_divisor_chunk(rows, 8192))
     jax.block_until_ready(index.centroids)
     build_s = time.perf_counter() - t0
 
     table = {}
     for n_probe in (8, 16, 32, 64):
-        s, i = ivf_topk(queries, index, k=k, n_probe=n_probe)
+        # ivf_topk lax.maps over queries, so transient HBM is one
+        # query's probe gather regardless of batch size
+        _, i = ivf_topk(queries, index, k=k, n_probe=n_probe)
         got = np.asarray(i)
         recall = float(
             np.mean(

@@ -101,3 +101,53 @@ def test_ivf_small_corpus_padding():
     i = np.asarray(i)[0]
     assert i[0] == 0
     assert (i[5:] == -1).all()
+
+
+def test_ivf_capacity_padded_store_corpus():
+    """Regression: the VectorStore hands build_ivf its capacity-padded
+    buffer (e.g. 6 live rows in 1024 slots). Cluster count must derive
+    from LIVE rows and empty clusters must be pruned — before the fix,
+    probe slots went to empty clusters' junk centroids and a
+    low-similarity query (text vs image embeddings) could return ZERO
+    results from a populated index."""
+    rng = np.random.default_rng(11)
+    live = norm_rows(rng.standard_normal((6, 16)).astype(np.float32))
+    cap = 1024
+    emb = np.zeros((cap, 16), np.float32)
+    emb[:6] = live
+    alive = np.zeros(cap, bool)
+    alive[:6] = True
+    idx = build_ivf(emb, alive)
+    # clusters sized by the 6 live rows, all non-empty after pruning
+    assert idx.members.shape[0] <= 6
+    assert (np.asarray(idx.members) >= 0).any(axis=1).all()
+    # a far-away query (the text-vs-image modality gap) still sees every
+    # live row once probes cover all real clusters
+    q = norm_rows(rng.standard_normal((1, 16)).astype(np.float32))
+    s, i = ivf_topk(jnp.asarray(q), idx, k=6, n_probe=8)
+    got = set(np.asarray(i)[0].tolist()) - {-1}
+    assert got == set(range(6)), got
+    # ordering matches the exact fp32 ranking
+    exact = np.argsort(-(q @ live.T)[0], kind="stable")
+    assert np.asarray(i)[0].tolist() == exact.tolist()
+
+
+def test_ivf_engine_through_store():
+    """The store's ivf engine end-to-end on a tiny corpus: results must
+    match the default exact engine (same ids, same distances)."""
+    from imatch_tpu.index.store import VectorStore
+
+    rng = np.random.default_rng(12)
+    e = norm_rows(rng.standard_normal((6, 8)).astype(np.float32))
+    ids = [f"i{j}" for j in range(6)]
+    exact = VectorStore(dim=8, engine="tilemax")
+    approx = VectorStore(dim=8, engine="ivf")
+    for st in (exact, approx):
+        st.add(ids=ids, embeddings=e)
+    q = norm_rows(rng.standard_normal((2, 8)).astype(np.float32))
+    r_e = exact.query(query_embeddings=q, n_results=4)
+    r_a = approx.query(query_embeddings=q, n_results=4)
+    assert r_a["ids"] == r_e["ids"]
+    np.testing.assert_allclose(
+        r_a["distances"], r_e["distances"], atol=1e-5
+    )
