@@ -263,7 +263,7 @@ def bench_search(store: VectorStore, on_tpu: bool):
     store_p50 = float(np.median(times)) * 1e3
 
     # per-query device time from a pipelined run on the raw engine
-    dc = store._device_state()
+    _, dc = store._device_state()
     outs = [tilemax_topk(jnp.asarray(q), dc, k=16) for _ in range(3)]
     jax.device_get(outs[-1])
     t0 = time.perf_counter()

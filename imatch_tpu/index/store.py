@@ -30,10 +30,14 @@ from typing import Dict, List, Optional, Sequence
 
 import jax
 import jax.numpy as jnp
+import logging
+
 import numpy as np
 
 from imatch_tpu.index.search import prepare_device_corpus, tilemax_topk
 from imatch_tpu.utils.metrics import METRICS
+
+logger = logging.getLogger("imatch.store")
 
 _MIN_CAP = 1024
 
@@ -77,11 +81,15 @@ class VectorStore:
     ):
         self.dim = dim
         self.engine = (engine or _env_engine()).lower()
-        if self.engine == "auto":
+        self._auto = self.engine == "auto"
+        if self._auto:
             # the reference serves its whole index from one process
             # (hnswlib query, /root/reference/backend/app/main.py:761);
             # on a TPU slice the natural default is the mesh-sharded
             # exact engine — same results, N/P rows of HBM per chip.
+            # Per-build, auto additionally escalates to the
+            # tilemax-host capacity tier when the corpus outgrows HBM
+            # (see _engine_for) instead of OOMing mid-growth.
             self.engine = "sharded" if len(jax.devices()) > 1 else "tilemax"
         if self.engine not in (
             "tilemax",
@@ -314,21 +322,64 @@ class VectorStore:
 
     # -- search -------------------------------------------------------------
 
+    def _engine_for(self, emb_copy: np.ndarray) -> str:
+        """Effective engine for one build. With IMATCH_INDEX_ENGINE=auto
+        the choice is capacity-aware per build: when the device copies
+        this engine would pin (score dtype + fp32 rescore, divided over
+        the mesh for sharded) exceed IMATCH_AUTO_HBM_FRAC (default 0.5)
+        of per-device HBM, escalate to the tilemax-host tier — int8 in
+        HBM, fp32 rescore on host, still exact — instead of OOMing as
+        the corpus grows. Non-auto engines are never overridden."""
+        eng = self.engine
+        if not self._auto or eng not in ("tilemax", "sharded"):
+            return eng
+        budget = os.environ.get("IMATCH_DEVICE_BYTES_BUDGET")
+        if budget is None:
+            try:
+                stats = jax.local_devices()[0].memory_stats() or {}
+                budget = stats.get("bytes_limit")
+            except Exception:
+                budget = None
+        if not budget:
+            return eng
+        score_bytes = jnp.dtype(
+            jnp.bfloat16 if self.score_dtype == jnp.int8 else self.score_dtype
+        ).itemsize
+        per_device = emb_copy.size * (score_bytes + 4)
+        if eng == "sharded":
+            per_device //= max(1, len(jax.devices()))
+        frac = float(os.environ.get("IMATCH_AUTO_HBM_FRAC", "0.5"))
+        if per_device > frac * float(budget):
+            logger.warning(
+                "auto index engine: %.2f GB/device exceeds %.0f%% of HBM "
+                "(%.2f GB) — escalating to tilemax-host for this build",
+                per_device / 2**30,
+                frac * 100,
+                float(budget) / 2**30,
+            )
+            return "tilemax-host"
+        return eng
+
     def _build_device(self, emb_copy: np.ndarray, alive_copy: np.ndarray):
         """Engine-specific prepared state from COPIES of the host
         buffers (jnp.asarray can alias numpy memory, and writers mutate
         the live buffers in place — aliasing would let a concurrent
         add() tear rows inside an in-flight query or a cached index).
         Runs OUTSIDE the store lock: at capacity scale the prepare is
-        seconds of quantization/upload and must not block writers."""
-        if self.engine == "tilemax-host":
+        seconds of quantization/upload and must not block writers.
+
+        Returns ``(engine_tag, state)`` — the tag records which engine
+        built the state, so auto-escalated builds dispatch correctly in
+        _run_engine even though self.engine still reads the default."""
+        eng = self._engine_for(emb_copy)
+        if eng == "tilemax-host":
             from imatch_tpu.index.search import prepare_host_rescore_corpus
 
             # host-side quantize: ONLY the int8 matrix crosses to HBM
             # (the fp32 corpus would not fit); the copies stay host-side
             # for the rescore
-            return prepare_host_rescore_corpus(emb_copy, alive_copy)
-        if self.engine == "sharded":
+            return eng, prepare_host_rescore_corpus(emb_copy, alive_copy)
+        if eng == "sharded":
             from imatch_tpu.parallel.dist_search import prepare_sharded_corpus
             from imatch_tpu.parallel.mesh import make_mesh
 
@@ -339,12 +390,12 @@ class VectorStore:
                 if self.score_dtype == jnp.int8
                 else self.score_dtype
             )
-            return prepare_sharded_corpus(
+            return eng, prepare_sharded_corpus(
                 emb_copy, alive_copy, mesh=self._mesh, score_dtype=dtype
             )
         emb = jnp.asarray(emb_copy)
         alive = jnp.asarray(alive_copy)
-        if self.engine == "pallas":
+        if eng == "pallas":
             from imatch_tpu.ops.pallas.topk import prepare_corpus
 
             dtype = (
@@ -352,12 +403,12 @@ class VectorStore:
                 if self.score_dtype == jnp.int8
                 else self.score_dtype
             )
-            return prepare_corpus(emb, alive, score_dtype=dtype)
-        if self.engine == "ivf":
+            return eng, prepare_corpus(emb, alive, score_dtype=dtype)
+        if eng == "ivf":
             from imatch_tpu.index.ivf import build_ivf
 
-            return build_ivf(emb, alive)
-        return prepare_device_corpus(
+            return eng, build_ivf(emb, alive)
+        return eng, prepare_device_corpus(
             emb, alive, score_dtype=self.score_dtype
         )
 
@@ -376,25 +427,27 @@ class VectorStore:
 
     def _run_engine(self, q: np.ndarray, dc, k: int):
         """One device dispatch on the prepared corpus; returns device arrays
-        (numpy for the tilemax-host tier — device_get passes it through)."""
-        if self.engine == "tilemax-host":
+        (numpy for the tilemax-host tier — device_get passes it through).
+        ``dc`` is _build_device's (engine_tag, state) pair."""
+        eng, state = dc
+        if eng == "tilemax-host":
             from imatch_tpu.index.search import host_rescore_topk
 
-            return host_rescore_topk(q, dc, k=k)
-        if self.engine == "sharded":
+            return host_rescore_topk(q, state, k=k)
+        if eng == "sharded":
             from imatch_tpu.parallel.dist_search import sharded_topk_prepared
 
-            return sharded_topk_prepared(q, dc, k=k)
-        if self.engine == "pallas":
+            return sharded_topk_prepared(q, state, k=k)
+        if eng == "pallas":
             from imatch_tpu.ops.pallas.topk import pallas_topk_prepared
 
-            return pallas_topk_prepared(jnp.asarray(q), dc, k=k)
-        if self.engine == "ivf":
+            return pallas_topk_prepared(jnp.asarray(q), state, k=k)
+        if eng == "ivf":
             from imatch_tpu.index.ivf import ivf_topk
 
             n_probe = int(os.environ.get("IMATCH_IVF_NPROBE", "8"))
-            return ivf_topk(jnp.asarray(q), dc, k=k, n_probe=n_probe)
-        return tilemax_topk(jnp.asarray(q), dc, k=k)
+            return ivf_topk(jnp.asarray(q), state, k=k, n_probe=n_probe)
+        return tilemax_topk(jnp.asarray(q), state, k=k)
 
     @staticmethod
     def _k_bucket(k: int) -> int:

@@ -515,3 +515,49 @@ def test_mutation_during_device_build_stays_consistent(monkeypatch):
     monkeypatch.setattr(store, "_build_device", orig)
     res2 = store.query([[0, 1.0, 0, 0]], n_results=2)
     assert res2["ids"][0][0] == "b"  # fresh build sees the mutation
+
+
+def test_auto_engine_capacity_escalation(monkeypatch):
+    """IMATCH_INDEX_ENGINE=auto escalates to the tilemax-host capacity
+    tier per build when the projected device copies exceed
+    IMATCH_AUTO_HBM_FRAC of the device budget — instead of OOMing as
+    the corpus grows. Results stay exact (tilemax-host is int8 tile
+    selection + host fp32 rescore, pinned identical elsewhere)."""
+    import numpy as np
+
+    from imatch_tpu.index.store import VectorStore
+
+    rng = np.random.default_rng(23)
+    e = rng.standard_normal((64, 32)).astype(np.float32)
+    e /= np.linalg.norm(e, axis=1, keepdims=True)
+    ids = [f"r{j}" for j in range(64)]
+
+    exact = VectorStore(dim=32, engine="tilemax")
+    exact.add(ids=ids, embeddings=e)
+
+    # budget smaller than 64*32*(4+4) bytes -> must escalate
+    monkeypatch.setenv("IMATCH_DEVICE_BYTES_BUDGET", str(4096))
+    auto = VectorStore(dim=32, engine="auto")
+    auto.add(ids=ids, embeddings=e)
+    r_a = auto.query(query_embeddings=e[:3], n_results=5)
+    assert auto._device[0] == "tilemax-host"
+    assert auto.engine in ("tilemax", "sharded")  # default untouched
+    r_e = exact.query(query_embeddings=e[:3], n_results=5)
+    assert r_a["ids"] == r_e["ids"]
+    np.testing.assert_allclose(
+        r_a["distances"], r_e["distances"], atol=1e-4
+    )
+
+    # generous budget -> no escalation
+    monkeypatch.setenv("IMATCH_DEVICE_BYTES_BUDGET", str(1 << 30))
+    auto2 = VectorStore(dim=32, engine="auto")
+    auto2.add(ids=ids, embeddings=e)
+    auto2.query(query_embeddings=e[:1], n_results=5)
+    assert auto2._device[0] == auto2.engine
+
+    # a NON-auto engine is never overridden by the budget
+    monkeypatch.setenv("IMATCH_DEVICE_BYTES_BUDGET", str(4096))
+    pinned = VectorStore(dim=32, engine="tilemax")
+    pinned.add(ids=ids, embeddings=e)
+    pinned.query(query_embeddings=e[:1], n_results=5)
+    assert pinned._device[0] == "tilemax"
