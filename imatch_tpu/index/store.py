@@ -35,6 +35,7 @@ import logging
 import numpy as np
 
 from imatch_tpu.index.search import prepare_device_corpus, tilemax_topk
+from imatch_tpu.runtime.scheduler import GATE
 from imatch_tpu.utils.metrics import METRICS
 
 logger = logging.getLogger("imatch.store")
@@ -541,9 +542,13 @@ class VectorStore:
                 out[key] = [[] for _ in range(len(q))]
             return out
         k_c = self._k_bucket(k)
-        with METRICS.timer("index.query"):
+        with METRICS.timer("index.query"), GATE.priority():
             # one transfer for both outputs: each np.asarray would be its
-            # own blocking host round-trip (2x the tunnel RTT)
+            # own blocking host round-trip (2x the tunnel RTT).
+            # GATE.priority(): bulk streams (caption decode segments,
+            # VQA/embed chunks) park at their next checkpoint while this
+            # dispatch+fetch is in flight — searches never queue behind
+            # a whole caption batch (runtime/scheduler.py).
             scores, idx = jax.device_get(self._run_engine(q, dc, k_c))
         scores = scores[:, :k]
         idx = idx[:, :k]

@@ -110,6 +110,84 @@ class GenResult(NamedTuple):
     lengths: jax.Array  # (B,) produced tokens per row (incl. eos)
 
 
+class GenState(NamedTuple):
+    """Decode loop carry, exposed so the loop can be split into
+    bounded segments (one device dispatch each) with the cache staying
+    on device between dispatches — the quantum of bulk decode work the
+    scheduler's priority gate operates on."""
+
+    i: jax.Array  # scalar int32: tokens produced so far
+    last: jax.Array  # (B,) last emitted token
+    pos: jax.Array  # (B,) next cache slot
+    cache: KVCache
+    done: jax.Array  # (B,) bool per-row EOS
+    out: jax.Array  # (B, max_new) int32, eos-padded
+
+
+def init_gen_state(
+    cfg: MoondreamConfig,
+    first_logits: jax.Array,
+    cache: KVCache,
+    start_pos: jax.Array,
+    *,
+    max_new: int,
+) -> GenState:
+    eos = cfg.text.eos_token_id
+    b = first_logits.shape[0]
+    first_tok = jnp.argmax(first_logits, axis=-1).astype(jnp.int32)
+    out0 = jnp.full((b, max_new), eos, jnp.int32)
+    out0 = out0.at[:, 0].set(first_tok)
+    return GenState(
+        jnp.int32(1), first_tok, start_pos, cache, first_tok == eos, out0
+    )
+
+
+def _decode_step(params, cfg: MoondreamConfig, dtype, state: GenState):
+    eos = cfg.text.eos_token_id
+    i, last, pos, cache, done, out = state
+    emb = embed_tokens(params, last[:, None], dtype)
+    hidden, cache = decoder_forward(params, emb, cache, pos, cfg, dtype=dtype)
+    logits = lm_logits(params, hidden, cfg)[:, 0]
+    nxt = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+    nxt = jnp.where(done, eos, nxt)
+    out = out.at[:, i].set(nxt)
+    done = jnp.logical_or(done, nxt == eos)
+    return GenState(i + 1, nxt, pos + 1, cache, done, out)
+
+
+def gen_segment(
+    params,
+    cfg: MoondreamConfig,
+    state: GenState,
+    *,
+    steps: int,
+    max_new: int,
+    dtype=jnp.float32,
+) -> GenState:
+    """Advance the greedy decode by at most ``steps`` tokens — one
+    bounded device dispatch. Segments compose to exactly the
+    greedy_generate result (same step body, same EOS masking); a
+    segment past the end (all rows done or i == max_new) is a no-op
+    whose while_loop exits immediately, so trailing dispatches after
+    early EOS cost ~nothing."""
+    limit = jnp.minimum(state.i + steps, max_new)
+
+    def cond(s):
+        return jnp.logical_and(s.i < limit, ~jnp.all(s.done))
+
+    def step(s):
+        return _decode_step(params, cfg, dtype, s)
+
+    return jax.lax.while_loop(cond, step, state)
+
+
+def finish_gen(state: GenState, *, eos: int, max_new: int) -> GenResult:
+    out = state.out
+    lengths = jnp.argmax(out == eos, axis=1) + 1
+    lengths = jnp.where(jnp.any(out == eos, axis=1), lengths, max_new)
+    return GenResult(out, lengths)
+
+
 def greedy_generate(
     params,
     cfg: MoondreamConfig,
@@ -120,38 +198,23 @@ def greedy_generate(
     max_new: int = 64,
     dtype=jnp.float32,
 ) -> GenResult:
-    """Greedy decode from a prefilled cache; stops per-row at EOS."""
-    t = cfg.text
-    b = first_logits.shape[0]
-    eos = t.eos_token_id
+    """Greedy decode from a prefilled cache; stops per-row at EOS.
 
-    first_tok = jnp.argmax(first_logits, axis=-1).astype(jnp.int32)
-    out0 = jnp.full((b, max_new), eos, jnp.int32)
-    out0 = out0.at[:, 0].set(first_tok)
-    done0 = first_tok == eos
+    Same step body as the segmented path (gen_segment) — one while_loop
+    over all max_new steps, zero host round-trips inside."""
+    eos = cfg.text.eos_token_id
+    state = init_gen_state(
+        cfg, first_logits, cache, start_pos, max_new=max_new
+    )
 
-    def cond(state):
-        i, _, _, _, done, _ = state
-        return jnp.logical_and(i < max_new, ~jnp.all(done))
+    def cond(s):
+        return jnp.logical_and(s.i < max_new, ~jnp.all(s.done))
 
-    def step(state):
-        i, last, pos, cache, done, out = state
-        emb = embed_tokens(params, last[:, None], dtype)
-        hidden, cache = decoder_forward(
-            params, emb, cache, pos, cfg, dtype=dtype
-        )
-        logits = lm_logits(params, hidden, cfg)[:, 0]
-        nxt = jnp.argmax(logits, axis=-1).astype(jnp.int32)
-        nxt = jnp.where(done, eos, nxt)
-        out = out.at[:, i].set(nxt)
-        done = jnp.logical_or(done, nxt == eos)
-        return (i + 1, nxt, pos + 1, cache, done, out)
+    def step(s):
+        return _decode_step(params, cfg, dtype, s)
 
-    state = (jnp.int32(1), first_tok, start_pos, cache, done0, out0)
-    _, _, _, _, _, out = jax.lax.while_loop(cond, step, state)
-    lengths = jnp.argmax(out == eos, axis=1) + 1
-    lengths = jnp.where(jnp.any(out == eos, axis=1), lengths, max_new)
-    return GenResult(out, lengths)
+    state = jax.lax.while_loop(cond, step, state)
+    return finish_gen(state, eos=eos, max_new=max_new)
 
 
 def vqa_yes_no(

@@ -35,7 +35,10 @@ import numpy as np
 
 from imatch_tpu.models.moondream.configs import get_md_config
 from imatch_tpu.models.moondream.generate import (
+    finish_gen,
+    gen_segment,
     greedy_generate,
+    init_gen_state,
     prefill,
     vqa_yes_no,
 )
@@ -160,8 +163,29 @@ class MoondreamJax:
                 params, cfg, logits, cache, pos, max_new=max_new, dtype=dt
             )
 
+        # Segmented decode (IMATCH_MD_SEG > 0): prefill + decode split
+        # into bounded dispatches so index queries can slot between
+        # segments instead of waiting out a whole caption batch
+        # (runtime/scheduler.py; measured 12.7x search-p50 inflation
+        # behind the monolithic dispatch, docs/DESIGN.md).
+        @functools.partial(jax.jit, static_argnames=("max_new",))
+        def _gen_prefill(params, feats, tokens, max_new):
+            logits, cache, pos = prefill(
+                params, cfg, feats, tokens, dtype=dt, max_new=max_new,
+                cache_dtype=cache_dt,
+            )
+            return init_gen_state(cfg, logits, cache, pos, max_new=max_new)
+
+        @functools.partial(jax.jit, static_argnames=("steps", "max_new"))
+        def _gen_segment(params, state, steps, max_new):
+            return gen_segment(
+                params, cfg, state, steps=steps, max_new=max_new, dtype=dt
+            )
+
         self._encode_fn = _encode
         self._generate_fn = _generate
+        self._gen_prefill_fn = _gen_prefill
+        self._gen_segment_fn = _gen_segment
 
         tok = self.tokenizer
         yes_ids = tok.token_ids_for_word("yes") or [
@@ -234,10 +258,14 @@ class MoondreamJax:
         return jnp.asarray([self._prompt_id_list(text, max_new)], jnp.int32)
 
     def caption(self, encoded: Any, max_new: int = 48) -> Dict[str, str]:
+        seg = int(os.environ.get("IMATCH_MD_SEG", "8"))
         with self._lock, METRICS.timer("vlm.caption"):
             feats = self._feats(encoded)
             tokens = self._prompt_ids(CAPTION_PROMPT, max_new=max_new)
-            result = self._generate_fn(self.params, feats, tokens, max_new)
+            if seg > 0 and seg < max_new:
+                result = self._generate_segmented(feats, tokens, max_new, seg)
+            else:
+                result = self._generate_fn(self.params, feats, tokens, max_new)
             text = self.tokenizer.decode(
                 np.asarray(result.tokens[0])[: int(result.lengths[0])]
             )
@@ -251,7 +279,11 @@ class MoondreamJax:
             if _is_yes_no(question):
                 is_yes = self._vqa_fn(self.params, feats, tokens)
                 return {"answer": "Yes" if bool(is_yes[0]) else "No"}
-            result = self._generate_fn(self.params, feats, tokens, max_new)
+            seg = int(os.environ.get("IMATCH_MD_SEG", "8"))
+            if seg > 0 and seg < max_new:
+                result = self._generate_segmented(feats, tokens, max_new, seg)
+            else:
+                result = self._generate_fn(self.params, feats, tokens, max_new)
             text = self.tokenizer.decode(
                 np.asarray(result.tokens[0])[: int(result.lengths[0])]
             )
@@ -297,6 +329,7 @@ class MoondreamJax:
         if not encoded_list:
             return []
         chunk = int(os.environ.get("IMATCH_VLM_CAP_CHUNK", "16"))
+        seg = int(os.environ.get("IMATCH_MD_SEG", "8"))
         ids = self._prompt_id_list(CAPTION_PROMPT, max_new=max_new)
         n = len(encoded_list)
         texts: list = []
@@ -309,9 +342,14 @@ class MoondreamJax:
                     b,
                 )
                 tokens = jnp.asarray([ids] * b, jnp.int32)
-                result = self._generate_fn(
-                    self.params, feats, tokens, max_new
-                )
+                if seg > 0 and seg < max_new:
+                    result = self._generate_segmented(
+                        feats, tokens, max_new, seg
+                    )
+                else:
+                    result = self._generate_fn(
+                        self.params, feats, tokens, max_new
+                    )
                 toks = np.asarray(result.tokens)
                 lens = np.asarray(result.lengths)
                 texts.extend(
@@ -319,6 +357,30 @@ class MoondreamJax:
                     for i in range(len(part))
                 )
         return texts
+
+    def _generate_segmented(self, feats, tokens, max_new: int, seg: int):
+        """Prefill + decode as bounded dispatches with yield points.
+
+        Between segments: GATE.checkpoint() parks this bulk stream while
+        any index query is in flight (runtime/scheduler.py), and the
+        PREVIOUS segment's scalar is fetched after the next one is
+        dispatched — the fetch overlaps the in-flight segment, so the
+        device never idles, while the enqueue depth stays at ~1 segment.
+        A search therefore waits at most one running + one queued
+        segment (~2*seg decode steps) instead of prefill + max_new."""
+        from imatch_tpu.runtime.scheduler import GATE
+
+        state = self._gen_prefill_fn(self.params, feats, tokens, max_new)
+        prev = None
+        for _ in range(-(-max_new // seg)):
+            GATE.checkpoint()
+            nxt = self._gen_segment_fn(self.params, state, seg, max_new)
+            if prev is not None:
+                np.asarray(prev.i)  # drain to depth ~1 (overlapped)
+            prev, state = state, nxt
+        return finish_gen(
+            state, eos=self.cfg.text.eos_token_id, max_new=max_new
+        )
 
     def query_yes_no_batch(self, encoded_list, question: str) -> list[bool]:
         """Prefill-only yes/no for a batch of images x one question, in
@@ -338,8 +400,11 @@ class MoondreamJax:
         )
         n = len(encoded_list)
         out: list = []
+        from imatch_tpu.runtime.scheduler import GATE
+
         with self._lock, METRICS.timer("vlm.query_batch"):
             for s in range(0, n, chunk):
+                GATE.checkpoint()  # backfill yields to live searches
                 part = encoded_list[s : s + chunk]
                 b = pow2_bucket(len(part), chunk)
                 feats = pad_rows(

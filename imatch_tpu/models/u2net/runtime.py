@@ -138,9 +138,12 @@ class U2NetSegmenter:
         # of full-res photos stacked as one fp32 array is tens of GB
         # before the resize shrinks it (IMATCH_U2_CHUNK, default 8)
         chunk = int(os.environ.get("IMATCH_U2_CHUNK", "8"))
+        from imatch_tpu.runtime.scheduler import GATE
+
         with self._lock:
             for (h, w), idxs in buckets.items():
                 for s0 in range(0, len(idxs), chunk):
+                    GATE.checkpoint()  # bulk rembg yields to searches
                     part = idxs[s0 : s0 + chunk]
                     b = len(part)
                     x = self._model_inputs_batch([arrs[i] for i in part])

@@ -35,6 +35,7 @@ from imatch_tpu.models.clip import (
 )
 from imatch_tpu.ops.preprocess import preprocess_images
 from imatch_tpu.ops.tokenizer import default_tokenizer
+from imatch_tpu.runtime.scheduler import GATE
 from imatch_tpu.utils.metrics import METRICS
 
 logger = logging.getLogger("imatch.embedder")
@@ -336,6 +337,7 @@ class ClipEmbedder:
             )
             METRICS.inc("images_embedded", len(idxs))
             for s, b, bp in self._chunk_bounds(len(idxs), chunk):
+                GATE.checkpoint()  # bulk ingest yields to live searches
                 part = np.stack([images[i] for i in idxs[s : s + b]])
                 with self._lock, METRICS.timer("ingest.fused"):
                     dev = jnp.asarray(part)

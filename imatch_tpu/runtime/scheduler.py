@@ -1,0 +1,85 @@
+"""Device-queue priority gate: bulk work yields to latency-critical work.
+
+The TPU executes dispatches FIFO, so a search that lands behind a bulk
+VLM caption batch waits for all of it — measured 12.7x p50 inflation
+(27 -> 338 ms) with monolithic caption dispatches on one chip
+(docs/DESIGN.md, serve-mix). The reference never faces this: its
+captioner is a remote HTTP API and its index query is host-side hnswlib
+(/root/reference/backend/app/main.py:600,761). On TPU both workloads
+share one device queue, so the framework needs an explicit priority
+boundary.
+
+Mechanism, two halves:
+
+- Latency-critical paths (index queries) wrap their dispatch in
+  ``GATE.priority()``.
+- Bulk paths (caption decode segments, VQA backfill chunks, embed
+  chunks) call ``GATE.checkpoint()`` BETWEEN device dispatches. If any
+  priority work is in flight, the bulk path parks until it completes
+  (bounded wait), leaving the device queue empty for the search.
+
+Combined with decode segmentation (generate.gen_segment — the decode
+scan split into IMATCH_MD_SEG-step dispatches, each a bounded-depth
+enqueue), the worst case a search waits is ONE in-flight segment plus
+one queued segment instead of a whole caption batch.
+
+This is cooperative scheduling on the host side — no device preemption
+exists — which is exactly the continuous-batching discipline TPU/LLM
+servers use: bound the quantum of bulk work, insert yield points.
+"""
+
+from __future__ import annotations
+
+import threading
+import time
+from contextlib import contextmanager
+
+__all__ = ["PriorityGate", "GATE"]
+
+
+class PriorityGate:
+    """Fairness note: a checkpoint waits only for priority sections
+    ALREADY OPEN when it is reached (a sequence-number handoff), not
+    for later arrivals — a continuous search stream therefore cannot
+    starve bulk work; the two interleave one-quantum-for-one-query."""
+
+    def __init__(self):
+        self._cond = threading.Condition()
+        self._started = 0  # priority sections ever opened
+        self._finished = 0  # priority sections ever closed
+
+    @contextmanager
+    def priority(self):
+        """Mark a latency-critical section (dispatch + fetch)."""
+        with self._cond:
+            self._started += 1
+        try:
+            yield
+        finally:
+            with self._cond:
+                self._finished += 1
+                self._cond.notify_all()
+
+    def checkpoint(self, timeout: float = 2.0) -> bool:
+        """Bulk yield point: park until every priority section open at
+        this moment has finished (or ``timeout`` — a stuck search must
+        not wedge ingest). Returns True if it waited. Costs one
+        uncontended lock acquire when idle."""
+        with self._cond:
+            target = self._started
+            if self._finished >= target:
+                return False
+            deadline = time.monotonic() + timeout
+            while self._finished < target:
+                left = deadline - time.monotonic()
+                if left <= 0:
+                    break
+                self._cond.wait(left)
+        return True
+
+    @property
+    def contended(self) -> bool:
+        return self._finished < self._started
+
+
+GATE = PriorityGate()

@@ -72,6 +72,17 @@ def build_store(rows: int, dim: int) -> VectorStore:
 
 
 def make_captioner(cfg_name: str, batch: int, max_new: int):
+    """Returns run_once(seg): seg=0 -> ONE monolithic dispatch
+    (prefill + full decode scan); seg>0 -> the serving discipline
+    (runtime._generate_segmented): bounded decode segments with
+    GATE.checkpoint() yield points and depth-~1 drain between them."""
+    from imatch_tpu.models.moondream.generate import (
+        finish_gen,
+        gen_segment,
+        init_gen_state,
+    )
+    from imatch_tpu.runtime.scheduler import GATE
+
     cfg = get_md_config(cfg_name)
     params = init_md_params(jax.random.key(0), cfg)
     params = jax.tree.map(
@@ -90,6 +101,19 @@ def make_captioner(cfg_name: str, batch: int, max_new: int):
             params, cfg, logits, cache, pos, max_new=max_new, dtype=dt
         )
 
+    @functools.partial(jax.jit, static_argnames=("max_new",))
+    def gen_prefill(params, feats, tokens, max_new):
+        logits, cache, pos = prefill(
+            params, cfg, feats, tokens, dtype=dt, max_new=max_new
+        )
+        return init_gen_state(cfg, logits, cache, pos, max_new=max_new)
+
+    @functools.partial(jax.jit, static_argnames=("steps", "max_new"))
+    def gen_seg(params, state, steps, max_new):
+        return gen_segment(
+            params, cfg, state, steps=steps, max_new=max_new, dtype=dt
+        )
+
     p, d = cfg.vision.num_patches, cfg.text.hidden_size
     feats = jax.random.normal(jax.random.key(2), (batch, p, d), jnp.float32)
     tokens = jnp.tile(
@@ -97,8 +121,19 @@ def make_captioner(cfg_name: str, batch: int, max_new: int):
         (batch, 1),
     )
 
-    def run_once():
-        r = gen(params, feats, tokens, max_new)
+    def run_once(seg: int = 0):
+        if seg <= 0:
+            r = gen(params, feats, tokens, max_new)
+            return batch * int(np.asarray(r.lengths).max())
+        state = gen_prefill(params, feats, tokens, max_new)
+        prev = None
+        for _ in range(-(-max_new // seg)):
+            GATE.checkpoint()
+            nxt = gen_seg(params, state, seg, max_new)
+            if prev is not None:
+                np.asarray(prev.i)  # drain to depth ~1 (overlapped)
+            prev, state = state, nxt
+        r = finish_gen(state, eos=cfg.text.eos_token_id, max_new=max_new)
         return batch * int(np.asarray(r.lengths).max())
 
     return run_once
@@ -126,50 +161,63 @@ def main():
     max_new = 24 if on_tpu else 6
     mix_seconds = 20.0 if on_tpu else 6.0
 
+    seg = int(os.environ.get("IMATCH_MD_SEG", "8"))
+
     store = build_store(rows, dim)
     n_dev = len(jax.devices())
     q = store._emb[:1]
     store.query(q, n_results=10)  # build + compile
     caption_once = make_captioner(cfg_name, batch, max_new)
-    caption_once()  # compile
+    caption_once()  # compile monolithic
+    caption_once(seg)  # compile prefill + segment
 
     # --- solo tiers
     solo_p50 = search_stats(store, q, 30 if on_tpu else 8)
     t0 = time.perf_counter()
     toks = sum(caption_once() for _ in range(3))
     solo_tok_s = toks / (time.perf_counter() - t0)
-
-    # --- mixed: caption stream + search stream, same mesh
-    stop = threading.Event()
-    out = {"cap_tokens": 0, "search_times": []}
-
-    def cap_worker():
-        while not stop.is_set():
-            out["cap_tokens"] += caption_once()
-
-    def search_worker():
-        while not stop.is_set():
-            t0 = time.perf_counter()
-            store.query(q, n_results=10)
-            out["search_times"].append(time.perf_counter() - t0)
-
-    threads = [
-        threading.Thread(target=cap_worker),
-        threading.Thread(target=search_worker),
-    ]
     t0 = time.perf_counter()
-    for t in threads:
-        t.start()
-    time.sleep(mix_seconds)
-    stop.set()
-    for t in threads:
-        t.join()
-    wall = time.perf_counter() - t0
+    toks = sum(caption_once(seg) for _ in range(3))
+    solo_seg_tok_s = toks / (time.perf_counter() - t0)
 
-    mixed_tok_s = out["cap_tokens"] / wall
-    st = out["search_times"]
-    mixed_p50 = float(np.median(st)) * 1e3 if st else float("nan")
-    mixed_qps = len(st) / wall
+    def run_mixed(cap_seg: int):
+        """Caption stream + search stream contending for the device."""
+        stop = threading.Event()
+        out = {"cap_tokens": 0, "search_times": []}
+
+        def cap_worker():
+            while not stop.is_set():
+                out["cap_tokens"] += caption_once(cap_seg)
+
+        def search_worker():
+            while not stop.is_set():
+                t0 = time.perf_counter()
+                store.query(q, n_results=10)
+                out["search_times"].append(time.perf_counter() - t0)
+
+        threads = [
+            threading.Thread(target=cap_worker),
+            threading.Thread(target=search_worker),
+        ]
+        t0 = time.perf_counter()
+        for t in threads:
+            t.start()
+        time.sleep(mix_seconds)
+        stop.set()
+        for t in threads:
+            t.join()
+        wall = time.perf_counter() - t0
+        st = out["search_times"]
+        return {
+            "caption_tok_s": round(out["cap_tokens"] / wall, 1),
+            "search_p50_ms": round(
+                float(np.median(st)) * 1e3 if st else float("nan"), 3
+            ),
+            "search_qps": round(len(st) / wall, 1),
+        }
+
+    mono = run_mixed(0)
+    gated = run_mixed(seg)
 
     print(
         json.dumps(
@@ -181,13 +229,18 @@ def main():
                 "corpus_rows": rows,
                 "dim": dim,
                 "caption_batch": batch,
+                "decode_seg": seg,
                 "solo_caption_tok_s": round(solo_tok_s, 1),
+                "solo_caption_seg_tok_s": round(solo_seg_tok_s, 1),
                 "solo_search_p50_ms": round(solo_p50, 3),
-                "mixed_caption_tok_s": round(mixed_tok_s, 1),
-                "mixed_search_p50_ms": round(mixed_p50, 3),
-                "mixed_search_qps": round(mixed_qps, 1),
-                "caption_retention": round(mixed_tok_s / max(solo_tok_s, 1e-9), 3),
-                "search_p50_inflation": round(mixed_p50 / max(solo_p50, 1e-9), 3),
+                "mixed_monolithic": mono,
+                "mixed_segmented_gated": gated,
+                "monolithic_p50_inflation": round(
+                    mono["search_p50_ms"] / max(solo_p50, 1e-9), 2
+                ),
+                "segmented_p50_inflation": round(
+                    gated["search_p50_ms"] / max(solo_p50, 1e-9), 2
+                ),
             }
         )
     )

@@ -398,3 +398,89 @@ def test_int8_kv_cache_decode_close(md):
 
     out = greedy_generate(params, cfg, l_q, cache_q, pos, max_new=8)
     assert out.tokens.shape == (2, 8)
+
+
+def test_segmented_decode_matches_monolithic(md):
+    """gen_segment composes to exactly greedy_generate (same step body,
+    same EOS masking), for every segment size including ones that
+    overshoot max_new — the serving path splits caption decode into
+    bounded dispatches so searches can slot between them."""
+    from imatch_tpu.models.moondream.generate import (
+        finish_gen,
+        gen_segment,
+        init_gen_state,
+    )
+
+    cfg = TINY_MD
+    rng = np.random.default_rng(3)
+    feats = jnp.asarray(
+        rng.standard_normal((2, cfg.vision.num_patches, cfg.text.hidden_size)),
+        jnp.float32,
+    )
+    tokens = jnp.asarray(rng.integers(0, 256, (2, 5)), jnp.int32)
+    logits, cache, pos = prefill(md, cfg, feats, tokens, max_new=11)
+    ref = greedy_generate(md, cfg, logits, cache, pos, max_new=11)
+    for seg in (1, 3, 4, 11, 16):
+        state = init_gen_state(cfg, logits, cache, pos, max_new=11)
+        for _ in range(-(-11 // seg)):
+            state = gen_segment(md, cfg, state, steps=seg, max_new=11)
+        got = finish_gen(state, eos=cfg.text.eos_token_id, max_new=11)
+        np.testing.assert_array_equal(
+            np.asarray(got.tokens), np.asarray(ref.tokens), err_msg=f"seg={seg}"
+        )
+        np.testing.assert_array_equal(
+            np.asarray(got.lengths), np.asarray(ref.lengths)
+        )
+
+
+def test_caption_batch_segmented_matches(monkeypatch):
+    """The runtime's segmented caption driver (IMATCH_MD_SEG) returns
+    the same captions as the monolithic dispatch."""
+    monkeypatch.setenv("IMATCH_MD_CONFIG", "tiny-md")
+    monkeypatch.setenv("IMATCH_MD_SEG", "0")
+    m = MoondreamJax(config="tiny-md")
+    rng = np.random.default_rng(9)
+    imgs = [
+        rng.integers(0, 255, (40 + 8 * i, 52, 3), dtype=np.uint8)
+        for i in range(3)
+    ]
+    encs = m.encode_image_batch(imgs)
+    mono = m.caption_batch(encs, max_new=10)
+    monkeypatch.setenv("IMATCH_MD_SEG", "4")
+    segd = m.caption_batch(encs, max_new=10)
+    assert segd == mono
+
+
+def test_priority_gate_orders_bulk_behind_search():
+    """Bulk checkpoints park while a priority section is open, resume
+    after it closes, and are free when uncontended."""
+    import threading
+    import time as _t
+
+    from imatch_tpu.runtime.scheduler import PriorityGate
+
+    gate = PriorityGate()
+    assert gate.checkpoint() is False  # uncontended: no wait
+
+    order = []
+    release = threading.Event()
+    entered = threading.Event()
+
+    def search():
+        with gate.priority():
+            entered.set()
+            release.wait(2.0)
+            order.append("search")
+
+    def bulk():
+        entered.wait(2.0)
+        gate.checkpoint(timeout=5.0)
+        order.append("bulk")
+
+    ts, tb = threading.Thread(target=search), threading.Thread(target=bulk)
+    ts.start(), tb.start()
+    _t.sleep(0.15)  # bulk is parked at the checkpoint now
+    assert order == []
+    release.set()
+    ts.join(3.0), tb.join(3.0)
+    assert order == ["search", "bulk"]
