@@ -126,6 +126,27 @@ def bench_rtt_noop(on_tpu: bool):
     return round(float(np.median(times)) * 1e3, 3)
 
 
+def bench_link_bandwidth():
+    """Host<->device link MB/s, both directions. In this environment
+    the link is a tunnel whose bandwidth varies RUN TO RUN (measured
+    27-60 MB/s down on different days); the headline ingest fetches
+    ~20 MB of embeddings and the e2e tier uploads ~0.8 GB of frames
+    inside their timed walls, so recording the link rate alongside
+    makes cross-round comparisons interpretable. On real PCIe
+    (~16 GB/s) both transfers are negligible."""
+    x = jax.block_until_ready(jnp.ones((5_000_000,), jnp.float32))  # 20MB
+    np.asarray(x[:8])
+    t0 = time.perf_counter()
+    np.asarray(x)
+    down = 20.0 / (time.perf_counter() - t0)
+    big = np.ones((10_000_000,), np.float32)  # 40 MB
+    jax.block_until_ready(jnp.asarray(big[:8]))
+    t0 = time.perf_counter()
+    jax.block_until_ready(jnp.asarray(big))
+    up = 40.0 / (time.perf_counter() - t0)
+    return round(down, 1), round(up, 1)
+
+
 def bench_search_pipelined(store: VectorStore, on_tpu: bool, depth: int = 8):
     """Depth-N concurrent clients against the same store: per-request
     latency stays at the round-trip floor, but throughput scales with
@@ -336,7 +357,9 @@ def main():
         print(f"[bench] {msg}", file=sys.stderr, flush=True)
 
     on_tpu = jax.default_backend() == "tpu"
-    mark("headline ingest (embed+index)…")
+    mark("link bandwidth…")
+    link_down, link_up = bench_link_bandwidth()
+    mark(f"link {link_down}/{link_up} MB/s; headline ingest (embed+index)…")
     imgs_per_sec = bench_ingest(on_tpu)
 
     mark(f"headline {imgs_per_sec:.0f} img/s; e2e folder ingest…")
@@ -372,6 +395,8 @@ def main():
                     "search_p50_pipelined_ms": p50_pipelined,
                     "search_corpus_rows": n_vec,
                     "search_dim": 512,
+                    "link_down_mb_s": link_down,
+                    "link_up_mb_s": link_up,
                 },
             }
         )
