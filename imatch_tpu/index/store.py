@@ -13,7 +13,7 @@ utils.py:104-138):
   reused across queries, so steady-state search is one device matmul.
 - Deletes are tombstones; compaction rewrites the buffer when more than
   half the slots are dead.
-- Durable snapshots (save/load): embeddings.npy + records.jsonl +
+- Durable snapshots (save/load): embeddings.npy + records.json +
   manifest.json, written atomically — the restart-recovery story the
   reference gets from chroma's sqlite persistence (SURVEY.md §5).
 """
@@ -22,6 +22,7 @@ from __future__ import annotations
 
 import base64
 import json
+import logging
 import os
 import tempfile
 import threading
@@ -30,8 +31,6 @@ from typing import Dict, List, Optional, Sequence
 
 import jax
 import jax.numpy as jnp
-import logging
-
 import numpy as np
 
 from imatch_tpu.index.search import prepare_device_corpus, tilemax_topk
@@ -226,31 +225,39 @@ class VectorStore:
                     raise ValueError(f"duplicate id {i}")
                 seen.add(i)
             self._ensure_capacity(len(ids))
-            for i, (id_, md, doc) in enumerate(zip(ids, metadatas, documents)):
-                slot = self._n
-                self._emb[slot] = embeddings[i]
-                self._alive[slot] = True
-                self._ids.append(id_)
-                self._meta.append(md)
-                self._docs.append(doc)
-                self._slot[id_] = slot
-                self._n += 1
+            base = self._n
+            # bulk row insert: one vectorized copy + dict/list extends
+            # instead of a per-row python loop — restart rehydration is
+            # ONE add() of the whole snapshot (1M rows), and the loop
+            # form dominated its profile
+            self._emb[base : base + len(ids)] = embeddings
+            self._alive[base : base + len(ids)] = True
+            self._ids.extend(ids)
+            self._meta.extend(metadatas)
+            self._docs.extend(documents)
+            self._slot.update(zip(ids, range(base, base + len(ids))))
+            self._n = base + len(ids)
             self._device = None
             self._gen += 1
-            self._journal(
-                *(
-                    {
-                        "op": "add",
-                        "id": id_,
-                        "metadata": md,
-                        "document": doc,
-                        "embedding": self._enc_emb(embeddings[i]),
-                    }
-                    for i, (id_, md, doc) in enumerate(
-                        zip(ids, metadatas, documents)
+            if self.persist_dir is not None:
+                # build ops only when a journal exists: the base64
+                # embedding encode is ~40% of a non-persistent bulk
+                # add's time if done eagerly (the old *generator call
+                # evaluated it before _journal could no-op)
+                self._journal(
+                    *(
+                        {
+                            "op": "add",
+                            "id": id_,
+                            "metadata": md,
+                            "document": doc,
+                            "embedding": self._enc_emb(embeddings[i]),
+                        }
+                        for i, (id_, md, doc) in enumerate(
+                            zip(ids, metadatas, documents)
+                        )
                     )
                 )
-            )
 
     def get(
         self,
@@ -593,7 +600,10 @@ class VectorStore:
             slots = [i for i in range(self._n) if self._alive[i]]
             gen = int(time.time() * 1e6)
             emb_name = f"embeddings-{gen}.npy"
-            rec_name = f"records-{gen}.jsonl"
+            # .json = ONE array, parsed in a single json.loads at
+            # restart (per-line jsonl cost ~2.4 s per 300k records of
+            # parse overhead; load() still reads legacy .jsonl)
+            rec_name = f"records-{gen}.json"
             tmp = tempfile.mkdtemp(dir=path, prefix=".snapshot-")
             try:
                 for name, writer in (
@@ -615,17 +625,17 @@ class VectorStore:
                 with open(
                     os.path.join(tmp, rec_name), "w", encoding="utf-8"
                 ) as f:
-                    for s in slots:
-                        f.write(
-                            json.dumps(
-                                {
-                                    "id": self._ids[s],
-                                    "metadata": self._meta[s],
-                                    "document": self._docs[s],
-                                }
-                            )
-                            + "\n"
-                        )
+                    json.dump(
+                        [
+                            {
+                                "id": self._ids[s],
+                                "metadata": self._meta[s],
+                                "document": self._docs[s],
+                            }
+                            for s in slots
+                        ],
+                        f,
+                    )
                     f.flush()
                     os.fsync(f.fileno())
                 os.replace(
@@ -681,11 +691,14 @@ class VectorStore:
             emb_file = manifest.get("embeddings", "embeddings.npy")
             rec_file = manifest.get("records", "records.jsonl")
             emb = np.load(os.path.join(path, emb_file))
-            records = []
             with open(os.path.join(path, rec_file), encoding="utf-8") as f:
-                for line in f:
-                    if line.strip():
-                        records.append(json.loads(line))
+                if rec_file.endswith(".jsonl"):
+                    # legacy line-per-record snapshots
+                    records = [
+                        json.loads(line) for line in f if line.strip()
+                    ]
+                else:
+                    records = json.load(f)
             count = manifest.get("count", len(records))
             if not (len(records) == count == emb.shape[0]):
                 raise ValueError(
