@@ -209,8 +209,35 @@ def ivf_topk(
     Same return contract as search.tilemax_topk (-1/-inf padding; ties
     break to the lower row index).
     """
-    q32 = queries.astype(jnp.float32)
-    c, m = index.members.shape
+    return _ivf_probe_topk(
+        queries.astype(jnp.float32),
+        index.centroids,
+        index.members,
+        index.corpus,
+        index.valid,
+        k=k,
+        n_probe=n_probe,
+        rescore_margin=rescore_margin,
+    )
+
+
+def _ivf_probe_topk(
+    q32,
+    centroids,
+    members,
+    corpus,
+    valid,
+    *,
+    k: int,
+    n_probe: int,
+    rescore_margin: int,
+    nonempty=None,
+):
+    """Shared probe + two-phase rescore core: used by the single-device
+    ivf_topk and by the per-shard body of the mesh-sharded engine
+    (parallel/dist_ivf.py). ``nonempty``: optional (C,) mask — clusters
+    padded in across shards must never win probe slots."""
+    c, m = members.shape
     n_probe = min(n_probe, c)
     cand = n_probe * m
     kk = min(k + rescore_margin, cand)
@@ -219,17 +246,19 @@ def ivf_topk(
     csims = jnp.einsum(
         "qd,cd->qc",
         q32,
-        index.centroids,
+        centroids,
         preferred_element_type=jnp.float32,
     )
+    if nonempty is not None:
+        csims = jnp.where(nonempty[None, :], csims, NEG_INF)
     _, probe = jax.lax.top_k(csims, n_probe)  # (Q, n_probe)
 
     def one(args):
         q, clusters = args
-        ids = index.members[clusters].reshape(cand)  # (P*M,)
+        ids = members[clusters].reshape(cand)  # (P*M,)
         safe = jnp.maximum(ids, 0)
-        rows = index.corpus[safe]  # storage dtype — no fp32 blow-up
-        ok = jnp.logical_and(ids >= 0, index.valid[safe])
+        rows = corpus[safe]  # storage dtype — no fp32 blow-up
+        ok = jnp.logical_and(ids >= 0, valid[safe])
         s1 = jnp.einsum(
             "nd,d->n",
             rows,
@@ -243,7 +272,7 @@ def ivf_topk(
         ts1, pos1 = jax.lax.top_k(s1, kk)
         cid = jnp.where(ts1 <= NEG_INF / 2, -1, ids_o[pos1])
         # phase 2: fp32 HIGHEST rescore of the k+margin survivors only
-        crows = index.corpus[jnp.maximum(cid, 0)].astype(jnp.float32)
+        crows = corpus[jnp.maximum(cid, 0)].astype(jnp.float32)
         s2 = jnp.einsum(
             "nd,d->n",
             crows,

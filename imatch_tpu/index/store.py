@@ -57,7 +57,9 @@ def _env_engine() -> str:
     Pallas phase-1 kernel), tilemax-host (int8 scoring in HBM + host
     fp32 rescore — the capacity tier for corpora whose fp32 copy
     exceeds HBM, e.g. 10M x 512), ivf (approximate — opt-in; ordering
-    is no longer chroma-exact)."""
+    is no longer chroma-exact), ivf-sharded (approximate, corpus
+    row-sharded over the mesh with one IVF per shard — the ANN tier
+    past one chip's HBM, parallel/dist_ivf.py)."""
     return os.environ.get("IMATCH_INDEX_ENGINE", "tilemax").lower()
 
 
@@ -96,6 +98,7 @@ class VectorStore:
             "sharded",
             "pallas",
             "ivf",
+            "ivf-sharded",
             "tilemax-host",
         ):
             raise ValueError(f"unknown index engine {self.engine!r}")
@@ -416,6 +419,15 @@ class VectorStore:
             from imatch_tpu.index.ivf import build_ivf
 
             return eng, build_ivf(emb, alive)
+        if eng == "ivf-sharded":
+            from imatch_tpu.parallel.dist_ivf import prepare_sharded_ivf
+            from imatch_tpu.parallel.mesh import make_mesh
+
+            if self._mesh is None:
+                self._mesh = make_mesh(model_parallel=1)
+            return eng, prepare_sharded_ivf(
+                emb_copy, alive_copy, mesh=self._mesh
+            )
         return eng, prepare_device_corpus(
             emb, alive, score_dtype=self.score_dtype
         )
@@ -455,6 +467,11 @@ class VectorStore:
 
             n_probe = int(os.environ.get("IMATCH_IVF_NPROBE", "8"))
             return ivf_topk(jnp.asarray(q), state, k=k, n_probe=n_probe)
+        if eng == "ivf-sharded":
+            from imatch_tpu.parallel.dist_ivf import sharded_ivf_topk
+
+            n_probe = int(os.environ.get("IMATCH_IVF_NPROBE", "8"))
+            return sharded_ivf_topk(q, state, k=k, n_probe=n_probe)
         return tilemax_topk(jnp.asarray(q), state, k=k)
 
     @staticmethod

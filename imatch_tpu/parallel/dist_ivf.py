@@ -1,0 +1,206 @@
+"""Mesh-sharded IVF — the ANN capacity tier past one chip's HBM.
+
+Single-chip IVF (index/ivf.py) caps out where the corpus itself does:
+10M x 512 bf16 is ~10 GB of a 16 GB chip. The mesh form row-shards the
+corpus over the ``data`` axis and builds an INDEPENDENT IVF per shard
+(per-shard k-means over N/P rows). A query probes every shard's index
+concurrently under ``shard_map`` and all-gathers only k candidates per
+shard — so per-chip HBM holds N/P rows + one small index, per-query ICI
+traffic is k*P*(4+4) bytes (corpus-size independent, same as the exact
+sharded engine), and capacity scales linearly with the mesh.
+
+Recall note: P independent indexes probed with n_probe each is
+effectively P*n_probe global probes — at equal n_probe the sharded form
+scans a LARGER fraction than a global IVF, in parallel, so recall is at
+least as good at unchanged latency. With n_probe >= clusters-per-shard
+every shard scans everything and the result equals the exact sharded
+engine bit-for-bit (pinned in tests/test_sharded_store.py).
+
+The reference's ANN is one in-process hnswlib graph
+(/root/reference/utils.py:129, backend/app/main.py:761) — no sharded
+form exists to anchor semantics beyond the query contract itself.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding
+from jax.sharding import PartitionSpec as P
+
+from imatch_tpu.index.ivf import _ivf_probe_topk, build_ivf
+from imatch_tpu.parallel.mesh import AXIS_DATA
+
+
+class ShardedIVF(NamedTuple):
+    """Per-shard IVF state, each array stacked on a leading shard axis
+    sharded over ``data`` (device d holds block [d])."""
+
+    centroids: jax.Array  # (P, C_max, D) fp32
+    members: jax.Array  # (P, C_max, M_max) int32 LOCAL row ids, -1 pad
+    corpus: jax.Array  # (P, N/P, D) storage dtype
+    valid: jax.Array  # (P, N/P) bool
+    nonempty: jax.Array  # (P, C_max) bool — padded clusters masked
+    mesh: Mesh
+
+
+def prepare_sharded_ivf(
+    corpus,
+    valid,
+    *,
+    mesh: Mesh,
+    n_clusters: int = 0,
+    seed: int = 0,
+) -> ShardedIVF:
+    """Row-shard the corpus and build one IVF per shard.
+
+    Shards are padded to equal cluster count / member width so the
+    stacked arrays are rectangular; padded clusters carry an all-False
+    ``nonempty`` mask and never win probe slots."""
+    corpus = np.asarray(corpus)
+    valid = np.asarray(valid, bool)
+    dp = mesh.shape[AXIS_DATA]
+    n = corpus.shape[0]
+    pad = (-n) % dp
+    if pad:
+        corpus = np.pad(corpus, ((0, pad), (0, 0)))
+        valid = np.pad(valid, (0, pad))
+    rows = corpus.shape[0] // dp
+
+    cents, membs, vals, masks = [], [], [], []
+    for s in range(dp):
+        sl = slice(s * rows, (s + 1) * rows)
+        idx = build_ivf(
+            corpus[sl],
+            valid[sl],
+            n_clusters=n_clusters,
+            seed=seed + s,
+        )
+        cents.append(np.asarray(idx.centroids, np.float32))
+        membs.append(np.asarray(idx.members))
+        vals.append(np.asarray(idx.valid))
+
+    c_max = max(c.shape[0] for c in cents)
+    m_max = max(m.shape[1] for m in membs)
+    for s in range(dp):
+        c, m = cents[s], membs[s]
+        masks.append(
+            np.pad(
+                (m >= 0).any(axis=1),
+                (0, c_max - c.shape[0]),
+                constant_values=False,
+            )
+        )
+        cents[s] = np.pad(c, ((0, c_max - c.shape[0]), (0, 0)))
+        membs[s] = np.pad(
+            m,
+            ((0, c_max - m.shape[0]), (0, m_max - m.shape[1])),
+            constant_values=-1,
+        )
+
+    storage = corpus.dtype
+    lead = lambda spec: NamedSharding(mesh, spec)  # noqa: E731
+    return ShardedIVF(
+        centroids=jax.device_put(
+            np.stack(cents), lead(P(AXIS_DATA, None, None))
+        ),
+        members=jax.device_put(
+            np.stack(membs), lead(P(AXIS_DATA, None, None))
+        ),
+        corpus=jax.device_put(
+            corpus.reshape(dp, rows, -1).astype(storage),
+            lead(P(AXIS_DATA, None, None)),
+        ),
+        valid=jax.device_put(
+            valid.reshape(dp, rows), lead(P(AXIS_DATA, None))
+        ),
+        nonempty=jax.device_put(np.stack(masks), lead(P(AXIS_DATA, None))),
+        mesh=mesh,
+    )
+
+
+@functools.partial(
+    jax.jit, static_argnames=("k", "n_probe", "rescore_margin", "mesh")
+)
+def _sharded_ivf_topk(
+    queries,
+    centroids,
+    members,
+    corpus,
+    valid,
+    nonempty,
+    *,
+    mesh: Mesh,
+    k: int,
+    n_probe: int,
+    rescore_margin: int,
+):
+    shard_rows = corpus.shape[1]
+
+    def local(q, ce, me, co, va, ne):
+        s, i = _ivf_probe_topk(
+            q,
+            ce[0],
+            me[0],
+            co[0],
+            va[0],
+            k=k,
+            n_probe=n_probe,
+            rescore_margin=rescore_margin,
+            nonempty=ne[0],
+        )
+        shard = jax.lax.axis_index(AXIS_DATA)
+        i = jnp.where(i >= 0, i + shard * shard_rows, -1)
+        ss = jax.lax.all_gather(s, AXIS_DATA, axis=1, tiled=True)
+        ii = jax.lax.all_gather(i, AXIS_DATA, axis=1, tiled=True)
+        # ties break to the lower global index (chroma parity)
+        order = jnp.argsort(jnp.where(ii < 0, jnp.iinfo(jnp.int32).max, ii))
+        ss = jnp.take_along_axis(ss, order, axis=1)
+        ii = jnp.take_along_axis(ii, order, axis=1)
+        top_s, pos = jax.lax.top_k(ss, k)
+        top_i = jnp.take_along_axis(ii, pos, axis=1)
+        return top_s, top_i
+
+    return jax.shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(
+            P(),
+            P(AXIS_DATA, None, None),
+            P(AXIS_DATA, None, None),
+            P(AXIS_DATA, None, None),
+            P(AXIS_DATA, None),
+            P(AXIS_DATA, None),
+        ),
+        out_specs=(P(), P()),
+        check_vma=False,
+    )(queries, centroids, members, corpus, valid, nonempty)
+
+
+def sharded_ivf_topk(
+    queries,
+    index: ShardedIVF,
+    *,
+    k: int,
+    n_probe: int = 8,
+    rescore_margin: int = 32,
+) -> Tuple[jax.Array, jax.Array]:
+    """Approximate global top-k against a prepared sharded IVF. Same
+    contract as tilemax_topk: (Q, k) fp32 scores descending + GLOBAL
+    int32 row indices into the unsharded corpus, -1 padded."""
+    return _sharded_ivf_topk(
+        jnp.asarray(queries, jnp.float32),
+        index.centroids,
+        index.members,
+        index.corpus,
+        index.valid,
+        index.nonempty,
+        mesh=index.mesh,
+        k=k,
+        n_probe=n_probe,
+        rescore_margin=rescore_margin,
+    )

@@ -152,3 +152,66 @@ def test_http_text_search_through_sharded_engine(tmp_path, monkeypatch):
         assert a["similarity_score"] == pytest.approx(
             b["similarity_score"], abs=1e-6
         )
+
+
+def test_ivf_sharded_full_probe_equals_exact():
+    """The mesh ANN tier (IMATCH_INDEX_ENGINE=ivf-sharded,
+    parallel/dist_ivf.py): with n_probe >= clusters-per-shard every
+    shard scans all of its rows, so results must equal the exact
+    engines bit-for-bit — ids AND distances."""
+    import os
+
+    n, d = 960, 48
+    emb = _mk_corpus(n, d, seed=3)
+    ids = [f"v{i:05d}" for i in range(n)]
+    exact = VectorStore(engine="tilemax")
+    ann = VectorStore(engine="ivf-sharded")
+    for s in (exact, ann):
+        s.add(ids=ids, embeddings=emb)
+    q = emb[[7, 430, 901]] * 0.95 + _mk_corpus(3, d, seed=11) * 0.05
+    os.environ["IMATCH_IVF_NPROBE"] = "4096"  # >= any shard's clusters
+    try:
+        ra = ann.query(q, n_results=12)
+    finally:
+        del os.environ["IMATCH_IVF_NPROBE"]
+    re = exact.query(q, n_results=12)
+    assert ra["ids"] == re["ids"]
+    for da, de in zip(ra["distances"], re["distances"]):
+        np.testing.assert_allclose(da, de, rtol=0, atol=1e-6)
+
+
+def test_ivf_sharded_default_probe_recall_and_mutations():
+    """Default n_probe on clustered data: high recall vs exact, global
+    ids survive shard offsets, and mutations (delete + re-add) are
+    visible after the device cache invalidates."""
+    rng = np.random.default_rng(21)
+    centers = _mk_corpus(24, 32, seed=5)
+    rows = centers[rng.integers(0, 24, 1200)] + 0.05 * rng.standard_normal(
+        (1200, 32)
+    ).astype(np.float32)
+    rows /= np.linalg.norm(rows, axis=1, keepdims=True)
+    ids = [f"c{i:05d}" for i in range(1200)]
+    exact = VectorStore(engine="tilemax")
+    ann = VectorStore(engine="ivf-sharded")
+    for s in (exact, ann):
+        s.add(ids=ids, embeddings=rows)
+    q = rows[[10, 600, 1100]]
+    re = exact.query(q, n_results=10)
+    ra = ann.query(q, n_results=10)
+    # self-match must always survive (its own cluster is the top probe)
+    for row, qi in zip(ra["ids"], (10, 600, 1100)):
+        assert row[0] == ids[qi]
+    recall = np.mean(
+        [
+            len(set(a) & set(e)) / len(e)
+            for a, e in zip(ra["ids"], re["ids"])
+        ]
+    )
+    assert recall >= 0.9, recall
+
+    ann.delete(ids=[ids[10]])
+    r2 = ann.query(q[:1], n_results=3)
+    assert ids[10] not in r2["ids"][0]
+    ann.add(ids=["fresh"], embeddings=rows[[10]])
+    r3 = ann.query(q[:1], n_results=3)
+    assert r3["ids"][0][0] == "fresh"
