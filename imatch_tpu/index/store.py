@@ -215,6 +215,13 @@ class VectorStore:
             embeddings = np.asarray(embeddings, dtype=np.float32)
             if embeddings.ndim == 1:
                 embeddings = embeddings[None]
+            if embeddings.shape[0] != len(ids):
+                # must precede any mutation: the vectorized slice copy
+                # below would silently numpy-broadcast a (1, D) batch
+                # across every id
+                raise ValueError(
+                    f"{len(ids)} ids but {embeddings.shape[0]} embeddings"
+                )
             if self.dim is None:
                 self.dim = int(embeddings.shape[1])
             metadatas = metadatas or [None] * len(ids)
@@ -340,7 +347,16 @@ class VectorStore:
         the mesh for sharded) exceed IMATCH_AUTO_HBM_FRAC (default 0.5)
         of per-device HBM, escalate to the tilemax-host tier — int8 in
         HBM, fp32 rescore on host, still exact — instead of OOMing as
-        the corpus grows. Non-auto engines are never overridden."""
+        the corpus grows. Escalation only happens when the host tier's
+        own single-chip int8 footprint is BOTH smaller than the current
+        engine's per-device cost and itself within budget: on a wide
+        mesh, 6/P bytes/chip sharded can already beat 1 byte/chip int8,
+        and swapping into a larger footprint would be strictly worse.
+        Non-auto engines are never overridden.
+
+        Footprints use the capacity-padded buffer the engines actually
+        upload (emb_copy), not the live count — the padding is what HBM
+        has to hold."""
         eng = self.engine
         if not self._auto or eng not in ("tilemax", "sharded"):
             return eng
@@ -359,15 +375,29 @@ class VectorStore:
         per_device = emb_copy.size * (score_bytes + 4)
         if eng == "sharded":
             per_device //= max(1, len(jax.devices()))
+        host_tier = emb_copy.size  # int8 scoring matrix on ONE chip
         frac = float(os.environ.get("IMATCH_AUTO_HBM_FRAC", "0.5"))
-        if per_device > frac * float(budget):
-            logger.warning(
-                "auto index engine: %.2f GB/device exceeds %.0f%% of HBM "
-                "(%.2f GB) — escalating to tilemax-host for this build",
-                per_device / 2**30,
-                frac * 100,
-                float(budget) / 2**30,
-            )
+        limit = frac * float(budget)
+        if per_device > limit and host_tier < per_device:
+            if host_tier > limit:
+                logger.warning(
+                    "auto index engine: %.2f GB/device exceeds %.0f%% of "
+                    "HBM and even the int8 host tier needs %.2f GB — "
+                    "escalating anyway as the smaller footprint; consider "
+                    "a larger mesh or IMATCH_INDEX_ENGINE=ivf-sharded",
+                    per_device / 2**30,
+                    frac * 100,
+                    host_tier / 2**30,
+                )
+            else:
+                logger.warning(
+                    "auto index engine: %.2f GB/device exceeds %.0f%% of "
+                    "HBM (%.2f GB) — escalating to tilemax-host for this "
+                    "build",
+                    per_device / 2**30,
+                    frac * 100,
+                    float(budget) / 2**30,
+                )
             return "tilemax-host"
         return eng
 

@@ -176,11 +176,22 @@ class MoondreamJax:
             )
             return init_gen_state(cfg, logits, cache, pos, max_new=max_new)
 
-        @functools.partial(jax.jit, static_argnames=("steps", "max_new"))
+        # donate the carried state: without it, XLA cannot alias the KV
+        # cache across segment dispatches and segmented decode would
+        # transiently hold ~3 full caches (prev + input + output) — a
+        # pure HBM regression vs the monolithic while_loop's in-place
+        # aliasing. The separate `i` output gives the driver a tiny
+        # fetchable tick that is NOT part of the donated buffers.
+        @functools.partial(
+            jax.jit,
+            static_argnames=("steps", "max_new"),
+            donate_argnums=(1,),
+        )
         def _gen_segment(params, state, steps, max_new):
-            return gen_segment(
+            nxt = gen_segment(
                 params, cfg, state, steps=steps, max_new=max_new, dtype=dt
             )
+            return nxt, nxt.i
 
         self._encode_fn = _encode
         self._generate_fn = _generate
@@ -363,21 +374,24 @@ class MoondreamJax:
 
         Between segments: GATE.checkpoint() parks this bulk stream while
         any index query is in flight (runtime/scheduler.py), and the
-        PREVIOUS segment's scalar is fetched after the next one is
-        dispatched — the fetch overlaps the in-flight segment, so the
-        device never idles, while the enqueue depth stays at ~1 segment.
-        A search therefore waits at most one running + one queued
-        segment (~2*seg decode steps) instead of prefill + max_new."""
+        PREVIOUS segment's tick (a scalar OUTPUT, not part of the
+        donated state) is fetched after the next one is dispatched —
+        the fetch overlaps the in-flight segment, so the device never
+        idles, while the enqueue depth stays at ~1 segment. A search
+        therefore waits at most one running + one queued segment
+        (~2*seg decode steps) instead of prefill + max_new. The carry
+        itself is donated (see _gen_segment), so HBM holds ~one cache
+        like the monolithic loop."""
         from imatch_tpu.runtime.scheduler import GATE
 
         state = self._gen_prefill_fn(self.params, feats, tokens, max_new)
-        prev = None
+        prev_tick = None
         for _ in range(-(-max_new // seg)):
             GATE.checkpoint()
-            nxt = self._gen_segment_fn(self.params, state, seg, max_new)
-            if prev is not None:
-                np.asarray(prev.i)  # drain to depth ~1 (overlapped)
-            prev, state = state, nxt
+            state, tick = self._gen_segment_fn(self.params, state, seg, max_new)
+            if prev_tick is not None:
+                np.asarray(prev_tick)  # drain to depth ~1 (overlapped)
+            prev_tick = tick
         return finish_gen(
             state, eos=self.cfg.text.eos_token_id, max_new=max_new
         )

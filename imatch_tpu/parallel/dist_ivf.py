@@ -71,7 +71,7 @@ def prepare_sharded_ivf(
         valid = np.pad(valid, (0, pad))
     rows = corpus.shape[0] // dp
 
-    cents, membs, vals, masks = [], [], [], []
+    cents, membs, masks = [], [], []
     for s in range(dp):
         sl = slice(s * rows, (s + 1) * rows)
         idx = build_ivf(
@@ -82,7 +82,6 @@ def prepare_sharded_ivf(
         )
         cents.append(np.asarray(idx.centroids, np.float32))
         membs.append(np.asarray(idx.members))
-        vals.append(np.asarray(idx.valid))
 
     c_max = max(c.shape[0] for c in cents)
     m_max = max(m.shape[1] for m in membs)

@@ -59,9 +59,7 @@ def make_corpus(rows, dim, dist, chunk=1 << 20):
     tradeoff table is honest about both ends."""
     if chunk > rows:
         chunk = rows
-    while rows % chunk:
-        chunk //= 2  # keep an exact divisor: no padded copies
-    n_chunks = rows // chunk
+    chunk = _divisor_chunk(rows, chunk)
     clustered = dist == "clustered"
 
     @functools.partial(
@@ -94,9 +92,18 @@ def make_corpus(rows, dim, dist, chunk=1 << 20):
                 buf, x.astype(jnp.bfloat16), (i * chunk, 0)
             )
 
-        return jax.lax.fori_loop(
-            0, rows // chunk, body, jnp.zeros((rows, dim), jnp.bfloat16)
+        # ceil chunks into a padded buffer, sliced back to `rows`: for
+        # divisor chunks (the default sizes) pad == 0 and the slice is
+        # free; otherwise one transient padded copy, never a clamped
+        # dynamic_update_slice overwriting earlier rows
+        n_chunks = -(-rows // chunk)
+        buf = jax.lax.fori_loop(
+            0,
+            n_chunks,
+            body,
+            jnp.zeros((n_chunks * chunk, dim), jnp.bfloat16),
         )
+        return buf[:rows]
 
     return jax.block_until_ready(
         gen(
@@ -110,11 +117,17 @@ def make_corpus(rows, dim, dist, chunk=1 << 20):
 
 
 def _divisor_chunk(n, target):
-    """Largest divisor of n that is <= target (>= target//8 preferred):
-    exact chunking means jit never builds a padded copy of the corpus."""
+    """Largest divisor of n that is <= target — exact chunking means jit
+    never builds a padded copy of the corpus. Prime/awkward n would
+    collapse the search to chunk=1 (an n-iteration device loop), so
+    anything below target//8 falls back to target and lets the scan
+    pad its last chunk instead (one transient padded copy — the lesser
+    evil)."""
     c = min(n, target)
     while c > 1 and n % c:
         c -= 1
+    if c < max(1, target // 8):
+        return min(n, target)
     return max(c, 1)
 
 

@@ -108,11 +108,17 @@ def make_captioner(cfg_name: str, batch: int, max_new: int):
         )
         return init_gen_state(cfg, logits, cache, pos, max_new=max_new)
 
-    @functools.partial(jax.jit, static_argnames=("steps", "max_new"))
+    # donated carry + separate scalar tick, mirroring the runtime's
+    # _gen_segment: HBM holds ~one cache, and the drain fetch touches
+    # an output buffer, never the donated state
+    @functools.partial(
+        jax.jit, static_argnames=("steps", "max_new"), donate_argnums=(1,)
+    )
     def gen_seg(params, state, steps, max_new):
-        return gen_segment(
+        nxt = gen_segment(
             params, cfg, state, steps=steps, max_new=max_new, dtype=dt
         )
+        return nxt, nxt.i
 
     p, d = cfg.vision.num_patches, cfg.text.hidden_size
     feats = jax.random.normal(jax.random.key(2), (batch, p, d), jnp.float32)
@@ -126,13 +132,13 @@ def make_captioner(cfg_name: str, batch: int, max_new: int):
             r = gen(params, feats, tokens, max_new)
             return batch * int(np.asarray(r.lengths).max())
         state = gen_prefill(params, feats, tokens, max_new)
-        prev = None
+        prev_tick = None
         for _ in range(-(-max_new // seg)):
             GATE.checkpoint()
-            nxt = gen_seg(params, state, seg, max_new)
-            if prev is not None:
-                np.asarray(prev.i)  # drain to depth ~1 (overlapped)
-            prev, state = state, nxt
+            state, tick = gen_seg(params, state, seg, max_new)
+            if prev_tick is not None:
+                np.asarray(prev_tick)  # drain to depth ~1 (overlapped)
+            prev_tick = tick
         r = finish_gen(state, eos=cfg.text.eos_token_id, max_new=max_new)
         return batch * int(np.asarray(r.lengths).max())
 

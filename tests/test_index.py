@@ -535,18 +535,33 @@ def test_auto_engine_capacity_escalation(monkeypatch):
     exact = VectorStore(dim=32, engine="tilemax")
     exact.add(ids=ids, embeddings=e)
 
-    # budget smaller than 64*32*(4+4) bytes -> must escalate
+    # budget smaller than the device copies -> a SINGLE-chip engine
+    # must escalate (host int8 tier is 6x smaller than bf16+fp32).
+    # White-box: auto on this 8-device mesh resolves to sharded, whose
+    # per-chip cost beats the host tier (below) — so force the
+    # single-chip resolution to exercise the escalating branch.
     monkeypatch.setenv("IMATCH_DEVICE_BYTES_BUDGET", str(4096))
-    auto = VectorStore(dim=32, engine="auto")
+    auto = VectorStore(dim=32, engine="tilemax")
+    auto._auto = True
     auto.add(ids=ids, embeddings=e)
     r_a = auto.query(query_embeddings=e[:3], n_results=5)
     assert auto._device[0] == "tilemax-host"
-    assert auto.engine in ("tilemax", "sharded")  # default untouched
+    assert auto.engine == "tilemax"  # default untouched
     r_e = exact.query(query_embeddings=e[:3], n_results=5)
     assert r_a["ids"] == r_e["ids"]
     np.testing.assert_allclose(
         r_a["distances"], r_e["distances"], atol=1e-4
     )
+
+    # the real auto resolution on this 8-device mesh is sharded, and
+    # its 6/P bytes/chip footprint BEATS the host tier's single-chip
+    # int8 copy — escalating would be strictly worse, so it must not
+    monkeypatch.setenv("IMATCH_DEVICE_BYTES_BUDGET", str(4096))
+    wide = VectorStore(dim=32, engine="auto")
+    assert wide.engine == "sharded"
+    wide.add(ids=ids, embeddings=e)
+    wide.query(query_embeddings=e[:1], n_results=5)
+    assert wide._device[0] == "sharded"
 
     # generous budget -> no escalation
     monkeypatch.setenv("IMATCH_DEVICE_BYTES_BUDGET", str(1 << 30))
