@@ -1,0 +1,87 @@
+"""Deployment profiles: one knob that turns on the measured fast tiers.
+
+The framework ships with conservative defaults (bf16 exact search,
+segmented decode at seg=8) and exposes ~30 ``IMATCH_*`` env vars to
+tune them. Every number behind these presets is measured in
+docs/DESIGN.md; the profile just sets the matching group of env vars
+so a deployment gets the measured configuration without hand-tuning
+each flag.
+
+``IMATCH_PROFILE``:
+
+- ``latency``     — interactive search-first serving. Decode segment
+  length 2 (search p50 within ~24% of an idle chip under full caption
+  load, DESIGN.md co-residency table), ``auto`` index engine, warmup
+  on.
+- ``throughput``  — bulk ingest / backfill boxes with no interactive
+  readers. Monolithic decode dispatches (no segmentation overhead,
+  100% caption rate), double-size embed chunks.
+- ``capacity``    — largest corpus per chip. ``auto`` engine (which
+  escalates tilemax → sharded → tilemax-host by HBM budget), int8
+  phase-1 scoring with fp32 rescore, int8 VLM weights + KV cache
+  (opt-in tiers measured at 1.89 ms/query and 894 tok/s; bless real
+  checkpoints per WEIGHTS.md §5 before production use).
+
+Explicit env vars always win: the profile only fills in unset keys
+(``os.environ.setdefault``), so ``IMATCH_PROFILE=latency
+IMATCH_MD_SEG=4`` runs seg=4.
+
+Reference anchor: the reference has no equivalent — its tuning surface
+is editing backend/app/main.py constants; this is the TPU deployment's
+"pick your operating point" switch.
+"""
+
+from __future__ import annotations
+
+import logging
+import os
+
+log = logging.getLogger("imatch.profiles")
+
+PROFILES: dict[str, dict[str, str]] = {
+    "latency": {
+        "IMATCH_MD_SEG": "2",
+        "IMATCH_INDEX_ENGINE": "auto",
+        "IMATCH_WARMUP": "1",
+    },
+    "throughput": {
+        "IMATCH_MD_SEG": "0",
+        "IMATCH_EMBED_CHUNK": "1024",
+        "IMATCH_INDEX_ENGINE": "auto",
+    },
+    "capacity": {
+        "IMATCH_INDEX_ENGINE": "auto",
+        "IMATCH_SCORE_DTYPE": "int8",
+        "IMATCH_MD_QUANT": "int8",
+        "IMATCH_MD_CACHE": "int8",
+    },
+}
+
+
+def apply_profile(env: os._Environ | dict | None = None) -> dict[str, str]:
+    """Fill in the env-var group for ``IMATCH_PROFILE``, if set.
+
+    Returns the key→value pairs actually applied (i.e. that were not
+    already set explicitly). Unknown profile names raise ValueError so
+    a typo fails loudly at startup rather than silently serving with
+    defaults.
+    """
+    if env is None:
+        env = os.environ
+    name = env.get("IMATCH_PROFILE", "").strip().lower()
+    if not name:
+        return {}
+    if name not in PROFILES:
+        raise ValueError(
+            f"IMATCH_PROFILE={name!r}: unknown profile "
+            f"(choose from {sorted(PROFILES)})"
+        )
+    applied = {}
+    for key, value in PROFILES[name].items():
+        if key not in env:
+            env[key] = value
+            applied[key] = value
+    if applied:
+        log.info("profile %s: %s", name,
+                 " ".join(f"{k}={v}" for k, v in sorted(applied.items())))
+    return applied

@@ -10,6 +10,10 @@ Env config (SURVEY.md §5 config table):
   IMATCH_SAMPLES_DIR    sample corpus for /upload-samples
   IMATCH_INDEX_ENGINE   auto (default here: sharded when >1 device) |
                         tilemax | sharded | pallas | tilemax-host | ivf
+  IMATCH_PROFILE        latency | throughput | capacity — one-knob
+                        presets for the measured fast tiers
+                        (imatch_tpu/utils/profiles.py); explicit env
+                        vars always override the profile.
 """
 
 import logging
@@ -35,12 +39,18 @@ jax.config.update(
 )
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
-from imatch_tpu.serving.app import create_app  # noqa: E402
-from imatch_tpu.serving.server import serve  # noqa: E402
-
 logging.basicConfig(
     level=logging.INFO, format="%(asctime)s %(name)s %(levelname)s %(message)s"
 )
+
+# Apply the deployment profile BEFORE importing the serving stack so
+# every module reads the profiled env (chunk sizes, engines, dtypes).
+from imatch_tpu.utils.profiles import apply_profile  # noqa: E402
+
+apply_profile()
+
+from imatch_tpu.serving.app import create_app  # noqa: E402
+from imatch_tpu.serving.server import serve  # noqa: E402
 
 if __name__ == "__main__":
     # Production default: use every chip on the slice for the index

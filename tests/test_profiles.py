@@ -1,0 +1,54 @@
+"""IMATCH_PROFILE preset semantics (imatch_tpu/utils/profiles.py)."""
+
+import pytest
+
+from imatch_tpu.utils.profiles import PROFILES, apply_profile
+
+
+def test_no_profile_is_noop():
+    env = {"IMATCH_MD_SEG": "8"}
+    assert apply_profile(env) == {}
+    assert env == {"IMATCH_MD_SEG": "8"}
+
+
+def test_latency_profile_sets_group():
+    env = {"IMATCH_PROFILE": "latency"}
+    applied = apply_profile(env)
+    assert applied["IMATCH_MD_SEG"] == "2"
+    assert env["IMATCH_INDEX_ENGINE"] == "auto"
+    assert env["IMATCH_WARMUP"] == "1"
+
+
+def test_explicit_env_beats_profile():
+    env = {"IMATCH_PROFILE": "latency", "IMATCH_MD_SEG": "4"}
+    applied = apply_profile(env)
+    assert "IMATCH_MD_SEG" not in applied
+    assert env["IMATCH_MD_SEG"] == "4"
+    # the rest of the group still lands
+    assert env["IMATCH_INDEX_ENGINE"] == "auto"
+
+
+def test_capacity_profile_turns_on_int8_tiers():
+    env = {"IMATCH_PROFILE": "capacity"}
+    apply_profile(env)
+    assert env["IMATCH_SCORE_DTYPE"] == "int8"
+    assert env["IMATCH_MD_QUANT"] == "int8"
+    assert env["IMATCH_MD_CACHE"] == "int8"
+
+
+def test_unknown_profile_raises():
+    with pytest.raises(ValueError, match="unknown profile"):
+        apply_profile({"IMATCH_PROFILE": "turbo"})
+
+
+def test_profile_name_case_insensitive():
+    env = {"IMATCH_PROFILE": " Throughput "}
+    apply_profile(env)
+    assert env["IMATCH_MD_SEG"] == "0"
+
+
+def test_every_profile_key_is_documented_env_var():
+    # keep the presets in the IMATCH_* namespace so README's table governs
+    for name, group in PROFILES.items():
+        for key in group:
+            assert key.startswith("IMATCH_"), (name, key)
