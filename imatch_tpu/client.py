@@ -78,10 +78,14 @@ class ImageMatchClient:
         path: str,
         fields: Optional[Sequence[Tuple[str, Any]]] = None,
         ok_statuses: Sequence[int] = (200,),
+        json_body: Any = None,
     ) -> Any:
         url = self.base_url + path
         data, headers = None, {}
-        if fields is not None:
+        if json_body is not None:
+            data = json.dumps(json_body).encode()
+            headers["Content-Type"] = "application/json"
+        elif fields is not None:
             data, ctype = _encode_multipart(fields)
             headers["Content-Type"] = ctype
         req = urllib.request.Request(
@@ -168,6 +172,22 @@ class ImageMatchClient:
         fields = [("query", query), ("limit", limit)]
         fields += [("filters", f) for f in filters]
         return self._request("POST", "/api/search/text", fields)["results"]
+
+    def search_text_batch(
+        self,
+        queries: Sequence[str],
+        filters: Sequence[str] = (),
+        limit: int = 10,
+    ):
+        """Batched text search: one request, one device dispatch for all
+        queries; returns a list of result rows (one per query). Use this
+        when issuing many queries — per-query latency amortizes the
+        round-trip (POST /api/search/batch)."""
+        body = {"queries": list(queries), "limit": limit,
+                "filters": list(filters)}
+        return self._request(
+            "POST", "/api/search/batch", json_body=body
+        )["results"]
 
     def search_image(self, path: str, filters: Sequence[str] = (), limit: int = 10):
         with open(path, "rb") as f:

@@ -583,6 +583,7 @@ class VectorStore:
             q = np.asarray(query_embeddings, dtype=np.float32)
         if q.ndim == 1:
             q = q[None]
+        qn = q.shape[0]
         live, dc, ids_l, meta_l, docs_l = self._snapshot_for_query()
         k = min(n_results, live)
         out = {
@@ -593,9 +594,22 @@ class VectorStore:
         }
         if live == 0 or k == 0:
             for key in out:
-                out[key] = [[] for _ in range(len(q))]
+                out[key] = [[] for _ in range(qn)]
             return out
         k_c = self._k_bucket(k)
+        # bucket the query COUNT too: the engines are jit-compiled per
+        # (Q, k) shape, so without this every distinct batch size on
+        # /api/search/batch would pay a fresh XLA compile. Zero-row
+        # padding is dropped below; worst-case extra score work is <2x
+        # and only on already-batched requests.
+        q_c = self._k_bucket(qn)
+        if q_c != qn:
+            pad = ((0, q_c - qn), (0, 0))
+            q = (
+                jnp.pad(q, pad)
+                if isinstance(q, jax.Array)
+                else np.pad(q, pad)
+            )
         with METRICS.timer("index.query"), GATE.priority():
             # one transfer for both outputs: each np.asarray would be its
             # own blocking host round-trip (2x the tunnel RTT).
@@ -604,9 +618,9 @@ class VectorStore:
             # dispatch+fetch is in flight — searches never queue behind
             # a whole caption batch (runtime/scheduler.py).
             scores, idx = jax.device_get(self._run_engine(q, dc, k_c))
-        scores = scores[:, :k]
-        idx = idx[:, :k]
-        for qi in range(len(q)):
+        scores = scores[:qn, :k]
+        idx = idx[:qn, :k]
+        for qi in range(qn):
             row_ids, row_d, row_m, row_doc = [], [], [], []
             for s, i in zip(scores[qi], idx[qi]):
                 if i < 0:

@@ -250,6 +250,14 @@ class ClipEmbedder:
         blocking device->host transfer (the top-k result) instead of two."""
         return self._embed_tokens(self._tokenize([text]))[0]
 
+    def embed_texts_device(self, texts: Sequence[str]) -> jax.Array:
+        """Batch variant of embed_text_device: (Q, proj) embeddings left
+        on device. One text-tower dispatch for all Q queries; chained into
+        VectorStore.query the whole batch pays one blocking transfer, so
+        the per-query cost amortizes the host<->device round-trip Q ways
+        (the batched-search serving path)."""
+        return self._embed_tokens(self._tokenize(list(texts)))
+
     def embed_image_device(self, image: np.ndarray) -> jax.Array:
         """Device-resident single-image embedding (see embed_text_device)."""
         pixels = preprocess_images(

@@ -43,9 +43,15 @@ def search_similar(
     )
     if not res["ids"] or not res["ids"][0]:
         return []
+    return _result_row(res, 0)
+
+
+def _result_row(res: dict, qi: int) -> List[dict]:
+    """Chroma-shaped query result row ``qi`` -> metadata dicts with
+    ``similarity_score`` (the v2 ``1 - distance/2`` mapping)."""
     out = []
     for img_id, md, dist in zip(
-        res["ids"][0], res["metadatas"][0], res["distances"][0]
+        res["ids"][qi], res["metadatas"][qi], res["distances"][qi]
     ):
         md = dict(md or {})
         md["similarity_score"] = 1 - (dist / 2)
@@ -60,6 +66,34 @@ def search_by_text(state: AppState, query_text: str, limit: int = 10) -> List[di
     # without a host round-trip in between (one blocking transfer total)
     emb = state.get_embedder().embed_text_device(query_text)
     return search_similar(state, emb, limit)
+
+
+def search_by_text_batch(
+    state: AppState, queries: List[str], limit: int = 10
+) -> List[List[dict]]:
+    """Batched text search: ONE text-tower dispatch for all Q queries
+    chained into ONE index top-k dispatch and ONE blocking transfer, so
+    the host<->device round-trip — the measured per-request latency
+    floor on tunneled/remote links (docs/DESIGN.md "<10 ms search
+    target") — amortizes Q ways. Results per query are identical to Q
+    separate ``search_by_text`` calls (pinned in tests/test_api.py).
+
+    The reference has no batched query surface — one hnswlib call per
+    request (/root/reference/backend/app/main.py:761); batching is the
+    TPU-idiomatic answer because the MXU's tile-max scoring at Q=16
+    costs barely more than Q=1."""
+    if not queries:
+        return []
+    embs = state.get_embedder().embed_texts_device(queries)
+    actual_limit = ALL_LIMIT if limit <= 0 else limit
+    res = state.store.query(
+        query_embeddings=embs,
+        n_results=actual_limit,
+        include=["metadatas", "distances"],
+    )
+    if not res["ids"]:
+        return [[] for _ in queries]
+    return [_result_row(res, qi) for qi in range(len(queries))]
 
 
 def search_by_image(

@@ -288,6 +288,41 @@ def create_app(state: Optional[AppState] = None, root: str = ".") -> App:
         )
         return {"results": apply_search_filters(results, filters)}
 
+    @app.post("/api/search/batch")
+    def search_batch(req):
+        """Batched text search (no reference equivalent): JSON body
+        ``{"queries": [...], "limit": 10, "filters": [...]}`` ->
+        ``{"results": [[...], ...]}``, one row per query, each row shaped
+        exactly like /api/search/text's results. ONE device dispatch for
+        all queries — on links where the per-request round-trip is the
+        latency floor this is how per-query cost beats it (bench.py
+        ``search_http_batch16_per_query_ms``)."""
+        try:
+            body = req.json()
+        except Exception:
+            return JSONResponse(
+                {"success": False, "error": "JSON body required"}, 422
+            )
+        queries = body.get("queries") if isinstance(body, dict) else None
+        if not isinstance(queries, list) or not all(
+            isinstance(s, str) for s in queries
+        ):
+            return JSONResponse(
+                {"success": False, "error": "queries must be a list of strings"},
+                422,
+            )
+        if len(queries) > 256:
+            return JSONResponse(
+                {"success": False, "error": "at most 256 queries per batch"},
+                422,
+            )
+        filters = body.get("filters") or []
+        limit = _parse_int(body.get("limit"), 10)
+        rows = search_mod.search_by_text_batch(state, queries, limit=limit)
+        return {
+            "results": [apply_search_filters(r, filters) for r in rows]
+        }
+
     # -- listing / metadata --------------------------------------------------
 
     @app.get("/api/images")

@@ -434,6 +434,70 @@ def test_search_text_get_variant(client):
     assert len(r.json()["results"]) >= 1
 
 
+def test_search_batch_matches_single(client):
+    """POST /api/search/batch: one dispatch for Q queries, each row
+    identical to the equivalent /api/search/text call."""
+    for n in os.listdir(CORPUS):
+        upload(client, n)
+    queries = ["red drill", "a yellow banana", "power tool on a table"]
+    r = client.post("/api/search/batch", json={"queries": queries, "limit": 4})
+    assert r.status_code == 200
+    rows = r.json()["results"]
+    assert len(rows) == len(queries)
+    for q, row in zip(queries, rows):
+        single = client.post(
+            "/api/search/text", data={"query": q, "limit": 4}
+        ).json()["results"]
+        assert [x["id"] for x in row] == [x["id"] for x in single]
+        assert [x["similarity_score"] for x in row] == pytest.approx(
+            [x["similarity_score"] for x in single], rel=1e-5
+        )
+
+
+def test_search_batch_filters_and_limits(client):
+    upload(client, "red drill.jpg")
+    upload(client, "orange drill.avif")
+    client.post("/api/filters", data={"filter_query": "is it a drill"})
+    for _ in range(100):
+        p = client.get(
+            "/api/filter-progress", params={"filter_query": "is it a drill"}
+        ).json()
+        if p.get("status") == "completed":
+            break
+        time.sleep(0.05)
+    # filters apply per row, same as the single route
+    r = client.post(
+        "/api/search/batch",
+        json={"queries": ["drill"], "limit": 0, "filters": ["is it a drill"]},
+    )
+    assert r.status_code == 200
+    (row,) = r.json()["results"]
+    assert len(row) == 2  # limit 0 -> all (FakeCaptioner answers Yes)
+    # empty queries list -> empty results, not an error
+    r = client.post("/api/search/batch", json={"queries": []})
+    assert r.status_code == 200 and r.json()["results"] == []
+
+
+def test_search_batch_validation(client):
+    assert client.post("/api/search/batch", json={}).status_code == 422
+    assert (
+        client.post(
+            "/api/search/batch", json={"queries": "not a list"}
+        ).status_code
+        == 422
+    )
+    assert (
+        client.post(
+            "/api/search/batch", json={"queries": ["ok", 3]}
+        ).status_code
+        == 422
+    )
+    r = client.post(
+        "/api/search/batch", json={"queries": ["q"] * 257}
+    )
+    assert r.status_code == 422
+
+
 def test_backfill_error_isolation(client):
     """A captioner that blows up on one image must not kill the job."""
     state = client.state

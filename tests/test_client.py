@@ -100,6 +100,9 @@ def test_client_full_flow(server, tmp_path):
 
     hits = c.search_text("red drill", limit=5)
     assert len(hits) >= 1 and "similarity_score" in hits[0]
+    rows = c.search_text_batch(["red drill", "banana"], limit=5)
+    assert len(rows) == 2
+    assert [x["id"] for x in rows[0]] == [x["id"] for x in hits]
     hits = c.search_image(f"{CORPUS}/red drill.jpg", limit=3)
     assert hits[0]["id"] == img_id  # self-match first
     hits = c.search_multimodal(

@@ -367,6 +367,29 @@ def test_store_engine_ivf_smoke():
         del os.environ["IMATCH_IVF_NPROBE"]
 
 
+@pytest.mark.parametrize(
+    "engine", ["tilemax", "pallas", "sharded", "tilemax-host", "ivf", "ivf-sharded"]
+)
+def test_store_batch_query_matches_per_query(engine, monkeypatch):
+    """A (Q, d) batched query must return exactly what Q single-query
+    calls return, on EVERY engine — the invariant POST /api/search/batch
+    (one device dispatch for all queries) is built on."""
+    monkeypatch.setenv("IMATCH_IVF_NPROBE", "100000")  # full probe: exact
+    store, emb = make_engine_store(engine, n=257, dim=32)
+    rng = np.random.default_rng(3)
+    q = norm_rows(
+        emb[[5, 99, 200]] * 0.8
+        + rng.standard_normal((3, 32)).astype(np.float32) * 0.2
+    )
+    batched = store.query(query_embeddings=q, n_results=7)
+    for qi in range(3):
+        single = store.query(query_embeddings=q[qi], n_results=7)
+        assert batched["ids"][qi] == single["ids"][0]
+        np.testing.assert_allclose(
+            batched["distances"][qi], single["distances"][0], atol=1e-6
+        )
+
+
 def test_store_engine_env_selection(monkeypatch):
     monkeypatch.setenv("IMATCH_INDEX_ENGINE", "pallas")
     assert VectorStore().engine == "pallas"
