@@ -16,6 +16,17 @@ import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+# Host-side bootstrap: nothing here needs an accelerator, but the auto
+# index engine probes jax.devices() for capacity, which would initialize
+# the TPU runtime (and on tunneled/single-client environments can hang
+# or fail while the lease is busy). The snapshot artifact this script
+# creates is pure host data (npy + json), so pin the process to CPU
+# unconditionally — the config knob, not the env var, because this jax
+# build's TPU plugin self-registers and ignores JAX_PLATFORMS.
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+
 from imatch_tpu.index.store import VectorStore  # noqa: E402
 
 
