@@ -109,6 +109,12 @@ def _warmup(state: AppState):
             # (10/25/50/100/All) so no user search pays a jit compile
             state.store.warm()
             state.store.query([emb.embed_text("warmup")], n_results=1)
+            # one representative batched-route shape (Q=16 text tower +
+            # Q-bucketed engine); other pow2 Q-buckets compile on first
+            # use
+            state.store.query(
+                emb.embed_texts_device(["warmup"] * 16), n_results=10
+            )
         logger.info("warmup done in %.1fs", time.time() - t0)
     except Exception as e:
         logger.warning("warmup failed: %s", e)
