@@ -349,32 +349,36 @@ def bench_http_search(embedder, store: VectorStore, on_tpu: bool):
         # dispatch + one index dispatch + one transfer. Per-query cost
         # amortizes the round-trip floor — the way the <10 ms/query
         # target is met on links where a single request can't beat RTT.
-        bq = 16
-        payload = json.dumps(
-            {"queries": [f"photo number {i} of a drill" for i in range(bq)],
-             "limit": 10}
-        ).encode()
-        breq = urllib.request.Request(
-            f"http://127.0.0.1:{port}/api/search/batch",
-            data=payload,
-            headers={"Content-Type": "application/json"},
-        )
-        for _ in range(3):
-            urllib.request.urlopen(breq, timeout=600).read()
-        btimes = []
-        for _ in range(reps):
-            t0 = time.perf_counter()
-            bbody = urllib.request.urlopen(breq, timeout=600).read()
-            btimes.append(time.perf_counter() - t0)
-        rows = json.loads(bbody)["results"]
-        assert len(rows) == bq and rows[0], "batch search returned nothing"
-        batch_p50 = float(np.median(btimes)) * 1e3
+        # Fail-soft: a problem here must not cost the headline numbers.
+        batch_p50 = per_q = None
+        try:
+            bq = 16
+            payload = json.dumps(
+                {"queries": [f"photo number {i} of a drill" for i in range(bq)],
+                 "limit": 10}
+            ).encode()
+            breq = urllib.request.Request(
+                f"http://127.0.0.1:{port}/api/search/batch",
+                data=payload,
+                headers={"Content-Type": "application/json"},
+            )
+            for _ in range(3):
+                urllib.request.urlopen(breq, timeout=600).read()
+            btimes = []
+            for _ in range(reps):
+                t0 = time.perf_counter()
+                bbody = urllib.request.urlopen(breq, timeout=600).read()
+                btimes.append(time.perf_counter() - t0)
+            rows = json.loads(bbody)["results"]
+            assert len(rows) == bq and rows[0], "batch search returned nothing"
+            batch_p50 = round(float(np.median(btimes)) * 1e3, 3)
+            per_q = round(batch_p50 / bq, 3)
+        except Exception as e:  # pragma: no cover - diagnostics only
+            import sys
+
+            print(f"[bench] batch-search tier failed: {e}", file=sys.stderr)
         loop.call_soon_threadsafe(loop.stop)
-        return (
-            round(float(np.median(times)) * 1e3, 3),
-            round(batch_p50, 3),
-            round(batch_p50 / bq, 3),
-        )
+        return round(float(np.median(times)) * 1e3, 3), batch_p50, per_q
 
 
 def main():
