@@ -196,6 +196,24 @@ class ImageMatchClient:
         fields += [("filters", f) for f in filters]
         return self._request("POST", "/api/search/image", fields)["results"]
 
+    def search_image_batch(
+        self,
+        paths: Sequence[str],
+        filters: Sequence[str] = (),
+        limit: int = 10,
+    ):
+        """Batched image search: one request, the vision tower and index
+        run all N query images in batched device dispatches; returns one
+        result row per path, in order (POST /api/search/image-batch)."""
+        fields: List[Tuple[str, Any]] = [("limit", limit)]
+        for p in paths:
+            with open(p, "rb") as f:
+                fields.append(("files", (os.path.basename(p), f.read())))
+        fields += [("filters", f) for f in filters]
+        return self._request(
+            "POST", "/api/search/image-batch", fields
+        )["results"]
+
     def search_multimodal(
         self,
         path: str,

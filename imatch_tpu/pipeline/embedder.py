@@ -267,6 +267,19 @@ class ClipEmbedder:
         )
         return self._embed_pixels(pixels)[0]
 
+    def embed_images_device(self, images: Sequence[np.ndarray]) -> jax.Array:
+        """Batch variant of embed_image_device: (N, proj) embeddings left
+        on device (chunked through the tower, pow2-bucketed shapes).
+        Chained into VectorStore.query the whole image batch pays one
+        blocking device->host transfer (the batched image-search path)."""
+        METRICS.inc("images_embedded", len(images))
+        pixels = preprocess_images(
+            images,
+            out_size=self.cfg.vision.image_size,
+            dtype=self.compute_dtype,
+        )
+        return self._embed_pixels(pixels)
+
     def ids_and_embed_images_stream(
         self, images: Sequence[np.ndarray], pool=None, max_in_flight: int = 4
     ):

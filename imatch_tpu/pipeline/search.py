@@ -104,6 +104,34 @@ def search_by_image(
     return search_similar(state, emb, limit)
 
 
+def search_by_image_batch(
+    state: AppState, images: List[Image.Image], limit: int = 10
+) -> List[List[dict]]:
+    """Batched image search (POST /api/search/image-batch): all N query
+    images go through the vision tower in chunked device batches and ONE
+    index top-k dispatch + ONE blocking transfer — same round-trip
+    amortization as ``search_by_text_batch``, and the tower itself runs
+    at batch efficiency instead of N single-image dispatches. Per-row
+    results are identical to N separate ``search_by_image`` calls
+    (pinned in tests/test_api.py)."""
+    if not images:
+        return []
+    arrays = [
+        np.asarray(im.convert("RGB") if im.mode != "RGB" else im)
+        for im in images
+    ]
+    embs = state.get_embedder().embed_images_device(arrays)
+    actual_limit = ALL_LIMIT if limit <= 0 else limit
+    res = state.store.query(
+        query_embeddings=embs,
+        n_results=actual_limit,
+        include=["metadatas", "distances"],
+    )
+    if not res["ids"]:
+        return [[] for _ in images]
+    return [_result_row(res, qi) for qi in range(len(images))]
+
+
 def combine_embeddings(image_emb, text_emb, weight_image: float):
     """Normalized weighted blend (main.py:852-860). jnp ops so it serves
     both host numpy arrays and in-flight device arrays (the chained

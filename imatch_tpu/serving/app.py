@@ -329,6 +329,49 @@ def create_app(state: Optional[AppState] = None, root: str = ".") -> App:
             "results": [apply_search_filters(r, filters) for r in rows]
         }
 
+    @app.post("/api/search/image-batch")
+    def search_image_batch(req):
+        """Batched image search (no reference equivalent): multipart
+        ``files`` (repeated, like /api/upload-folder), ``limit``,
+        ``filters``, ``remove_bg`` -> ``{"results": [[...], ...]}``, one
+        row per file in order, each row shaped like /api/search/image's
+        results. The vision tower runs the whole batch in chunked device
+        dispatches and the index scores all queries in one top-k — N
+        searches for roughly the round-trip cost of one."""
+        form = req.form()
+        files = [f for f in form.getlist("files") if isinstance(f, UploadFile)]
+        if not files:
+            return JSONResponse(
+                {"success": False, "error": "files field required"}, 422
+            )
+        if len(files) > 256:
+            return JSONResponse(
+                {"success": False, "error": "at most 256 files per batch"},
+                422,
+            )
+        filters = form.getlist("filters")
+        limit = _parse_int(form.get("limit"), 10)
+        remove_bg = _parse_bool(form.get("remove_bg"))
+        images = []
+        for f in files:
+            try:
+                image = _open_upload(f)
+            except Exception as e:
+                return JSONResponse(
+                    {
+                        "success": False,
+                        "error": f"Cannot open image {f.filename!r}: {e}",
+                    },
+                    422,
+                )
+            if remove_bg:
+                image = _maybe_remove_query_bg(state, image)
+            images.append(image)
+        rows = search_mod.search_by_image_batch(state, images, limit=limit)
+        return {
+            "results": [apply_search_filters(r, filters) for r in rows]
+        }
+
     # -- listing / metadata --------------------------------------------------
 
     @app.get("/api/images")

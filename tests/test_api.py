@@ -498,6 +498,46 @@ def test_search_batch_validation(client):
     assert r.status_code == 422
 
 
+def test_search_image_batch_matches_single(client):
+    """POST /api/search/image-batch: one batched tower+index pass, each
+    row identical to the equivalent /api/search/image call."""
+    for n in os.listdir(CORPUS):
+        upload(client, n)
+    names = ["red drill.jpg", "orange drill.avif", "red drill not match.jpg"]
+    files = [("files", (n, jpg_bytes(n), "image/jpeg")) for n in names]
+    r = client.post("/api/search/image-batch", files=files, data={"limit": 4})
+    assert r.status_code == 200
+    rows = r.json()["results"]
+    assert len(rows) == len(names)
+    for n, row in zip(names, rows):
+        single = client.post(
+            "/api/search/image",
+            files={"file": (n, jpg_bytes(n), "image/jpeg")},
+            data={"limit": 4},
+        ).json()["results"]
+        assert [x["id"] for x in row] == [x["id"] for x in single]
+        assert [x["similarity_score"] for x in row] == pytest.approx(
+            [x["similarity_score"] for x in single], rel=1e-5
+        )
+    # self-match ranks first with similarity 1.0 in every row
+    assert rows[0][0]["filename"] == "red drill.jpg"
+    assert rows[0][0]["similarity_score"] > 0.999
+
+
+def test_search_image_batch_validation(client):
+    assert client.post("/api/search/image-batch").status_code == 422
+    r = client.post(
+        "/api/search/image-batch",
+        files=[("files", ("bad.jpg", b"not an image", "image/jpeg"))],
+    )
+    assert r.status_code == 422
+    assert "bad.jpg" in r.json()["error"]
+    many = [
+        ("files", (f"f{i}.jpg", jpg_bytes(), "image/jpeg")) for i in range(257)
+    ]
+    assert client.post("/api/search/image-batch", files=many).status_code == 422
+
+
 def test_backfill_error_isolation(client):
     """A captioner that blows up on one image must not kill the job."""
     state = client.state

@@ -105,6 +105,11 @@ def test_client_full_flow(server, tmp_path):
     assert [x["id"] for x in rows[0]] == [x["id"] for x in hits]
     hits = c.search_image(f"{CORPUS}/red drill.jpg", limit=3)
     assert hits[0]["id"] == img_id  # self-match first
+    rows = c.search_image_batch(
+        [f"{CORPUS}/red drill.jpg", f"{CORPUS}/orange drill.avif"], limit=3
+    )
+    assert len(rows) == 2
+    assert [x["id"] for x in rows[0]] == [x["id"] for x in hits]
     hits = c.search_multimodal(
         f"{CORPUS}/red drill.jpg", "drill", weight_image=0.7, limit=3
     )
