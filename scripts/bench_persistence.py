@@ -21,11 +21,12 @@ import numpy as np
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")  # host-side benchmark
+# Host-side benchmark: pin to CPU unconditionally (the TPU plugin
+# self-registers and ignores the env var; environments may also bake
+# JAX_PLATFORMS to the TPU platform, so setdefault is not enough).
 import jax
 
-if os.environ.get("JAX_PLATFORMS", "").startswith("cpu"):
-    jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_platforms", "cpu")
 
 from imatch_tpu.index.store import VectorStore
 
