@@ -271,8 +271,9 @@ class ClipEmbedder:
         """Batch variant of embed_image_device: (N, proj) embeddings left
         on device (chunked through the tower, pow2-bucketed shapes).
         Chained into VectorStore.query the whole image batch pays one
-        blocking device->host transfer (the batched image-search path)."""
-        METRICS.inc("images_embedded", len(images))
+        blocking device->host transfer (the batched image-search path).
+        Like embed_image_device, does NOT count toward the
+        ``images_embedded`` ingest metric — these are query images."""
         pixels = preprocess_images(
             images,
             out_size=self.cfg.vision.image_size,
