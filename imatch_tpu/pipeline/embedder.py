@@ -269,17 +269,41 @@ class ClipEmbedder:
 
     def embed_images_device(self, images: Sequence[np.ndarray]) -> jax.Array:
         """Batch variant of embed_image_device: (N, proj) embeddings left
-        on device (chunked through the tower, pow2-bucketed shapes).
-        Chained into VectorStore.query the whole image batch pays one
-        blocking device->host transfer (the batched image-search path).
-        Like embed_image_device, does NOT count toward the
-        ``images_embedded`` ingest metric — these are query images."""
-        pixels = preprocess_images(
-            images,
-            out_size=self.cfg.vision.image_size,
-            dtype=self.compute_dtype,
+        on device. Chained into VectorStore.query the whole image batch
+        pays one blocking device->host transfer (the batched image-search
+        path). Like embed_image_device, does NOT count toward the
+        ``images_embedded`` ingest metric — these are query images.
+
+        Query images arrive at arbitrary resolution and preprocess
+        materializes each frame as fp32 on device BEFORE the resize, so
+        a full 256-image batch of camera photos would be tens of GB of
+        transient HBM. Chunked by a source-pixel budget
+        (IMATCH_QUERY_PIXEL_BUDGET, default 2^26 px ~= 0.8 GB fp32):
+        transient memory stays bounded regardless of batch size, while
+        small/low-res batches still go through in one dispatch. The
+        post-resize tower is chunked separately by _embed_pixels."""
+        budget = int(
+            os.environ.get("IMATCH_QUERY_PIXEL_BUDGET", str(1 << 26))
         )
-        return self._embed_pixels(pixels)
+        n = len(images)
+        outs = []
+        start = 0
+        while start < n:
+            end, px = start, 0
+            while end < n:
+                im_px = images[end].shape[0] * images[end].shape[1]
+                if end > start and px + im_px > budget:
+                    break
+                px += im_px
+                end += 1
+            pixels = preprocess_images(
+                images[start:end],
+                out_size=self.cfg.vision.image_size,
+                dtype=self.compute_dtype,
+            )
+            outs.append(self._embed_pixels(pixels))
+            start = end
+        return outs[0] if len(outs) == 1 else jnp.concatenate(outs)
 
     def ids_and_embed_images_stream(
         self, images: Sequence[np.ndarray], pool=None, max_in_flight: int = 4

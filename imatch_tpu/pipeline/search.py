@@ -86,13 +86,13 @@ def search_by_text_batch(
         return []
     embs = state.get_embedder().embed_texts_device(queries)
     actual_limit = ALL_LIMIT if limit <= 0 else limit
+    # store.query always returns exactly Q rows (empty lists when the
+    # store is empty), so per-row decoding needs no length guard
     res = state.store.query(
         query_embeddings=embs,
         n_results=actual_limit,
         include=["metadatas", "distances"],
     )
-    if not res["ids"]:
-        return [[] for _ in queries]
     return [_result_row(res, qi) for qi in range(len(queries))]
 
 
@@ -127,8 +127,6 @@ def search_by_image_batch(
         n_results=actual_limit,
         include=["metadatas", "distances"],
     )
-    if not res["ids"]:
-        return [[] for _ in images]
     return [_result_row(res, qi) for qi in range(len(images))]
 
 

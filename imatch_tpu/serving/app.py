@@ -323,8 +323,33 @@ def create_app(state: Optional[AppState] = None, root: str = ".") -> App:
                 422,
             )
         filters = body.get("filters") or []
+        if not isinstance(filters, list) or not all(
+            isinstance(f, str) for f in filters
+        ):
+            return JSONResponse(
+                {"success": False, "error": "filters must be a list of strings"},
+                422,
+            )
         limit = _parse_int(body.get("limit"), 10)
-        rows = search_mod.search_by_text_batch(state, queries, limit=limit)
+        # same per-query semantics as /api/search/text: an empty query
+        # WITH filters lists all images newest-first (main.py:245) —
+        # non-empty queries still share one batched dispatch
+        rows: list = [None] * len(queries)
+        embed_idx = [
+            i
+            for i, q in enumerate(queries)
+            if q.strip() or not filters
+        ]
+        embedded = search_mod.search_by_text_batch(
+            state, [queries[i] for i in embed_idx], limit=limit
+        )
+        for i, r in zip(embed_idx, embedded):
+            rows[i] = r
+        for i in range(len(queries)):
+            if rows[i] is None:
+                rows[i] = search_mod.get_all_images_with_limit(
+                    state, limit=limit
+                )
         return {
             "results": [apply_search_filters(r, filters) for r in rows]
         }

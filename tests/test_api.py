@@ -476,6 +476,20 @@ def test_search_batch_filters_and_limits(client):
     # empty queries list -> empty results, not an error
     r = client.post("/api/search/batch", json={"queries": []})
     assert r.status_code == 200 and r.json()["results"] == []
+    # empty query string + filters -> the newest-first listing, exactly
+    # like POST /api/search/text's documented idiom (main.py:245) — and
+    # it must coexist with embedded queries in the same batch
+    single = client.post(
+        "/api/search/text", data={"query": "", "limit": 0, "filters": "is it a drill"}
+    ).json()["results"]
+    r = client.post(
+        "/api/search/batch",
+        json={"queries": ["", "drill"], "limit": 0, "filters": ["is it a drill"]},
+    )
+    assert r.status_code == 200
+    listing_row, embedded_row = r.json()["results"]
+    assert [x["id"] for x in listing_row] == [x["id"] for x in single]
+    assert len(embedded_row) == 2 and "similarity_score" in embedded_row[0]
 
 
 def test_search_batch_validation(client):
@@ -496,6 +510,12 @@ def test_search_batch_validation(client):
         "/api/search/batch", json={"queries": ["q"] * 257}
     )
     assert r.status_code == 422
+    # filters must be a list of strings, not a bare string / number
+    for bad in ("is it red", 5, [3]):
+        r = client.post(
+            "/api/search/batch", json={"queries": ["q"], "filters": bad}
+        )
+        assert r.status_code == 422, bad
 
 
 def test_search_image_batch_matches_single(client):

@@ -201,6 +201,25 @@ def test_embedder_data_parallel_matches_single():
     )
 
 
+def test_embed_images_device_pixel_budget_chunks(monkeypatch):
+    """embed_images_device must return identical embeddings whether the
+    batch fits one preprocess dispatch or is split by the source-pixel
+    budget (the HBM bound for arbitrary-resolution query batches)."""
+    e = ClipEmbedder(config="tiny")
+    rng = np.random.default_rng(1)
+    imgs = [
+        rng.integers(0, 256, (h, w, 3), np.uint8)
+        for h, w in [(40, 40), (64, 48), (40, 40), (100, 80), (64, 48)]
+    ]
+    whole = np.asarray(e.embed_images_device(imgs))
+    # budget below the largest single image: every image becomes its own
+    # chunk (the loop must still make progress on oversized frames)
+    monkeypatch.setenv("IMATCH_QUERY_PIXEL_BUDGET", "1000")
+    chunked = np.asarray(e.embed_images_device(imgs))
+    np.testing.assert_allclose(chunked, whole, rtol=2e-5, atol=2e-6)
+    assert whole.shape == (5, e.dim)
+
+
 def test_text_embedding_pools_at_eos_with_folded_vocab():
     """Byte-fallback tokenizer vocab (514) > tiny model vocab (99): ids are
     folded, eos stays unique, and texts sharing a PREFIX but differing
