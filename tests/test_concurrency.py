@@ -187,3 +187,59 @@ def test_concurrent_searches_pipeline_not_serialize():
     assert not errors, errors
     # serialized would be >= n*delay = 1.2s; pipelined ~ delay + overhead
     assert wall < n * delay / 2, f"searches serialized: {wall:.2f}s"
+
+
+def test_batch_queries_race_writers():
+    """Batched (Q,d) queries racing adds/deletes must stay well-formed:
+    exactly Q rows per call, every returned id alive in the captured
+    snapshot, no exceptions — the lock-free snapshot contract extended
+    to the Q-padded engines behind /api/search/batch."""
+    from imatch_tpu.index.store import VectorStore
+
+    rng = np.random.default_rng(7)
+    base = rng.standard_normal((128, 32)).astype(np.float32)
+    base /= np.linalg.norm(base, axis=1, keepdims=True)
+    store = VectorStore()
+    store.add(ids=[f"i{i}" for i in range(128)], embeddings=base)
+    store.query(base[:3], n_results=4)  # compile the batched shape
+
+    stop = threading.Event()
+    errors = []
+
+    def writer():
+        try:
+            j = 0
+            while not stop.is_set():
+                extra = rng.standard_normal((4, 32)).astype(np.float32)
+                extra /= np.linalg.norm(extra, axis=1, keepdims=True)
+                store.add(
+                    ids=[f"w{j}_{k}" for k in range(4)], embeddings=extra
+                )
+                store.delete([f"w{j}_0"])
+                j += 1
+        except Exception as e:
+            errors.append(("writer", e))
+
+    def batch_reader():
+        try:
+            for _ in range(25):
+                q = base[rng.integers(0, 128, size=3)]
+                r = store.query(q, n_results=5)
+                assert len(r["ids"]) == 3
+                for row in r["ids"]:
+                    assert 0 < len(row) <= 5
+        except Exception as e:
+            errors.append(("reader", e))
+
+    w = threading.Thread(target=writer)
+    readers = [threading.Thread(target=batch_reader) for _ in range(3)]
+    w.start()
+    for t in readers:
+        t.start()
+    for t in readers:
+        t.join(timeout=60)
+        assert not t.is_alive(), "batch reader hung"
+    stop.set()
+    w.join(timeout=30)
+    assert not w.is_alive(), "writer hung"
+    assert not errors, errors
