@@ -182,6 +182,25 @@ def bench_search_pipelined(store: VectorStore, on_tpu: bool, depth: int = 8):
     return round(qps, 1), round(float(np.median(times)) * 1e3, 3)
 
 
+def bench_search_coalesced(store: VectorStore, on_tpu: bool, depth: int = 8):
+    """Same depth-N client storm with IMATCH_COALESCE=1: concurrent
+    singles share one engine dispatch (runtime/coalesce.py), so the
+    device runs ~depth fewer programs per second for the same QPS —
+    the saturated-serving operating point (throughput profile)."""
+    os.environ["IMATCH_COALESCE"] = "1"
+    store._coalescer, store._coalesce_enabled = None, None
+    try:
+        # pre-compile the Q buckets coalesced batches can land on —
+        # otherwise the first batch of each size pays its XLA compile
+        # inside the timed window
+        store.warm(n_results_list=(10,), q_counts=(1, 2, 4, 8))
+        store.query(store._emb[:1], n_results=10)  # spin up the worker
+        return bench_search_pipelined(store, on_tpu, depth=depth)
+    finally:
+        del os.environ["IMATCH_COALESCE"]
+        store._coalescer, store._coalesce_enabled = None, None
+
+
 def _make_jpegs(n: int, src: int, seed: int = 1):
     """Random RGB frames as JPEG bytes (what an upload actually carries)."""
     from PIL import Image
@@ -405,7 +424,8 @@ def main():
     mark(f"search p50 {store_p50} ms; rtt + pipelined…")
     rtt_ms = bench_rtt_noop(on_tpu)
     qps_pipelined, p50_pipelined = bench_search_pipelined(store, on_tpu)
-    mark(f"rtt {rtt_ms} ms, qps {qps_pipelined}; http…")
+    qps_coal, p50_coal = bench_search_coalesced(store, on_tpu)
+    mark(f"rtt {rtt_ms} ms, qps {qps_pipelined} ({qps_coal} coalesced); http…")
     http_p50, http_batch_p50, http_batch_per_q = bench_http_search(
         embedder, store, on_tpu
     )
@@ -430,6 +450,8 @@ def main():
                     "search_rtt_noop_p50_ms": rtt_ms,
                     "search_qps_pipelined_depth8": qps_pipelined,
                     "search_p50_pipelined_ms": p50_pipelined,
+                    "search_qps_coalesced_depth8": qps_coal,
+                    "search_p50_coalesced_ms": p50_coal,
                     "search_corpus_rows": n_vec,
                     "search_dim": 512,
                     "link_down_mb_s": link_down,

@@ -123,6 +123,8 @@ class VectorStore:
         self._dead = 0
         self._device = None  # cached (corpus jnp, valid jnp)
         self._gen = 0  # bumped on every invalidation (build-outside-lock)
+        self._coalescer = None  # lazy IMATCH_COALESCE front (see query)
+        self._coalesce_enabled: Optional[bool] = None
 
     # -- capacity -----------------------------------------------------------
 
@@ -544,21 +546,43 @@ class VectorStore:
                 # query uses it; the next query rebuilds fresh
         return live, dc, ids_l, meta_l, docs_l
 
-    def warm(self, n_results_list: Sequence[int] = (1, 10, 25, 50, 100, 1000)):
+    def warm(
+        self,
+        n_results_list: Sequence[int] = (1, 10, 25, 50, 100, 1000),
+        q_counts: Sequence[int] = (1,),
+    ):
         """Pre-compile the query engine for the k buckets the serving
         layer uses (limit select 10/25/50/100/All→1000), so first user
-        searches don't pay a jit compile."""
+        searches don't pay a jit compile. ``q_counts``: also compile
+        these query-count buckets (the coalescer and /api/search/batch
+        dispatch (Q, d) blocks; Q is pow2-bucketed like k)."""
         live, dc, _, _, _ = self._snapshot_for_query()
         if dc is None or live == 0:
             return
-        q = np.zeros((1, self.dim), np.float32)
         seen = set()
-        for nr in n_results_list:
-            k_c = self._k_bucket(min(nr, live))
-            if k_c in seen:
-                continue
-            seen.add(k_c)
-            jax.device_get(self._run_engine(q, dc, k_c))
+        for qc in q_counts:
+            q = np.zeros((self._k_bucket(qc), self.dim), np.float32)
+            for nr in n_results_list:
+                k_c = self._k_bucket(min(nr, live))
+                if (q.shape[0], k_c) in seen:
+                    continue
+                seen.add((q.shape[0], k_c))
+                jax.device_get(self._run_engine(q, dc, k_c))
+
+    def _get_coalescer(self):
+        """Lazy opt-in dynamic batching front (IMATCH_COALESCE=1):
+        concurrent single-query requests share one engine dispatch
+        instead of pipelining N dispatches (runtime/coalesce.py)."""
+        co = self._coalescer
+        if co is None and self._coalesce_enabled is None:
+            self._coalesce_enabled = os.environ.get(
+                "IMATCH_COALESCE", ""
+            ).lower() in ("1", "true", "yes")
+            if self._coalesce_enabled:
+                from imatch_tpu.runtime.coalesce import QueryCoalescer
+
+                co = self._coalescer = QueryCoalescer(self._query_impl)
+        return co
 
     def query(
         self,
@@ -571,7 +595,9 @@ class VectorStore:
         The device matmul runs OUTSIDE the store lock (the lock only
         guards the snapshot capture), so concurrent searches pipeline on
         the device instead of serializing behind one another, and writers
-        are never blocked for a full query round-trip.
+        are never blocked for a full query round-trip. With
+        ``IMATCH_COALESCE=1`` concurrent single-row queries additionally
+        coalesce into one batched dispatch (runtime/coalesce.py).
 
         ``query_embeddings`` may be a jax.Array still in flight (e.g.
         ClipEmbedder.embed_text_device output): the scoring matmul then
@@ -583,6 +609,18 @@ class VectorStore:
             q = np.asarray(query_embeddings, dtype=np.float32)
         if q.ndim == 1:
             q = q[None]
+        if q.shape[0] == 1:
+            co = self._get_coalescer()
+            if co is not None:
+                return co.submit(q, n_results, tuple(include))
+        return self._query_impl(q, n_results, include)
+
+    def _query_impl(
+        self,
+        q,
+        n_results: int,
+        include: Sequence[str],
+    ) -> dict:
         qn = q.shape[0]
         live, dc, ids_l, meta_l, docs_l = self._snapshot_for_query()
         k = min(n_results, live)

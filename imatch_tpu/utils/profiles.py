@@ -48,6 +48,9 @@ PROFILES: dict[str, dict[str, str]] = {
         "IMATCH_MD_SEG": "0",
         "IMATCH_EMBED_CHUNK": "1024",
         "IMATCH_INDEX_ENGINE": "auto",
+        # saturated single-query readers share one engine dispatch
+        # instead of pipelining N (runtime/coalesce.py)
+        "IMATCH_COALESCE": "1",
     },
     "capacity": {
         "IMATCH_INDEX_ENGINE": "auto",

@@ -243,3 +243,79 @@ def test_batch_queries_race_writers():
     w.join(timeout=30)
     assert not w.is_alive(), "writer hung"
     assert not errors, errors
+
+
+def test_coalescer_batches_and_matches_direct(monkeypatch):
+    """IMATCH_COALESCE=1: concurrent single-row queries must (a) return
+    exactly what the direct path returns and (b) actually share engine
+    dispatches under load (fewer engine calls than requests)."""
+    from imatch_tpu.index.store import VectorStore
+
+    rng = np.random.default_rng(11)
+    emb = rng.standard_normal((200, 32)).astype(np.float32)
+    emb /= np.linalg.norm(emb, axis=1, keepdims=True)
+
+    direct = VectorStore()
+    direct.add(ids=[f"i{i}" for i in range(200)], embeddings=emb)
+    expected = [
+        direct.query(emb[i], n_results=4)["ids"][0] for i in range(32)
+    ]
+
+    monkeypatch.setenv("IMATCH_COALESCE", "1")
+    store = VectorStore()
+    store.add(ids=[f"i{i}" for i in range(200)], embeddings=emb)
+    store.query(emb[0], n_results=4)  # compile + spin up the worker
+
+    calls = []
+    orig = store._run_engine
+
+    def counting_engine(q, dc, k):
+        calls.append(int(q.shape[0]))
+        time.sleep(0.03)  # widen the window so batches actually form
+        return orig(q, dc, k)
+
+    store._run_engine = counting_engine
+    results = [None] * 32
+    errors = []
+
+    def one(i):
+        try:
+            results[i] = store.query(emb[i], n_results=4)["ids"][0]
+        except Exception as e:
+            errors.append(e)
+
+    threads = [threading.Thread(target=one, args=(i,)) for i in range(32)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join(timeout=60)
+    assert not errors, errors
+    assert results == expected
+    assert sum(calls) >= 32  # padding may inflate row counts
+    assert len(calls) < 32, f"no coalescing happened: {calls}"
+
+
+def test_coalescer_propagates_engine_errors(monkeypatch):
+    """A failing engine must raise in every waiting caller, not strand
+    futures or kill the worker for later requests."""
+    from imatch_tpu.index.store import VectorStore
+
+    rng = np.random.default_rng(13)
+    emb = rng.standard_normal((64, 16)).astype(np.float32)
+    emb /= np.linalg.norm(emb, axis=1, keepdims=True)
+    monkeypatch.setenv("IMATCH_COALESCE", "1")
+    store = VectorStore()
+    store.add(ids=[f"i{i}" for i in range(64)], embeddings=emb)
+    store.query(emb[0], n_results=3)  # healthy first
+
+    orig = store._run_engine
+    boom = RuntimeError("engine down")
+
+    def failing(q, dc, k):
+        raise boom
+
+    store._run_engine = failing
+    with pytest.raises(RuntimeError, match="engine down"):
+        store.query(emb[1], n_results=3)
+    store._run_engine = orig  # worker must still be alive afterwards
+    assert store.query(emb[2], n_results=3)["ids"][0][0] == "i2"
