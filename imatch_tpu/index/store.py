@@ -123,8 +123,18 @@ class VectorStore:
         self._dead = 0
         self._device = None  # cached (corpus jnp, valid jnp)
         self._gen = 0  # bumped on every invalidation (build-outside-lock)
-        self._coalescer = None  # lazy IMATCH_COALESCE front (see query)
-        self._coalesce_enabled: Optional[bool] = None
+        # opt-in dynamic batching front (IMATCH_COALESCE=1): concurrent
+        # single-query requests share one engine dispatch instead of
+        # pipelining N (runtime/coalesce.py). Decided at construction so
+        # the query path has no races; the worker thread itself starts
+        # lazily on first submit.
+        self._coalescer = None
+        if os.environ.get("IMATCH_COALESCE", "").lower() in (
+            "1", "true", "yes",
+        ):
+            from imatch_tpu.runtime.coalesce import QueryCoalescer
+
+            self._coalescer = QueryCoalescer(self._query_impl)
 
     # -- capacity -----------------------------------------------------------
 
@@ -569,21 +579,6 @@ class VectorStore:
                 seen.add((q.shape[0], k_c))
                 jax.device_get(self._run_engine(q, dc, k_c))
 
-    def _get_coalescer(self):
-        """Lazy opt-in dynamic batching front (IMATCH_COALESCE=1):
-        concurrent single-query requests share one engine dispatch
-        instead of pipelining N dispatches (runtime/coalesce.py)."""
-        co = self._coalescer
-        if co is None and self._coalesce_enabled is None:
-            self._coalesce_enabled = os.environ.get(
-                "IMATCH_COALESCE", ""
-            ).lower() in ("1", "true", "yes")
-            if self._coalesce_enabled:
-                from imatch_tpu.runtime.coalesce import QueryCoalescer
-
-                co = self._coalescer = QueryCoalescer(self._query_impl)
-        return co
-
     def query(
         self,
         query_embeddings: Sequence[Sequence[float]],
@@ -609,10 +604,8 @@ class VectorStore:
             q = np.asarray(query_embeddings, dtype=np.float32)
         if q.ndim == 1:
             q = q[None]
-        if q.shape[0] == 1:
-            co = self._get_coalescer()
-            if co is not None:
-                return co.submit(q, n_results, tuple(include))
+        if q.shape[0] == 1 and self._coalescer is not None:
+            return self._coalescer.submit(q, n_results, tuple(include))
         return self._query_impl(q, n_results, include)
 
     def _query_impl(
