@@ -187,9 +187,7 @@ def bench_search_coalesced(store: VectorStore, on_tpu: bool, depth: int = 8):
     singles share one engine dispatch (runtime/coalesce.py), so the
     device runs ~depth fewer programs per second for the same QPS —
     the saturated-serving operating point (throughput profile)."""
-    from imatch_tpu.runtime.coalesce import QueryCoalescer
-
-    store._coalescer = QueryCoalescer(store._query_impl)
+    store.set_coalescing(True)
     try:
         # pre-compile the Q buckets coalesced batches can land on —
         # otherwise the first batch of each size pays its XLA compile
@@ -198,7 +196,7 @@ def bench_search_coalesced(store: VectorStore, on_tpu: bool, depth: int = 8):
         store.query(store._emb[:1], n_results=10)  # spin up the worker
         return bench_search_pipelined(store, on_tpu, depth=depth)
     finally:
-        store._coalescer = None
+        store.set_coalescing(False)
 
 
 def _make_jpegs(n: int, src: int, seed: int = 1):

@@ -80,6 +80,7 @@ class VectorStore:
         persist_dir: Optional[str] = None,
         engine: Optional[str] = None,
         score_dtype=None,
+        coalesce: Optional[bool] = None,
     ):
         self.dim = dim
         self.engine = (engine or _env_engine()).lower()
@@ -123,18 +124,21 @@ class VectorStore:
         self._dead = 0
         self._device = None  # cached (corpus jnp, valid jnp)
         self._gen = 0  # bumped on every invalidation (build-outside-lock)
-        # opt-in dynamic batching front (IMATCH_COALESCE=1): concurrent
-        # single-query requests share one engine dispatch instead of
-        # pipelining N (runtime/coalesce.py). Decided at construction so
-        # the query path has no races; the worker thread itself starts
-        # lazily on first submit.
+        # opt-in dynamic batching front: concurrent single-query
+        # requests share one engine dispatch instead of pipelining N
+        # (runtime/coalesce.py). Decided at construction so the query
+        # path has no races; the worker thread starts lazily on first
+        # submit. ``coalesce=None`` reads IMATCH_COALESCE, gated to
+        # accelerator backends — batched host scoring is FLOP-bound and
+        # counterproductive (docs/DESIGN.md); pass True to force (tests,
+        # benches).
         self._coalescer = None
-        if os.environ.get("IMATCH_COALESCE", "").lower() in (
-            "1", "true", "yes",
-        ):
-            from imatch_tpu.runtime.coalesce import QueryCoalescer
-
-            self._coalescer = QueryCoalescer(self._query_impl)
+        if coalesce is None:
+            coalesce = os.environ.get("IMATCH_COALESCE", "").lower() in (
+                "1", "true", "yes", "on",
+            ) and jax.default_backend() != "cpu"
+        if coalesce:
+            self.set_coalescing(True)
 
     # -- capacity -----------------------------------------------------------
 
@@ -579,6 +583,22 @@ class VectorStore:
                 seen.add((q.shape[0], k_c))
                 jax.device_get(self._run_engine(q, dc, k_c))
 
+    def set_coalescing(self, enabled: bool):
+        """Public toggle for the dynamic-batching front (see __init__);
+        disabling stops the worker thread and releases its reference to
+        this store."""
+        if enabled and self._coalescer is None:
+            from imatch_tpu.runtime.coalesce import QueryCoalescer
+
+            self._coalescer = QueryCoalescer(self._query_impl)
+        elif not enabled and self._coalescer is not None:
+            self._coalescer.close()
+            self._coalescer = None
+
+    @property
+    def coalescing(self) -> bool:
+        return self._coalescer is not None
+
     def query(
         self,
         query_embeddings: Sequence[Sequence[float]],
@@ -590,13 +610,17 @@ class VectorStore:
         The device matmul runs OUTSIDE the store lock (the lock only
         guards the snapshot capture), so concurrent searches pipeline on
         the device instead of serializing behind one another, and writers
-        are never blocked for a full query round-trip. With
-        ``IMATCH_COALESCE=1`` concurrent single-row queries additionally
-        coalesce into one batched dispatch (runtime/coalesce.py).
+        are never blocked for a full query round-trip. With coalescing
+        enabled concurrent single-row queries additionally share one
+        batched dispatch (runtime/coalesce.py).
 
         ``query_embeddings`` may be a jax.Array still in flight (e.g.
         ClipEmbedder.embed_text_device output): the scoring matmul then
         chains onto it on device with no host materialization in between.
+
+        Metrics: ``index.query`` times each REQUEST (including any
+        coalescer queueing); ``index.dispatch`` times each engine call
+        (== one coalesced batch).
         """
         if isinstance(query_embeddings, jax.Array):
             q = query_embeddings
@@ -604,9 +628,10 @@ class VectorStore:
             q = np.asarray(query_embeddings, dtype=np.float32)
         if q.ndim == 1:
             q = q[None]
-        if q.shape[0] == 1 and self._coalescer is not None:
-            return self._coalescer.submit(q, n_results, tuple(include))
-        return self._query_impl(q, n_results, include)
+        with METRICS.timer("index.query"):
+            if q.shape[0] == 1 and self._coalescer is not None:
+                return self._coalescer.submit(q, n_results, tuple(include))
+            return self._query_impl(q, n_results, include)
 
     def _query_impl(
         self,
@@ -641,7 +666,7 @@ class VectorStore:
                 if isinstance(q, jax.Array)
                 else np.pad(q, pad)
             )
-        with METRICS.timer("index.query"), GATE.priority():
+        with METRICS.timer("index.dispatch"), GATE.priority():
             # one transfer for both outputs: each np.asarray would be its
             # own blocking host round-trip (2x the tunnel RTT).
             # GATE.priority(): bulk streams (caption decode segments,

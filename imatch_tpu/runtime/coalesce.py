@@ -13,16 +13,31 @@ module covers the ones that don't.
 Zero added latency at low load: the worker blocks on the first request
 and then drains whatever else is ALREADY queued (no timed window), so a
 lone query goes straight through and batches only form while the device
-is busy with a previous group. Opt-in via ``IMATCH_COALESCE=1`` (also
-switched on by the throughput profile, utils/profiles.py).
+is busy with a previous group. Requests wanting different (k, include)
+land in separate groups; multi-group batches dispatch their groups on
+parallel threads so mixed-limit traffic keeps the pre-coalescing
+pipelining property. Enablement is an accelerator-serving decision —
+see VectorStore (IMATCH_COALESCE / the ``coalesce`` constructor arg);
+batched host scoring is FLOP-bound and counterproductive
+(docs/DESIGN.md).
 """
 
 from __future__ import annotations
 
+import os
 import queue
 import threading
 from concurrent.futures import Future
 from typing import Callable, Sequence, Tuple
+
+_CLOSE = object()  # sentinel: worker drains and exits
+
+
+def _default_max_batch() -> int:
+    """IMATCH_COALESCE_MAX (default 16): largest coalesced batch. Kept
+    at the warmed pow2 Q-bucket range so saturated batches land on
+    pre-compiled shapes instead of jit-compiling mid-request."""
+    return int(os.environ.get("IMATCH_COALESCE_MAX", "16"))
 
 
 class QueryCoalescer:
@@ -36,11 +51,12 @@ class QueryCoalescer:
     and the same result fields.
     """
 
-    def __init__(self, direct: Callable, max_batch: int = 64):
+    def __init__(self, direct: Callable, max_batch: int | None = None):
         self._direct = direct
-        self.max_batch = max_batch
+        self.max_batch = max_batch or _default_max_batch()
         self._q: queue.SimpleQueue = queue.SimpleQueue()
         self._started = False
+        self._closed = False
         self._start_lock = threading.Lock()
 
     # -- client side ---------------------------------------------------------
@@ -48,6 +64,8 @@ class QueryCoalescer:
     def submit(self, q, n_results: int, include: Tuple[str, ...]) -> dict:
         """Block until the (1, d) query ``q`` has been answered as part
         of some batch; returns the single-row chroma-shaped dict."""
+        if self._closed:
+            raise RuntimeError("coalescer is closed")
         if not self._started:
             with self._start_lock:
                 if not self._started:
@@ -61,17 +79,33 @@ class QueryCoalescer:
         self._q.put((q, int(n_results), tuple(include), fut))
         return fut.result()
 
+    def close(self):
+        """Stop the worker (after it finishes anything already queued)
+        and reject further submits. Releases the worker's reference to
+        the owning store so a discarded store is collectable."""
+        self._closed = True
+        if self._started:
+            self._q.put(_CLOSE)
+
     # -- worker side -----------------------------------------------------------
 
     def _drain(self):
-        """First request blocking, then everything already queued."""
-        batch = [self._q.get()]
+        """First request blocking, then everything already queued.
+        Returns (batch, closing)."""
+        first = self._q.get()
+        if first is _CLOSE:
+            return [], True
+        batch, closing = [first], False
         while len(batch) < self.max_batch:
             try:
-                batch.append(self._q.get_nowait())
+                item = self._q.get_nowait()
             except queue.Empty:
                 break
-        return batch
+            if item is _CLOSE:
+                closing = True
+                break
+            batch.append(item)
+        return batch, closing
 
     @staticmethod
     def _stack(rows: Sequence):
@@ -90,23 +124,41 @@ class QueryCoalescer:
 
         return np.concatenate(list(rows), axis=0)
 
+    def _run_group(self, k: int, inc: Tuple[str, ...], members):
+        futs = [f for _, f in members]
+        try:
+            res = self._direct(
+                self._stack([q for q, _ in members]), k, inc
+            )
+            for i, fut in enumerate(futs):
+                fut.set_result({key: [val[i]] for key, val in res.items()})
+        except BaseException as e:  # propagate, never strand callers
+            for fut in futs:
+                if not fut.done():
+                    fut.set_exception(e)
+
     def _loop(self):
         while True:
-            batch = self._drain()
+            batch, closing = self._drain()
             groups: dict = {}
             for q, k, inc, fut in batch:
                 groups.setdefault((k, inc), []).append((q, fut))
-            for (k, inc), members in groups.items():
-                futs = [f for _, f in members]
-                try:
-                    res = self._direct(
-                        self._stack([q for q, _ in members]), k, inc
+            if len(groups) == 1:
+                ((k, inc), members), = groups.items()
+                self._run_group(k, inc, members)
+            elif groups:
+                # distinct (k, include) groups pipeline on device like
+                # independent requests did pre-coalescing — one thread
+                # per group rather than serializing full round-trips
+                ts = [
+                    threading.Thread(
+                        target=self._run_group, args=(k, inc, members)
                     )
-                    for i, fut in enumerate(futs):
-                        fut.set_result(
-                            {key: [val[i]] for key, val in res.items()}
-                        )
-                except BaseException as e:  # propagate, never strand callers
-                    for fut in futs:
-                        if not fut.done():
-                            fut.set_exception(e)
+                    for (k, inc), members in groups.items()
+                ]
+                for t in ts:
+                    t.start()
+                for t in ts:
+                    t.join()
+            if closing:
+                return

@@ -115,12 +115,13 @@ def _warmup(state: AppState):
             state.store.query(
                 emb.embed_texts_device(["warmup"] * 16), n_results=10
             )
-            if os.environ.get("IMATCH_COALESCE", "").lower() in (
-                "1", "true", "yes",
-            ):
-                # coalesced batches land on any pow2 Q bucket at the
-                # default limit — pre-compile them all
-                state.store.warm(n_results_list=(10,), q_counts=(2, 4, 8))
+            if getattr(state.store, "coalescing", False):
+                # pre-compile every pow2 Q bucket up to the coalescer's
+                # max batch at the default limit; non-default limits
+                # with Q>1 still compile (once, cached) on first use
+                mb = state.store._coalescer.max_batch
+                qc = [b for b in (2, 4, 8, 16, 32, 64) if b <= mb]
+                state.store.warm(n_results_list=(10,), q_counts=qc)
         logger.info("warmup done in %.1fs", time.time() - t0)
     except Exception as e:
         logger.warning("warmup failed: %s", e)

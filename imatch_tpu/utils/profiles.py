@@ -15,7 +15,11 @@ each flag.
   on.
 - ``throughput``  — bulk ingest / backfill boxes with no interactive
   readers. Monolithic decode dispatches (no segmentation overhead,
-  100% caption rate), double-size embed chunks.
+  100% caption rate), double-size embed chunks, and coalesced
+  single-query reads (any searches that do arrive share engine
+  dispatches instead of stealing N of them; the store ignores the
+  flag on CPU backends where batched scoring is FLOP-bound —
+  docs/DESIGN.md).
 - ``capacity``    — largest corpus per chip. ``auto`` engine (which
   escalates tilemax → sharded → tilemax-host by HBM budget), int8
   phase-1 scoring with fp32 rescore, int8 VLM weights + KV cache

@@ -207,10 +207,11 @@ def test_batch_queries_race_writers():
     errors = []
 
     def writer():
+        wrng = np.random.default_rng(100)  # generators are not thread-safe
         try:
             j = 0
             while not stop.is_set():
-                extra = rng.standard_normal((4, 32)).astype(np.float32)
+                extra = wrng.standard_normal((4, 32)).astype(np.float32)
                 extra /= np.linalg.norm(extra, axis=1, keepdims=True)
                 store.add(
                     ids=[f"w{j}_{k}" for k in range(4)], embeddings=extra
@@ -221,9 +222,10 @@ def test_batch_queries_race_writers():
             errors.append(("writer", e))
 
     def batch_reader():
+        rrng = np.random.default_rng(threading.get_ident() % 2**31)
         try:
             for _ in range(25):
-                q = base[rng.integers(0, 128, size=3)]
+                q = base[rrng.integers(0, 128, size=3)]
                 r = store.query(q, n_results=5)
                 assert len(r["ids"]) == 3
                 for row in r["ids"]:
@@ -245,8 +247,8 @@ def test_batch_queries_race_writers():
     assert not errors, errors
 
 
-def test_coalescer_batches_and_matches_direct(monkeypatch):
-    """IMATCH_COALESCE=1: concurrent single-row queries must (a) return
+def test_coalescer_batches_and_matches_direct():
+    """Coalescing on: concurrent single-row queries must (a) return
     exactly what the direct path returns and (b) actually share engine
     dispatches under load (fewer engine calls than requests)."""
     from imatch_tpu.index.store import VectorStore
@@ -261,8 +263,8 @@ def test_coalescer_batches_and_matches_direct(monkeypatch):
         direct.query(emb[i], n_results=4)["ids"][0] for i in range(32)
     ]
 
-    monkeypatch.setenv("IMATCH_COALESCE", "1")
-    store = VectorStore()
+    store = VectorStore(coalesce=True)
+    assert store.coalescing
     store.add(ids=[f"i{i}" for i in range(200)], embeddings=emb)
     store.query(emb[0], n_results=4)  # compile + spin up the worker
 
@@ -295,7 +297,7 @@ def test_coalescer_batches_and_matches_direct(monkeypatch):
     assert len(calls) < 32, f"no coalescing happened: {calls}"
 
 
-def test_coalescer_propagates_engine_errors(monkeypatch):
+def test_coalescer_propagates_engine_errors():
     """A failing engine must raise in every waiting caller, not strand
     futures or kill the worker for later requests."""
     from imatch_tpu.index.store import VectorStore
@@ -303,8 +305,7 @@ def test_coalescer_propagates_engine_errors(monkeypatch):
     rng = np.random.default_rng(13)
     emb = rng.standard_normal((64, 16)).astype(np.float32)
     emb /= np.linalg.norm(emb, axis=1, keepdims=True)
-    monkeypatch.setenv("IMATCH_COALESCE", "1")
-    store = VectorStore()
+    store = VectorStore(coalesce=True)
     store.add(ids=[f"i{i}" for i in range(64)], embeddings=emb)
     store.query(emb[0], n_results=3)  # healthy first
 
@@ -319,3 +320,67 @@ def test_coalescer_propagates_engine_errors(monkeypatch):
         store.query(emb[1], n_results=3)
     store._run_engine = orig  # worker must still be alive afterwards
     assert store.query(emb[2], n_results=3)["ids"][0][0] == "i2"
+
+
+def test_coalescer_gate_and_lifecycle(monkeypatch):
+    """IMATCH_COALESCE is accelerator-gated: on a CPU backend the env
+    var alone must NOT enable coalescing (batched host scoring is
+    FLOP-bound, docs/DESIGN.md), while the explicit constructor arg and
+    set_coalescing always win; close() rejects late submits."""
+    from imatch_tpu.index.store import VectorStore
+
+    monkeypatch.setenv("IMATCH_COALESCE", "1")
+    assert not VectorStore().coalescing  # tests run on the CPU backend
+    store = VectorStore(coalesce=True)
+    assert store.coalescing
+    emb = np.eye(4, dtype=np.float32)
+    store.add(ids=["a", "b", "c", "d"], embeddings=emb)
+    assert store.query(emb[1], n_results=1)["ids"][0] == ["b"]
+    store.set_coalescing(False)
+    assert not store.coalescing
+    # direct path still serves
+    assert store.query(emb[2], n_results=1)["ids"][0] == ["c"]
+
+
+def test_coalescer_mixed_limits_grouped_correctly():
+    """Requests with different n_results in one drained batch land in
+    separate (k, include) groups (dispatched in parallel) and each gets
+    results for ITS k — group splitting must never cross-wire rows."""
+    from imatch_tpu.index.store import VectorStore
+
+    rng = np.random.default_rng(17)
+    emb = rng.standard_normal((100, 16)).astype(np.float32)
+    emb /= np.linalg.norm(emb, axis=1, keepdims=True)
+    store = VectorStore(coalesce=True)
+    store.add(ids=[f"i{i}" for i in range(100)], embeddings=emb)
+    store.query(emb[0], n_results=3)  # spin up + compile one shape
+
+    orig = store._run_engine
+
+    def slow_engine(q, dc, k):
+        time.sleep(0.02)  # let mixed-k batches form
+        return orig(q, dc, k)
+
+    store._run_engine = slow_engine
+    out = {}
+    errors = []
+
+    def one(i, k):
+        try:
+            r = store.query(emb[i], n_results=k)
+            out[(i, k)] = r["ids"][0]
+        except Exception as e:
+            errors.append(e)
+
+    jobs = [(i, k) for i in range(12) for k in (3, 7)]
+    threads = [threading.Thread(target=one, args=j) for j in jobs]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join(timeout=60)
+    assert not errors, errors
+    store.set_coalescing(False)
+    for i, k in jobs:
+        row = out[(i, k)]
+        assert len(row) == k and row[0] == f"i{i}", (i, k, row)
+        assert row == store.query(emb[i], n_results=k)["ids"][0]
