@@ -113,7 +113,14 @@ def _assign_chunked(corpus, cents, *, chunk):
     return assign.reshape(-1)[: corpus.shape[0]]
 
 
-def build_ivf(
+def _coerce_corpus(corpus, valid):
+    corpus = jnp.asarray(corpus)
+    if corpus.dtype not in (jnp.float32, jnp.bfloat16):
+        corpus = corpus.astype(jnp.float32)
+    return corpus, jnp.asarray(valid, bool)
+
+
+def train_centroids(
     corpus,
     valid,
     *,
@@ -122,17 +129,14 @@ def build_ivf(
     seed: int = 0,
     sample: int = 1 << 18,
     chunk: int = 8192,
-) -> IVFIndex:
-    """Scalable k-means build: train centroids on a <=``sample``-row
-    subset (chunked Lloyd — nothing (N, C)-sized ever materializes),
-    assign all rows in a streamed argmax pass, pack member lists with
-    vectorized numpy. ``corpus`` keeps its dtype on device — pass bf16
-    for 10M-row capacity corpora whose fp32 copy exceeds HBM; the query
-    rescore upcasts to fp32 either way."""
-    corpus = jnp.asarray(corpus)
-    if corpus.dtype not in (jnp.float32, jnp.bfloat16):
-        corpus = corpus.astype(jnp.float32)
-    valid = jnp.asarray(valid, bool)
+) -> jax.Array:
+    """K-means training stage alone: (C, D) fp32 L2-normalized
+    centroids, UNPRUNED (every requested cluster present, so row
+    assignments index a stable [0, C) space that survives later
+    incremental repairs — pruning happens per-build in :func:`pack_ivf`).
+    Trains on a <=``sample``-row subset via chunked Lloyd iterations;
+    nothing (N, C)-sized ever materializes."""
+    corpus, valid = _coerce_corpus(corpus, valid)
     n = corpus.shape[0]
     # size clusters by LIVE rows, not array capacity: the store hands us
     # its capacity-padded buffer (e.g. 6 live rows in a 1024-slot
@@ -151,10 +155,35 @@ def build_ivf(
         train, tvalid = corpus[idx], valid[idx]
     else:
         train, tvalid = corpus, valid
-    cents = _kmeans_chunked(
+    return _kmeans_chunked(
         train, tvalid, key_k, n_clusters=n_clusters, iters=iters, chunk=chunk
     )
-    assign = np.asarray(_assign_chunked(corpus, cents, chunk=chunk))
+
+
+def assign_rows(rows, cents, *, chunk: int = 8192) -> np.ndarray:
+    """Nearest-centroid id per row (host int32). ``rows`` may be any
+    subset of the corpus — this is the incremental-add stage: new rows
+    join the index by one streamed argmax pass against the EXISTING
+    centroids (the FAISS IVF add discipline) instead of re-clustering
+    the corpus."""
+    rows = jnp.asarray(rows)
+    if rows.dtype not in (jnp.float32, jnp.bfloat16):
+        rows = rows.astype(jnp.float32)
+    if rows.shape[0] == 0:
+        return np.zeros((0,), np.int32)
+    # np.array (copy), not np.asarray: a numpy view of a jax buffer is
+    # read-only, and callers mutate assignment tables in place
+    return np.array(_assign_chunked(rows, cents, chunk=chunk))
+
+
+def pack_ivf(corpus, valid, cents, assign: np.ndarray) -> IVFIndex:
+    """Member-list pack: vectorized numpy scatter of live rows into a
+    (C, M) padded table, then empty-cluster prune. ``assign`` indexes
+    the UNPRUNED centroid space; the returned IVFIndex carries the
+    pruned view (probe matmul only sees clusters that can contribute)."""
+    corpus, valid = _coerce_corpus(corpus, valid)
+    cents = jnp.asarray(cents, jnp.float32)
+    n_clusters = cents.shape[0]
     ok = np.asarray(valid)
     rows = np.nonzero(ok)[0].astype(np.int64)
     a = assign[rows]
@@ -181,6 +210,39 @@ def build_ivf(
         members = members[:1]
         cents = cents[:1]
     return IVFIndex(cents, jnp.asarray(members), corpus, valid)
+
+
+def build_ivf(
+    corpus,
+    valid,
+    *,
+    n_clusters: int = 0,
+    iters: int = 10,
+    seed: int = 0,
+    sample: int = 1 << 18,
+    chunk: int = 8192,
+) -> IVFIndex:
+    """Scalable k-means build: train centroids on a <=``sample``-row
+    subset (chunked Lloyd — nothing (N, C)-sized ever materializes),
+    assign all rows in a streamed argmax pass, pack member lists with
+    vectorized numpy. ``corpus`` keeps its dtype on device — pass bf16
+    for 10M-row capacity corpora whose fp32 copy exceeds HBM; the query
+    rescore upcasts to fp32 either way.
+
+    Composition of the three stages the incremental path reuses:
+    :func:`train_centroids` + :func:`assign_rows` + :func:`pack_ivf`."""
+    corpus, valid = _coerce_corpus(corpus, valid)
+    cents = train_centroids(
+        corpus,
+        valid,
+        n_clusters=n_clusters,
+        iters=iters,
+        seed=seed,
+        sample=sample,
+        chunk=chunk,
+    )
+    assign = assign_rows(corpus, cents, chunk=chunk)
+    return pack_ivf(corpus, valid, cents, assign)
 
 
 @functools.partial(

@@ -27,6 +27,7 @@ import os
 import tempfile
 import threading
 import time
+import zipfile
 from typing import Dict, List, Optional, Sequence
 
 import jax
@@ -124,6 +125,13 @@ class VectorStore:
         self._dead = 0
         self._device = None  # cached (corpus jnp, valid jnp)
         self._gen = 0  # bumped on every invalidation (build-outside-lock)
+        # IVF host state surviving _device invalidations: trained
+        # centroids + per-slot cluster assignment (int32, -1 = not yet
+        # assigned). Lets a mutation-invalidated ivf build REPAIR the
+        # index (assign only new rows against the existing centroids —
+        # the FAISS IVF add discipline) instead of re-running k-means
+        # over the whole corpus. Lock-guarded; cents treated immutable.
+        self._ivf_host: Optional[dict] = None
         # opt-in dynamic batching front: concurrent single-query
         # requests share one engine dispatch instead of pipelining N
         # (runtime/coalesce.py). Decided at construction so the query
@@ -156,6 +164,11 @@ class VectorStore:
             emb[: self._n] = self._emb[: self._n]
             alive[: self._n] = self._alive[: self._n]
         self._emb, self._alive = emb, alive
+        if self._ivf_host is not None:
+            grown = np.full((new_cap,), -1, np.int32)
+            old = self._ivf_host["assign"]
+            grown[: old.shape[0]] = old
+            self._ivf_host["assign"] = grown
         self._device = None
         self._gen += 1
 
@@ -173,6 +186,11 @@ class VectorStore:
             self._n = len(keep)
             self._dead = 0
             self._slot = {d: i for i, d in enumerate(self._ids)}
+            if self._ivf_host is not None:
+                # rows moved: remap assignments to the compacted layout
+                remapped = np.full_like(self._ivf_host["assign"], -1)
+                remapped[: len(keep)] = self._ivf_host["assign"][keep]
+                self._ivf_host["assign"] = remapped
             self._device = None
             self._gen += 1
 
@@ -327,6 +345,10 @@ class VectorStore:
                     self._emb[slot] = np.asarray(
                         embeddings[i], dtype=np.float32
                     )
+                    if self._ivf_host is not None:
+                        # vector changed — its nearest centroid may have
+                        # too; -1 re-enters it through the repair pass
+                        self._ivf_host["assign"][slot] = -1
                     self._device = None
                     self._gen += 1
                 op = {"op": "update", "id": id_}
@@ -417,7 +439,80 @@ class VectorStore:
             return "tilemax-host"
         return eng
 
-    def _build_device(self, emb_copy: np.ndarray, alive_copy: np.ndarray):
+    def _capture_ivf(self) -> Optional[dict]:
+        """Copy of the IVF host state for an outside-lock build (caller
+        must hold the lock). ``assign`` is copied because the repair
+        pass writes into it while writers may mutate the original;
+        ``cents`` is immutable once trained."""
+        h = self._ivf_host
+        if h is None:
+            return None
+        return {
+            "cents": h["cents"],
+            "assign": h["assign"].copy(),
+            "built_live": h["built_live"],
+        }
+
+    def _build_ivf(self, emb_copy, alive_copy, snap):
+        """Single-device IVF build with incremental repair.
+
+        When host state from a previous build exists and the live set
+        has grown less than IMATCH_IVF_REBUILD_FRAC (default 0.3) since
+        the last k-means, the build only assigns rows with no cluster
+        yet (new adds, updated vectors) against the EXISTING centroids
+        and re-packs the member lists — O(new rows) device work + one
+        vectorized numpy pack instead of a full Lloyd run. Past the
+        growth threshold the clustering is considered stale (sqrt(N)
+        cluster sizing and centroid positions drift) and k-means reruns.
+
+        Returns ``(state, host_state)``."""
+        from imatch_tpu.index.ivf import (
+            assign_rows,
+            pack_ivf,
+            train_centroids,
+        )
+
+        cap = emb_copy.shape[0]
+        live = int(alive_copy.sum())
+        frac = float(os.environ.get("IMATCH_IVF_REBUILD_FRAC", "0.3"))
+        if (
+            snap is not None
+            and snap["cents"].shape[1] == emb_copy.shape[1]
+            and live <= snap["built_live"] * (1.0 + frac)
+        ):
+            assign = snap["assign"]
+            if assign.shape[0] < cap:
+                assign = np.concatenate(
+                    [assign, np.full((cap - assign.shape[0],), -1, np.int32)]
+                )
+            else:
+                assign = assign[:cap]
+            fresh = np.nonzero((assign == -1) & alive_copy)[0]
+            if fresh.size:
+                assign[fresh] = assign_rows(emb_copy[fresh], snap["cents"])
+            state = pack_ivf(emb_copy, alive_copy, snap["cents"], assign)
+            host = {
+                "cents": snap["cents"],
+                "assign": assign,
+                "built_live": snap["built_live"],
+            }
+            return state, host
+        cents = train_centroids(emb_copy, alive_copy)
+        cents_np = np.asarray(cents, np.float32)
+        assign = assign_rows(emb_copy, cents)
+        state = pack_ivf(emb_copy, alive_copy, cents_np, assign)
+        return state, {
+            "cents": cents_np,
+            "assign": assign,
+            "built_live": live,
+        }
+
+    def _build_device(
+        self,
+        emb_copy: np.ndarray,
+        alive_copy: np.ndarray,
+        ivf_snap: Optional[dict] = None,
+    ):
         """Engine-specific prepared state from COPIES of the host
         buffers (jnp.asarray can alias numpy memory, and writers mutate
         the live buffers in place — aliasing would let a concurrent
@@ -425,9 +520,12 @@ class VectorStore:
         Runs OUTSIDE the store lock: at capacity scale the prepare is
         seconds of quantization/upload and must not block writers.
 
-        Returns ``(engine_tag, state)`` — the tag records which engine
-        built the state, so auto-escalated builds dispatch correctly in
-        _run_engine even though self.engine still reads the default."""
+        Returns ``((engine_tag, state), ivf_host)`` — the tag records
+        which engine built the state, so auto-escalated builds dispatch
+        correctly in _run_engine even though self.engine still reads the
+        default; ``ivf_host`` is the updated incremental-IVF host state
+        (None for every other engine), installed by the caller under the
+        same generation check as the device state."""
         eng = self._engine_for(emb_copy)
         if eng == "tilemax-host":
             from imatch_tpu.index.search import prepare_host_rescore_corpus
@@ -435,7 +533,10 @@ class VectorStore:
             # host-side quantize: ONLY the int8 matrix crosses to HBM
             # (the fp32 corpus would not fit); the copies stay host-side
             # for the rescore
-            return eng, prepare_host_rescore_corpus(emb_copy, alive_copy)
+            return (
+                eng,
+                prepare_host_rescore_corpus(emb_copy, alive_copy),
+            ), None
         if eng == "sharded":
             from imatch_tpu.parallel.dist_search import prepare_sharded_corpus
             from imatch_tpu.parallel.mesh import make_mesh
@@ -447,9 +548,12 @@ class VectorStore:
                 if self.score_dtype == jnp.int8
                 else self.score_dtype
             )
-            return eng, prepare_sharded_corpus(
-                emb_copy, alive_copy, mesh=self._mesh, score_dtype=dtype
-            )
+            return (
+                eng,
+                prepare_sharded_corpus(
+                    emb_copy, alive_copy, mesh=self._mesh, score_dtype=dtype
+                ),
+            ), None
         emb = jnp.asarray(emb_copy)
         alive = jnp.asarray(alive_copy)
         if eng == "pallas":
@@ -460,23 +564,24 @@ class VectorStore:
                 if self.score_dtype == jnp.int8
                 else self.score_dtype
             )
-            return eng, prepare_corpus(emb, alive, score_dtype=dtype)
+            return (eng, prepare_corpus(emb, alive, score_dtype=dtype)), None
         if eng == "ivf":
-            from imatch_tpu.index.ivf import build_ivf
-
-            return eng, build_ivf(emb, alive)
+            state, host = self._build_ivf(emb_copy, alive_copy, ivf_snap)
+            return (eng, state), host
         if eng == "ivf-sharded":
             from imatch_tpu.parallel.dist_ivf import prepare_sharded_ivf
             from imatch_tpu.parallel.mesh import make_mesh
 
             if self._mesh is None:
                 self._mesh = make_mesh(model_parallel=1)
-            return eng, prepare_sharded_ivf(
-                emb_copy, alive_copy, mesh=self._mesh
-            )
-        return eng, prepare_device_corpus(
-            emb, alive, score_dtype=self.score_dtype
-        )
+            return (
+                eng,
+                prepare_sharded_ivf(emb_copy, alive_copy, mesh=self._mesh),
+            ), None
+        return (
+            eng,
+            prepare_device_corpus(emb, alive, score_dtype=self.score_dtype),
+        ), None
 
     def _device_state(self):
         """Prepared device state; caller must hold the lock. Kept for
@@ -486,9 +591,12 @@ class VectorStore:
             cap = 0 if self._emb is None else self._emb.shape[0]
             if cap == 0:
                 return None
-            self._device = self._build_device(
-                self._emb.copy(), self._alive.copy()
+            dc, ivf_host = self._build_device(
+                self._emb.copy(), self._alive.copy(), self._capture_ivf()
             )
+            self._device = dc
+            if ivf_host is not None:
+                self._ivf_host = ivf_host
         return self._device
 
     def _run_engine(self, q: np.ndarray, dc, k: int):
@@ -550,14 +658,18 @@ class VectorStore:
                     return live, None, ids_l, meta_l, docs_l
                 emb = self._emb.copy()
                 alive = self._alive.copy()
+                ivf_snap = self._capture_ivf()
         if dc is None:
-            dc = self._build_device(emb, alive)
+            dc, ivf_host = self._build_device(emb, alive, ivf_snap)
             with self._lock:
                 if self._gen == gen and self._device is None:
                     self._device = dc
+                    if ivf_host is not None:
+                        self._ivf_host = ivf_host
                 # a concurrent mutation invalidated us: dc is still
                 # consistent with the ids/meta captured above, so THIS
-                # query uses it; the next query rebuilds fresh
+                # query uses it (and the stale-gen host state is
+                # discarded); the next query rebuilds fresh
         return live, dc, ids_l, meta_l, docs_l
 
     def warm(
@@ -721,6 +833,12 @@ class VectorStore:
             # restart (per-line jsonl cost ~2.4 s per 300k records of
             # parse overhead; load() still reads legacy .jsonl)
             rec_name = f"records-{gen}.json"
+            # IVF sidecar: trained centroids + per-row assignments in
+            # SNAPSHOT order, so a restarted ivf store repairs (assign
+            # journal-replayed rows only) instead of re-running k-means
+            # over the whole corpus. Optional — load() falls back to a
+            # full build if absent or unreadable.
+            ivf_name = f"ivf-{gen}.npz" if self._ivf_host is not None else None
             tmp = tempfile.mkdtemp(dir=path, prefix=".snapshot-")
             try:
                 for name, writer in (
@@ -755,22 +873,42 @@ class VectorStore:
                     )
                     f.flush()
                     os.fsync(f.fileno())
+                if ivf_name is not None:
+                    ipath = os.path.join(tmp, ivf_name)
+                    with open(ipath, "wb") as f:
+                        np.savez(
+                            f,
+                            cents=self._ivf_host["cents"],
+                            assign=self._ivf_host["assign"][slots]
+                            if slots
+                            else np.zeros((0,), np.int32),
+                        )
+                        f.flush()
+                        os.fsync(f.fileno())
                 os.replace(
                     os.path.join(tmp, emb_name), os.path.join(path, emb_name)
                 )
                 os.replace(
                     os.path.join(tmp, rec_name), os.path.join(path, rec_name)
                 )
+                if ivf_name is not None:
+                    os.replace(
+                        os.path.join(tmp, ivf_name),
+                        os.path.join(path, ivf_name),
+                    )
                 mpath = os.path.join(tmp, "manifest.json")
+                manifest = {
+                    "dim": self.dim,
+                    "count": len(slots),
+                    "embeddings": emb_name,
+                    "records": rec_name,
+                    "generation": gen,
+                }
+                if ivf_name is not None:
+                    manifest["ivf"] = ivf_name
                 with open(mpath, "w") as f:
                     json.dump(
-                        {
-                            "dim": self.dim,
-                            "count": len(slots),
-                            "embeddings": emb_name,
-                            "records": rec_name,
-                            "generation": gen,
-                        },
+                        manifest,
                         f,
                     )
                     f.flush()
@@ -787,8 +925,8 @@ class VectorStore:
             # garbage-collect superseded generations (and legacy names)
             for f in os.listdir(path):
                 if (
-                    f.startswith(("embeddings", "records"))
-                    and f not in (emb_name, rec_name)
+                    f.startswith(("embeddings", "records", "ivf"))
+                    and f not in (emb_name, rec_name, ivf_name or "")
                 ):
                     try:
                         os.unlink(os.path.join(path, f))
@@ -829,6 +967,34 @@ class VectorStore:
                     metadatas=[r["metadata"] for r in records],
                     documents=[r["document"] for r in records],
                 )
+            ivf_file = manifest.get("ivf")
+            if ivf_file and store._emb is not None:
+                # restore the IVF sidecar BEFORE journal replay so
+                # replayed mutations are tracked as unassigned rows; a
+                # corrupt/missing sidecar must never block a restart —
+                # the next build just re-trains.
+                try:
+                    with np.load(os.path.join(path, ivf_file)) as z:
+                        cents = np.asarray(z["cents"], np.float32)
+                        assign = np.asarray(z["assign"], np.int32)
+                    if (
+                        cents.ndim == 2
+                        and cents.shape[1] == store.dim
+                        and assign.shape[0] == len(records)
+                    ):
+                        full = np.full(
+                            (store._emb.shape[0],), -1, np.int32
+                        )
+                        full[: assign.shape[0]] = assign
+                        store._ivf_host = {
+                            "cents": cents,
+                            "assign": full,
+                            "built_live": len(records),
+                        }
+                except (OSError, ValueError, KeyError, zipfile.BadZipFile):
+                    logger.warning(
+                        "ignoring unreadable IVF sidecar %s", ivf_file
+                    )
         journal = os.path.join(path, "journal.jsonl")
         replayed = 0
         if os.path.exists(journal):

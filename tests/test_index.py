@@ -525,8 +525,8 @@ def test_mutation_during_device_build_stays_consistent(monkeypatch):
     store.add(ids=["a"], embeddings=[[1.0, 0, 0, 0]])
     orig = store._build_device
 
-    def racy(emb, alive):
-        dc = orig(emb, alive)
+    def racy(emb, alive, ivf_snap=None):
+        dc = orig(emb, alive, ivf_snap)
         store.add(ids=["b"], embeddings=[[0, 1.0, 0, 0]])  # mid-build write
         return dc
 

@@ -1,0 +1,204 @@
+"""Incremental IVF: mutation-invalidated builds repair (assign new rows
+against the existing centroids — the FAISS IVF add discipline) instead
+of re-running k-means, and the trained state survives restarts via the
+snapshot sidecar. The reference's hnswlib index is incrementally
+updatable (collection.add, /root/reference/backend/app/main.py:735);
+this pins the same property for the TPU ANN tier."""
+
+import numpy as np
+import pytest
+
+import imatch_tpu.index.ivf as ivf_mod
+from imatch_tpu.index.store import VectorStore
+
+
+def norm_rows(x):
+    return x / np.linalg.norm(x, axis=-1, keepdims=True)
+
+
+@pytest.fixture
+def train_counter(monkeypatch):
+    """Counts k-means training runs; repair builds must not add any."""
+    calls = {"n": 0}
+    orig = ivf_mod.train_centroids
+
+    def counting(*a, **k):
+        calls["n"] += 1
+        return orig(*a, **k)
+
+    monkeypatch.setattr(ivf_mod, "train_centroids", counting)
+    return calls
+
+
+@pytest.fixture
+def full_probe(monkeypatch):
+    # probe every cluster -> IVF results are exact (comparable to tilemax)
+    monkeypatch.setenv("IMATCH_IVF_NPROBE", "1000000")
+
+
+def _corpus(n, d=32, seed=0):
+    rng = np.random.default_rng(seed)
+    return norm_rows(rng.standard_normal((n, d))).astype(np.float32)
+
+
+def _ids(n, base=0):
+    return [f"r{base + i:06d}" for i in range(n)]
+
+
+def assert_same_results(a, b):
+    """Cross-engine comparison: ids exact, distances to float tolerance
+    (tilemax and IVF tile their fp32 rescore einsums differently, so
+    scores agree only to the last few ulps)."""
+    assert a["ids"] == b["ids"]
+    for da, db in zip(a["distances"], b["distances"]):
+        np.testing.assert_allclose(da, db, atol=1e-5)
+
+
+def test_incremental_add_repairs_without_retraining(
+    train_counter, full_probe
+):
+    d = 32
+    emb = _corpus(576, d=d, seed=1)
+    ivf = VectorStore(dim=d, engine="ivf")
+    ref = VectorStore(dim=d, engine="tilemax")
+    for st in (ivf, ref):
+        st.add(ids=_ids(512), embeddings=emb[:512])
+    q = emb[:5]
+    assert_same_results(ivf.query(q, n_results=10), ref.query(q, n_results=10))
+    assert train_counter["n"] == 1
+    # +12.5% growth: below IMATCH_IVF_REBUILD_FRAC -> repair, not retrain
+    for st in (ivf, ref):
+        st.add(ids=_ids(64, base=512), embeddings=emb[512:])
+    assert_same_results(ivf.query(q, n_results=10), ref.query(q, n_results=10))
+    # new rows are findable (exactness above already implies it, but pin
+    # one id explicitly)
+    hit = ivf.query(emb[512:513], n_results=1)
+    assert hit["ids"][0][0] == _ids(1, base=512)[0]
+    assert train_counter["n"] == 1
+
+
+def test_growth_past_threshold_retrains(train_counter, full_probe):
+    d = 16
+    emb = _corpus(1024, d=d, seed=2)
+    ivf = VectorStore(dim=d, engine="ivf")
+    ivf.add(ids=_ids(512), embeddings=emb[:512])
+    ivf.query(emb[:1], n_results=5)
+    assert train_counter["n"] == 1
+    # 2x growth: clustering is stale -> full k-means rerun
+    ivf.add(ids=_ids(512, base=512), embeddings=emb[512:])
+    ivf.query(emb[:1], n_results=5)
+    assert train_counter["n"] == 2
+
+
+def test_update_reassigns_changed_vector(train_counter, full_probe):
+    d = 32
+    emb = _corpus(512, d=d, seed=3)
+    ivf = VectorStore(dim=d, engine="ivf")
+    ref = VectorStore(dim=d, engine="tilemax")
+    for st in (ivf, ref):
+        st.add(ids=_ids(512), embeddings=emb)
+    ivf.query(emb[:1], n_results=5)
+    assert train_counter["n"] == 1
+    new_vec = -emb[7]  # far from its old cluster
+    for st in (ivf, ref):
+        st.update(ids=[_ids(8)[7]], embeddings=[new_vec])
+    q = np.stack([new_vec, emb[3]])
+    assert_same_results(ivf.query(q, n_results=10), ref.query(q, n_results=10))
+    assert ivf.query(new_vec[None], n_results=1)["ids"][0][0] == _ids(8)[7]
+    assert train_counter["n"] == 1  # repaired, not retrained
+
+
+def test_low_probe_self_match_after_repair(train_counter):
+    """n_probe=1 finds each row via its OWN cluster — misplaced member
+    lists (a bad assignment repair) would break this where full-probe
+    exactness tests cannot see it."""
+    rng = np.random.default_rng(4)
+    centers = norm_rows(rng.standard_normal((16, 32)))
+    pts = norm_rows(
+        centers.repeat(40, axis=0)
+        + 0.05 * rng.standard_normal((640, 32))
+    ).astype(np.float32)
+    ivf = VectorStore(dim=32, engine="ivf")
+    ivf.add(ids=_ids(512), embeddings=pts[:512])
+    ivf.query(pts[:1], n_results=1)
+    ivf.add(ids=_ids(128, base=512), embeddings=pts[512:])
+    assert train_counter["n"] == 1
+    res = ivf.query(pts[500:520], n_results=1)  # spans old + new rows
+    got = [r[0] for r in res["ids"]]
+    want = _ids(640)[500:520]
+    assert got == want
+
+
+def test_compaction_remaps_assignments(train_counter, full_probe):
+    d = 16
+    n = 2048
+    emb = _corpus(n, d=d, seed=5)
+    ivf = VectorStore(dim=d, engine="ivf")
+    ref = VectorStore(dim=d, engine="tilemax")
+    all_ids = _ids(n)
+    for st in (ivf, ref):
+        st.add(ids=all_ids, embeddings=emb)
+    ivf.query(emb[:1], n_results=5)
+    assert train_counter["n"] == 1
+    # delete >half -> tombstone compaction rewrites the slot layout
+    drop = all_ids[: n // 2 + 100]
+    for st in (ivf, ref):
+        st.delete(drop)
+    q = emb[n // 2 + 100 :][:5]
+    assert_same_results(ivf.query(q, n_results=10), ref.query(q, n_results=10))
+    assert train_counter["n"] == 1  # remapped assignments still usable
+
+
+def test_ivf_sidecar_survives_restart(
+    tmp_path, train_counter, full_probe, monkeypatch
+):
+    d = 32
+    emb = _corpus(600, d=d, seed=6)
+    path = str(tmp_path / "idx")
+    st = VectorStore(dim=d, engine="ivf", persist_dir=path)
+    st.add(ids=_ids(512), embeddings=emb[:512])
+    want = st.query(emb[:4], n_results=10)
+    assert train_counter["n"] == 1
+    st.save(path)
+    # post-snapshot mutations ride the journal; the restarted store must
+    # repair them in, still without retraining
+    st.add(ids=_ids(88, base=512), embeddings=emb[512:])
+    want2 = st.query(emb[:4], n_results=10)
+
+    monkeypatch.setenv("IMATCH_INDEX_ENGINE", "ivf")
+    train_counter["n"] = 0
+    loaded = VectorStore.load(path)
+    assert loaded.engine == "ivf"
+    assert loaded._ivf_host is not None  # sidecar restored
+    assert loaded.query(emb[:4], n_results=10) == want2
+    assert train_counter["n"] == 0
+
+
+def test_corrupt_sidecar_falls_back_to_full_build(
+    tmp_path, train_counter, full_probe, monkeypatch
+):
+    d = 16
+    emb = _corpus(300, d=d, seed=7)
+    path = str(tmp_path / "idx")
+    st = VectorStore(dim=d, engine="ivf", persist_dir=path)
+    st.add(ids=_ids(300), embeddings=emb)
+    st.query(emb[:1], n_results=5)
+    st.save(path)
+    import json
+    import os
+
+    with open(os.path.join(path, "manifest.json")) as f:
+        ivf_file = json.load(f)["ivf"]
+    with open(os.path.join(path, ivf_file), "wb") as f:
+        f.write(b"not a zipfile")
+    monkeypatch.setenv("IMATCH_INDEX_ENGINE", "ivf")
+    train_counter["n"] = 0
+    loaded = VectorStore.load(path)
+    assert loaded._ivf_host is None
+    ref = VectorStore(dim=d, engine="tilemax")
+    ref.add(ids=_ids(300), embeddings=emb)
+    assert_same_results(
+        loaded.query(emb[:3], n_results=10),
+        ref.query(emb[:3], n_results=10),
+    )
+    assert train_counter["n"] == 1  # full rebuild, served fine
