@@ -176,15 +176,12 @@ def assign_rows(rows, cents, *, chunk: int = 8192) -> np.ndarray:
     return np.array(_assign_chunked(rows, cents, chunk=chunk))
 
 
-def pack_ivf(corpus, valid, cents, assign: np.ndarray) -> IVFIndex:
-    """Member-list pack: vectorized numpy scatter of live rows into a
-    (C, M) padded table, then empty-cluster prune. ``assign`` indexes
-    the UNPRUNED centroid space; the returned IVFIndex carries the
-    pruned view (probe matmul only sees clusters that can contribute)."""
-    corpus, valid = _coerce_corpus(corpus, valid)
-    cents = jnp.asarray(cents, jnp.float32)
-    n_clusters = cents.shape[0]
-    ok = np.asarray(valid)
+def pack_members(
+    assign: np.ndarray, ok: np.ndarray, n_clusters: int
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Vectorized member-list scatter: live rows into a (C, M) padded
+    int32 table. Returns (members, per-cluster counts). Shared by the
+    single-device pack and the per-shard pack in parallel/dist_ivf.py."""
     rows = np.nonzero(ok)[0].astype(np.int64)
     a = assign[rows]
     order = np.argsort(a, kind="stable")
@@ -196,6 +193,19 @@ def pack_ivf(corpus, valid, cents, assign: np.ndarray) -> IVFIndex:
     pos = np.arange(len(rows_sorted)) - np.repeat(starts, counts)
     members = np.full((n_clusters, m), -1, np.int32)
     members[a_sorted, pos] = rows_sorted
+    return members, counts
+
+
+def pack_ivf(corpus, valid, cents, assign: np.ndarray) -> IVFIndex:
+    """Member-list pack: vectorized numpy scatter of live rows into a
+    (C, M) padded table, then empty-cluster prune. ``assign`` indexes
+    the UNPRUNED centroid space; the returned IVFIndex carries the
+    pruned view (probe matmul only sees clusters that can contribute)."""
+    corpus, valid = _coerce_corpus(corpus, valid)
+    cents = jnp.asarray(cents, jnp.float32)
+    n_clusters = cents.shape[0]
+    ok = np.asarray(valid)
+    members, counts = pack_members(assign, ok, n_clusters)
     # prune empty clusters: their centroids are k-means leftovers
     # (random-init positions, dead-row artifacts) that would compete
     # for probe slots against real clusters — on a near-empty

@@ -165,10 +165,15 @@ class VectorStore:
             alive[: self._n] = self._alive[: self._n]
         self._emb, self._alive = emb, alive
         if self._ivf_host is not None:
-            grown = np.full((new_cap,), -1, np.int32)
-            old = self._ivf_host["assign"]
-            grown[: old.shape[0]] = old
-            self._ivf_host["assign"] = grown
+            if self._ivf_host.get("kind") == "ivf-sharded":
+                # capacity growth moves shard boundaries; per-shard
+                # assignments are meaningless afterwards — retrain
+                self._ivf_host = None
+            else:
+                grown = np.full((new_cap,), -1, np.int32)
+                old = self._ivf_host["assign"]
+                grown[: old.shape[0]] = old
+                self._ivf_host["assign"] = grown
         self._device = None
         self._gen += 1
 
@@ -187,10 +192,15 @@ class VectorStore:
             self._dead = 0
             self._slot = {d: i for i, d in enumerate(self._ids)}
             if self._ivf_host is not None:
-                # rows moved: remap assignments to the compacted layout
-                remapped = np.full_like(self._ivf_host["assign"], -1)
-                remapped[: len(keep)] = self._ivf_host["assign"][keep]
-                self._ivf_host["assign"] = remapped
+                if self._ivf_host.get("kind") == "ivf-sharded":
+                    # compaction moves rows across shard boundaries —
+                    # shard-local cluster ids don't transfer; retrain
+                    self._ivf_host = None
+                else:
+                    # rows moved: remap assignments to the compacted layout
+                    remapped = np.full_like(self._ivf_host["assign"], -1)
+                    remapped[: len(keep)] = self._ivf_host["assign"][keep]
+                    self._ivf_host["assign"] = remapped
             self._device = None
             self._gen += 1
 
@@ -447,11 +457,9 @@ class VectorStore:
         h = self._ivf_host
         if h is None:
             return None
-        return {
-            "cents": h["cents"],
-            "assign": h["assign"].copy(),
-            "built_live": h["built_live"],
-        }
+        snap = dict(h)
+        snap["assign"] = h["assign"].copy()
+        return snap
 
     def _build_ivf(self, emb_copy, alive_copy, snap):
         """Single-device IVF build with incremental repair.
@@ -477,6 +485,7 @@ class VectorStore:
         frac = float(os.environ.get("IMATCH_IVF_REBUILD_FRAC", "0.3"))
         if (
             snap is not None
+            and snap.get("kind", "ivf") == "ivf"
             and snap["cents"].shape[1] == emb_copy.shape[1]
             and live <= snap["built_live"] * (1.0 + frac)
         ):
@@ -492,6 +501,7 @@ class VectorStore:
                 assign[fresh] = assign_rows(emb_copy[fresh], snap["cents"])
             state = pack_ivf(emb_copy, alive_copy, snap["cents"], assign)
             host = {
+                "kind": "ivf",
                 "cents": snap["cents"],
                 "assign": assign,
                 "built_live": snap["built_live"],
@@ -502,6 +512,7 @@ class VectorStore:
         assign = assign_rows(emb_copy, cents)
         state = pack_ivf(emb_copy, alive_copy, cents_np, assign)
         return state, {
+            "kind": "ivf",
             "cents": cents_np,
             "assign": assign,
             "built_live": live,
@@ -569,15 +580,22 @@ class VectorStore:
             state, host = self._build_ivf(emb_copy, alive_copy, ivf_snap)
             return (eng, state), host
         if eng == "ivf-sharded":
-            from imatch_tpu.parallel.dist_ivf import prepare_sharded_ivf
+            from imatch_tpu.parallel.dist_ivf import (
+                prepare_sharded_ivf_incremental,
+            )
             from imatch_tpu.parallel.mesh import make_mesh
 
             if self._mesh is None:
                 self._mesh = make_mesh(model_parallel=1)
-            return (
-                eng,
-                prepare_sharded_ivf(emb_copy, alive_copy, mesh=self._mesh),
-            ), None
+            snap = (
+                ivf_snap
+                if ivf_snap and ivf_snap.get("kind") == "ivf-sharded"
+                else None
+            )
+            state, host = prepare_sharded_ivf_incremental(
+                emb_copy, alive_copy, mesh=self._mesh, snap=snap
+            )
+            return (eng, state), host
         return (
             eng,
             prepare_device_corpus(emb, alive, score_dtype=self.score_dtype),
@@ -838,7 +856,12 @@ class VectorStore:
             # journal-replayed rows only) instead of re-running k-means
             # over the whole corpus. Optional — load() falls back to a
             # full build if absent or unreadable.
-            ivf_name = f"ivf-{gen}.npz" if self._ivf_host is not None else None
+            ivf_name = (
+                f"ivf-{gen}.npz"
+                if self._ivf_host is not None
+                and self._ivf_host.get("kind") == "ivf"
+                else None
+            )
             tmp = tempfile.mkdtemp(dir=path, prefix=".snapshot-")
             try:
                 for name, writer in (
@@ -987,6 +1010,7 @@ class VectorStore:
                         )
                         full[: assign.shape[0]] = assign
                         store._ivf_host = {
+                            "kind": "ivf",
                             "cents": cents,
                             "assign": full,
                             "built_live": len(records),

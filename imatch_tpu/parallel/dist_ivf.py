@@ -32,7 +32,8 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding
 from jax.sharding import PartitionSpec as P
 
-from imatch_tpu.index.ivf import _ivf_probe_topk, build_ivf
+from imatch_tpu.index import ivf as _ivf
+from imatch_tpu.index.ivf import _ivf_probe_topk
 from imatch_tpu.parallel.mesh import AXIS_DATA
 
 
@@ -56,11 +57,43 @@ def prepare_sharded_ivf(
     n_clusters: int = 0,
     seed: int = 0,
 ) -> ShardedIVF:
-    """Row-shard the corpus and build one IVF per shard.
+    """Row-shard the corpus and build one IVF per shard (full build)."""
+    state, _ = prepare_sharded_ivf_incremental(
+        corpus, valid, mesh=mesh, n_clusters=n_clusters, seed=seed
+    )
+    return state
+
+
+def prepare_sharded_ivf_incremental(
+    corpus,
+    valid,
+    *,
+    mesh: Mesh,
+    n_clusters: int = 0,
+    seed: int = 0,
+    snap: dict = None,
+) -> Tuple[ShardedIVF, dict]:
+    """Sharded IVF build with per-shard incremental repair.
+
+    Shard boundaries are ranges of the CAPACITY-padded buffer the store
+    hands us, so they stay stable between capacity growths — which makes
+    the single-device repair trick (index/ivf.py, store._build_ivf)
+    compose per shard: when ``snap`` (the previous build's host state)
+    is structurally compatible and the live set grew less than
+    IMATCH_IVF_REBUILD_FRAC, each shard only assigns its unassigned rows
+    against its EXISTING centroids and re-packs member lists — no Lloyd
+    runs. The store drops the host state on capacity growth or
+    compaction (rows would cross shard boundaries, invalidating the
+    per-shard assignments), so those rare events retrain.
 
     Shards are padded to equal cluster count / member width so the
-    stacked arrays are rectangular; padded clusters carry an all-False
-    ``nonempty`` mask and never win probe slots."""
+    stacked arrays are rectangular; empty/padded clusters carry an
+    all-False ``nonempty`` mask and never win probe slots.
+
+    Returns ``(state, host_state)``; host_state is store-opaque and
+    round-trips through the next call's ``snap``."""
+    import os
+
     corpus = np.asarray(corpus)
     valid = np.asarray(valid, bool)
     dp = mesh.shape[AXIS_DATA]
@@ -70,29 +103,73 @@ def prepare_sharded_ivf(
         corpus = np.pad(corpus, ((0, pad), (0, 0)))
         valid = np.pad(valid, (0, pad))
     rows = corpus.shape[0] // dp
+    live = int(valid.sum())
+    frac = float(os.environ.get("IMATCH_IVF_REBUILD_FRAC", "0.3"))
 
+    repair = (
+        snap is not None
+        and snap.get("kind") == "ivf-sharded"
+        and snap.get("dp") == dp
+        and snap.get("rows") == rows
+        and snap["cents"][0].shape[1] == corpus.shape[1]
+        and live <= snap["built_live"] * (1.0 + frac)
+    )
     cents, membs, masks = [], [], []
-    for s in range(dp):
-        sl = slice(s * rows, (s + 1) * rows)
-        idx = build_ivf(
-            corpus[sl],
-            valid[sl],
-            n_clusters=n_clusters,
-            seed=seed + s,
-        )
-        cents.append(np.asarray(idx.centroids, np.float32))
-        membs.append(np.asarray(idx.members))
+    if repair:
+        assign = snap["assign"]
+        if assign.shape[0] < corpus.shape[0]:
+            assign = np.concatenate(
+                [
+                    assign,
+                    np.full((corpus.shape[0] - assign.shape[0],), -1, np.int32),
+                ]
+            )
+        else:
+            assign = assign[: corpus.shape[0]]
+        built_live = snap["built_live"]
+        cents = list(snap["cents"])
+        for s in range(dp):
+            sl = slice(s * rows, (s + 1) * rows)
+            a_s, ok_s = assign[sl], valid[sl]
+            fresh = np.nonzero((a_s == -1) & ok_s)[0]
+            if fresh.size:
+                a_s[fresh] = _ivf.assign_rows(corpus[sl][fresh], cents[s])
+            m, counts = _ivf.pack_members(a_s, ok_s, cents[s].shape[0])
+            membs.append(m)
+            masks.append(counts > 0)
+    else:
+        assign = np.full((corpus.shape[0],), -1, np.int32)
+        built_live = live
+        for s in range(dp):
+            sl = slice(s * rows, (s + 1) * rows)
+            c = np.asarray(
+                _ivf.train_centroids(
+                    corpus[sl], valid[sl], n_clusters=n_clusters, seed=seed + s
+                ),
+                np.float32,
+            )
+            a_s = _ivf.assign_rows(corpus[sl], c)
+            assign[sl] = a_s
+            m, counts = _ivf.pack_members(a_s, valid[sl], c.shape[0])
+            cents.append(c)
+            membs.append(m)
+            masks.append(counts > 0)
 
+    host = {
+        "kind": "ivf-sharded",
+        "cents": cents,
+        "assign": assign,
+        "built_live": built_live,
+        "dp": dp,
+        "rows": rows,
+    }
     c_max = max(c.shape[0] for c in cents)
     m_max = max(m.shape[1] for m in membs)
+    cents = list(cents)  # don't pad the host-state copies in place
     for s in range(dp):
         c, m = cents[s], membs[s]
-        masks.append(
-            np.pad(
-                (m >= 0).any(axis=1),
-                (0, c_max - c.shape[0]),
-                constant_values=False,
-            )
+        masks[s] = np.pad(
+            masks[s], (0, c_max - c.shape[0]), constant_values=False
         )
         cents[s] = np.pad(c, ((0, c_max - c.shape[0]), (0, 0)))
         membs[s] = np.pad(
@@ -103,7 +180,7 @@ def prepare_sharded_ivf(
 
     storage = corpus.dtype
     lead = lambda spec: NamedSharding(mesh, spec)  # noqa: E731
-    return ShardedIVF(
+    state = ShardedIVF(
         centroids=jax.device_put(
             np.stack(cents), lead(P(AXIS_DATA, None, None))
         ),
@@ -120,6 +197,7 @@ def prepare_sharded_ivf(
         nonempty=jax.device_put(np.stack(masks), lead(P(AXIS_DATA, None))),
         mesh=mesh,
     )
+    return state, host
 
 
 @functools.partial(

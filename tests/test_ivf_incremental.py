@@ -174,6 +174,65 @@ def test_ivf_sidecar_survives_restart(
     assert train_counter["n"] == 0
 
 
+def test_sharded_ivf_incremental_add(train_counter, full_probe):
+    """ivf-sharded repair: shard ranges are capacity-stable between
+    growths, so per-shard assignment of only the new rows suffices —
+    no per-shard Lloyd reruns (8 trains = 1 per virtual device)."""
+    d = 32
+    emb = _corpus(1000, d=d, seed=8)
+    ivf = VectorStore(dim=d, engine="ivf-sharded")
+    ref = VectorStore(dim=d, engine="tilemax")
+    for st in (ivf, ref):
+        st.add(ids=_ids(900), embeddings=emb[:900])
+    q = emb[:5]
+    assert_same_results(ivf.query(q, n_results=10), ref.query(q, n_results=10))
+    assert train_counter["n"] == 8  # one k-means per shard
+    # +100 rows: stays inside the 1024-slot capacity -> per-shard repair
+    for st in (ivf, ref):
+        st.add(ids=_ids(100, base=900), embeddings=emb[900:])
+    assert_same_results(ivf.query(q, n_results=10), ref.query(q, n_results=10))
+    assert ivf.query(emb[950:951], n_results=1)["ids"][0][0] == _ids(
+        1, base=950
+    )[0]
+    assert train_counter["n"] == 8  # repaired, not retrained
+
+
+def test_sharded_ivf_capacity_growth_retrains(train_counter, full_probe):
+    """Capacity doubling moves shard boundaries — the sharded host
+    state is dropped and the next build retrains every shard."""
+    d = 16
+    emb = _corpus(1300, d=d, seed=9)
+    ivf = VectorStore(dim=d, engine="ivf-sharded")
+    ref = VectorStore(dim=d, engine="tilemax")
+    for st in (ivf, ref):
+        st.add(ids=_ids(1000), embeddings=emb[:1000])
+    ivf.query(emb[:1], n_results=5)
+    assert train_counter["n"] == 8
+    for st in (ivf, ref):  # 1000 -> 1300 rows: capacity 1024 -> 2048
+        st.add(ids=_ids(300, base=1000), embeddings=emb[1000:])
+    q = emb[:5]
+    assert_same_results(ivf.query(q, n_results=10), ref.query(q, n_results=10))
+    assert train_counter["n"] == 16
+
+
+def test_sharded_ivf_update_and_delete_repair(train_counter, full_probe):
+    d = 32
+    emb = _corpus(900, d=d, seed=10)
+    ivf = VectorStore(dim=d, engine="ivf-sharded")
+    ref = VectorStore(dim=d, engine="tilemax")
+    for st in (ivf, ref):
+        st.add(ids=_ids(900), embeddings=emb)
+    ivf.query(emb[:1], n_results=5)
+    assert train_counter["n"] == 8
+    new_vec = -emb[11]
+    for st in (ivf, ref):
+        st.update(ids=[_ids(12)[11]], embeddings=[new_vec])
+        st.delete([_ids(3)[2]])  # small delete: no compaction
+    q = np.stack([new_vec, emb[5]])
+    assert_same_results(ivf.query(q, n_results=10), ref.query(q, n_results=10))
+    assert train_counter["n"] == 8
+
+
 def test_corrupt_sidecar_falls_back_to_full_build(
     tmp_path, train_counter, full_probe, monkeypatch
 ):
