@@ -20,6 +20,7 @@ import logging
 import os
 import threading
 import time
+from collections import OrderedDict
 from typing import Optional, Sequence
 
 import jax
@@ -80,6 +81,15 @@ class ClipEmbedder:
         self.compute_dtype = compute_dtype
         self.tokenizer = default_tokenizer()
         self._lock = threading.Lock()
+        # Query-embedding LRU: repeated text queries skip the tokenizer
+        # and the text tower entirely and reuse the device-resident
+        # (proj,) vector (~3 KB/entry; embeddings are deterministic per
+        # text for fixed params, and jax arrays are immutable so one
+        # buffer can feed concurrent queries). The reference re-embeds
+        # every request (/root/reference/utils.py:83-100). Capacity
+        # IMATCH_TEXT_CACHE entries, default 1024; 0 disables.
+        self._text_cache_cap = int(os.environ.get("IMATCH_TEXT_CACHE", "1024"))
+        self._text_cache: "OrderedDict[str, jax.Array]" = OrderedDict()
 
         cfg = self.cfg
         dt = self.compute_dtype
@@ -247,8 +257,26 @@ class ClipEmbedder:
         materializing to host. Feeding this straight into
         VectorStore.query chains the text tower and the index matmul on
         device — the whole text-search request then pays exactly one
-        blocking device->host transfer (the top-k result) instead of two."""
-        return self._embed_tokens(self._tokenize([text]))[0]
+        blocking device->host transfer (the top-k result) instead of two.
+
+        Repeated query texts are served from the embedder's LRU (see
+        __init__): a cache hit costs no dispatch at all, so a hot query
+        pays only the index round-trip."""
+        if self._text_cache_cap > 0:
+            with self._lock:
+                emb = self._text_cache.get(text)
+                if emb is not None:
+                    self._text_cache.move_to_end(text)
+                    METRICS.inc("embed.text_cache_hit")
+                    return emb
+        emb = self._embed_tokens(self._tokenize([text]))[0]
+        if self._text_cache_cap > 0:
+            with self._lock:
+                self._text_cache[text] = emb
+                self._text_cache.move_to_end(text)
+                while len(self._text_cache) > self._text_cache_cap:
+                    self._text_cache.popitem(last=False)
+        return emb
 
     def embed_texts_device(self, texts: Sequence[str]) -> jax.Array:
         """Batch variant of embed_text_device: (Q, proj) embeddings left

@@ -436,3 +436,46 @@ def test_process_batch_survives_midstream_failure(tmp_path, monkeypatch):
         assert os.path.exists(
             os.path.join(state.processed_dir, f"{r['id']}.png")
         )
+
+
+def test_text_query_embedding_cache(monkeypatch):
+    """Repeated query texts are served from the embedder LRU — no
+    second tokenizer/tower dispatch — and cached results are identical
+    to fresh embeds. Eviction respects IMATCH_TEXT_CACHE."""
+    e = ClipEmbedder(config=TINY)
+    calls = {"n": 0}
+    orig = e._embed_tokens
+
+    def counting(tokens):
+        calls["n"] += 1
+        return orig(tokens)
+
+    e._embed_tokens = counting
+    a = np.asarray(e.embed_text_device("a red drill"))
+    b = np.asarray(e.embed_text_device("a red drill"))
+    np.testing.assert_array_equal(a, b)
+    assert calls["n"] == 1  # second call was a cache hit
+    fresh = np.asarray(e.embed_texts(["a red drill"])[0])
+    np.testing.assert_allclose(a, fresh, atol=1e-6)
+
+    # capacity 2: third distinct text evicts the oldest
+    monkeypatch.setenv("IMATCH_TEXT_CACHE", "2")
+    e2 = ClipEmbedder(config=TINY)
+    e2._embed_tokens = counting
+    calls["n"] = 0
+    for t in ("q1", "q2", "q3"):
+        e2.embed_text_device(t)
+    assert calls["n"] == 3
+    e2.embed_text_device("q3")  # hit
+    assert calls["n"] == 3
+    e2.embed_text_device("q1")  # evicted -> re-embeds
+    assert calls["n"] == 4
+
+    # 0 disables caching entirely
+    monkeypatch.setenv("IMATCH_TEXT_CACHE", "0")
+    e3 = ClipEmbedder(config=TINY)
+    e3._embed_tokens = counting
+    calls["n"] = 0
+    e3.embed_text_device("same")
+    e3.embed_text_device("same")
+    assert calls["n"] == 2
