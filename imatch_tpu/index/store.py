@@ -856,10 +856,19 @@ class VectorStore:
             # journal-replayed rows only) instead of re-running k-means
             # over the whole corpus. Optional — load() falls back to a
             # full build if absent or unreadable.
+            # Sharded assignments are position-dependent (shard = slot
+            # // rows), so the sharded sidecar is only valid when the
+            # snapshot preserves slot positions — i.e. no tombstones.
+            # The single-device kind is layout-independent (assignments
+            # travel with their row).
+            h = self._ivf_host
             ivf_name = (
                 f"ivf-{gen}.npz"
-                if self._ivf_host is not None
-                and self._ivf_host.get("kind") == "ivf"
+                if h is not None
+                and (
+                    h.get("kind") == "ivf"
+                    or (h.get("kind") == "ivf-sharded" and self._dead == 0)
+                )
                 else None
             )
             tmp = tempfile.mkdtemp(dir=path, prefix=".snapshot-")
@@ -898,14 +907,28 @@ class VectorStore:
                     os.fsync(f.fileno())
                 if ivf_name is not None:
                     ipath = os.path.join(tmp, ivf_name)
+                    assign_slots = (
+                        self._ivf_host["assign"][slots]
+                        if slots
+                        else np.zeros((0,), np.int32)
+                    )
+                    if self._ivf_host.get("kind") == "ivf-sharded":
+                        payload = {
+                            "kind": np.str_("ivf-sharded"),
+                            "assign": assign_slots,
+                            "dp": np.int64(self._ivf_host["dp"]),
+                            "rows": np.int64(self._ivf_host["rows"]),
+                        }
+                        for si, c in enumerate(self._ivf_host["cents"]):
+                            payload[f"cents_{si}"] = c
+                    else:
+                        payload = {
+                            "kind": np.str_("ivf"),
+                            "cents": self._ivf_host["cents"],
+                            "assign": assign_slots,
+                        }
                     with open(ipath, "wb") as f:
-                        np.savez(
-                            f,
-                            cents=self._ivf_host["cents"],
-                            assign=self._ivf_host["assign"][slots]
-                            if slots
-                            else np.zeros((0,), np.int32),
-                        )
+                        np.savez(f, **payload)
                         f.flush()
                         os.fsync(f.fileno())
                 os.replace(
@@ -998,22 +1021,44 @@ class VectorStore:
                 # the next build just re-trains.
                 try:
                     with np.load(os.path.join(path, ivf_file)) as z:
-                        cents = np.asarray(z["cents"], np.float32)
+                        kind = str(z["kind"]) if "kind" in z else "ivf"
                         assign = np.asarray(z["assign"], np.int32)
-                    if (
-                        cents.ndim == 2
-                        and cents.shape[1] == store.dim
-                        and assign.shape[0] == len(records)
-                    ):
+                        if kind == "ivf-sharded":
+                            cents = [
+                                np.asarray(z[f"cents_{si}"], np.float32)
+                                for si in range(int(z["dp"]))
+                            ]
+                            extra = {
+                                "dp": int(z["dp"]),
+                                "rows": int(z["rows"]),
+                            }
+                            dim_ok = all(
+                                c.ndim == 2 and c.shape[1] == store.dim
+                                for c in cents
+                            )
+                        else:
+                            cents = np.asarray(z["cents"], np.float32)
+                            extra = {}
+                            dim_ok = (
+                                cents.ndim == 2
+                                and cents.shape[1] == store.dim
+                            )
+                    if dim_ok and assign.shape[0] == len(records):
                         full = np.full(
                             (store._emb.shape[0],), -1, np.int32
                         )
                         full[: assign.shape[0]] = assign
+                        # for the sharded kind, the build-time structural
+                        # check (dp/rows vs the current mesh and capacity,
+                        # dist_ivf.prepare_sharded_ivf_incremental) decides
+                        # whether this state is reusable; a mismatch just
+                        # retrains
                         store._ivf_host = {
-                            "kind": "ivf",
+                            "kind": kind,
                             "cents": cents,
                             "assign": full,
                             "built_live": len(records),
+                            **extra,
                         }
                 except (OSError, ValueError, KeyError, zipfile.BadZipFile):
                     logger.warning(

@@ -261,3 +261,63 @@ def test_corrupt_sidecar_falls_back_to_full_build(
         ref.query(emb[:3], n_results=10),
     )
     assert train_counter["n"] == 1  # full rebuild, served fine
+
+
+def test_sharded_sidecar_survives_restart(
+    tmp_path, train_counter, full_probe, monkeypatch
+):
+    """Bulk-ingest -> save -> restart on the same mesh: every shard's
+    trained state restores from the sidecar, journal-replayed rows
+    repair in, zero k-means runs."""
+    d = 32
+    emb = _corpus(700, d=d, seed=11)
+    path = str(tmp_path / "idx")
+    st = VectorStore(dim=d, engine="ivf-sharded", persist_dir=path)
+    st.add(ids=_ids(600), embeddings=emb[:600])
+    st.query(emb[:1], n_results=5)
+    assert train_counter["n"] == 8
+    st.save(path)
+    st.add(ids=_ids(100, base=600), embeddings=emb[600:])  # journaled
+    want = st.query(emb[:4], n_results=10)
+
+    monkeypatch.setenv("IMATCH_INDEX_ENGINE", "ivf-sharded")
+    train_counter["n"] = 0
+    loaded = VectorStore.load(path)
+    assert loaded._ivf_host is not None
+    assert loaded._ivf_host["kind"] == "ivf-sharded"
+    assert loaded.query(emb[:4], n_results=10) == want
+    assert train_counter["n"] == 0
+
+
+def test_sharded_sidecar_skipped_with_tombstones(
+    tmp_path, train_counter, full_probe, monkeypatch
+):
+    """Tombstones shift slot positions in the snapshot, which would
+    invalidate shard-local assignments — the sidecar must not be
+    written, and the restart retrains (correctly)."""
+    d = 16
+    emb = _corpus(400, d=d, seed=12)
+    path = str(tmp_path / "idx")
+    st = VectorStore(dim=d, engine="ivf-sharded", persist_dir=path)
+    st.add(ids=_ids(400), embeddings=emb)
+    st.query(emb[:1], n_results=5)
+    st.delete([_ids(1)[0]])  # one tombstone, no compaction
+    st.query(emb[:1], n_results=5)
+    st.save(path)
+    import json
+    import os
+
+    with open(os.path.join(path, "manifest.json")) as f:
+        assert "ivf" not in json.load(f)
+    monkeypatch.setenv("IMATCH_INDEX_ENGINE", "ivf-sharded")
+    train_counter["n"] = 0
+    loaded = VectorStore.load(path)
+    ref = VectorStore(dim=d, engine="tilemax")
+    alive = [i for i in _ids(400) if i != _ids(1)[0]]
+    got = loaded.query(emb[:3], n_results=10)
+    ref.add(
+        ids=alive,
+        embeddings=np.concatenate([emb[1:]], axis=0),
+    )
+    assert_same_results(got, ref.query(emb[:3], n_results=10))
+    assert train_counter["n"] == 8  # full per-shard retrain
