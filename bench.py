@@ -41,6 +41,44 @@ os.environ.setdefault("IMATCH_CAPTIONER", "null")
 os.environ.setdefault("IMATCH_JOURNAL_FSYNC", "0")
 
 import jax
+
+
+def _accelerator_alive(timeout_s: float) -> bool:
+    """Probe the accelerator in a SUBPROCESS with a hard timeout. The
+    axon tunnel has had multi-hour outages during which backend init
+    hangs forever in-process (no exception to catch) — a bench that
+    hangs is worse than a CPU-fallback bench. Must run BEFORE anything
+    creates a jnp value: even importing imatch_tpu modules materializes
+    module-level constants, which initializes the backend. The probe
+    exits cleanly on success so it never wedges the single-client
+    tunnel lease."""
+    import subprocess
+    import sys
+
+    try:
+        r = subprocess.run(
+            [sys.executable, "-c", "import jax; jax.devices()"],
+            timeout=timeout_s,
+            capture_output=True,
+        )
+        return r.returncode == 0
+    except subprocess.TimeoutExpired:
+        return False
+
+
+_PROBE_S = float(os.environ.get("IMATCH_BENCH_PROBE_TIMEOUT", "120"))
+if not _accelerator_alive(_PROBE_S):
+    import sys
+
+    print(
+        f"[bench] accelerator probe failed within {_PROBE_S:.0f}s "
+        "(tunnel down?) — falling back to CPU so the bench still "
+        "reports a line",
+        file=sys.stderr,
+        flush=True,
+    )
+    jax.config.update("jax_platforms", "cpu")
+
 import jax.numpy as jnp
 import numpy as np
 
