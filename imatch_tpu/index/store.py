@@ -132,6 +132,7 @@ class VectorStore:
         # the FAISS IVF add discipline) instead of re-running k-means
         # over the whole corpus. Lock-guarded; cents treated immutable.
         self._ivf_host: Optional[dict] = None
+        self._last_build: Optional[dict] = None  # stats(): engine/seconds
         # opt-in dynamic batching front: concurrent single-query
         # requests share one engine dispatch instead of pipelining N
         # (runtime/coalesce.py). Decided at construction so the query
@@ -386,6 +387,44 @@ class VectorStore:
         with self._lock:
             return self._n - self._dead
 
+    def stats(self) -> dict:
+        """Operational snapshot for /api/metrics: engine + occupancy +
+        ANN-tier state (cluster count, live rows at last training, and
+        whether the last build repaired or retrained) + last build
+        timing. No reference equivalent — chroma exposes nothing."""
+        with self._lock:
+            cap = 0 if self._emb is None else self._emb.shape[0]
+            out = {
+                "engine": self.engine,
+                "dim": self.dim,
+                "live": self._n - self._dead,
+                "slots": self._n,
+                "tombstones": self._dead,
+                "capacity": cap,
+                "score_dtype": jnp.dtype(self.score_dtype).name,
+                "coalescing": self._coalescer is not None,
+                "device_ready": self._device is not None,
+                "journal_ops": self._journal_len,
+            }
+            h = self._ivf_host
+            if h is not None:
+                cents = h["cents"]
+                n_clusters = (
+                    sum(int(c.shape[0]) for c in cents)
+                    if isinstance(cents, list)
+                    else int(cents.shape[0])
+                )
+                out["ivf"] = {
+                    "kind": h["kind"],
+                    "clusters": n_clusters,
+                    "built_live": int(h["built_live"]),
+                    "last_mode": h.get("last_mode"),
+                }
+            lb = self._last_build
+            if lb is not None:
+                out["last_build"] = dict(lb)
+        return out
+
     # -- search -------------------------------------------------------------
 
     def _engine_for(self, emb_copy: np.ndarray) -> str:
@@ -505,6 +544,7 @@ class VectorStore:
                 "cents": snap["cents"],
                 "assign": assign,
                 "built_live": snap["built_live"],
+                "last_mode": "repair",
             }
             return state, host
         cents = train_centroids(emb_copy, alive_copy)
@@ -516,6 +556,7 @@ class VectorStore:
             "cents": cents_np,
             "assign": assign,
             "built_live": live,
+            "last_mode": "train",
         }
 
     def _build_device(
@@ -537,6 +578,23 @@ class VectorStore:
         default; ``ivf_host`` is the updated incremental-IVF host state
         (None for every other engine), installed by the caller under the
         same generation check as the device state."""
+        t0 = time.perf_counter()
+        try:
+            return self._build_device_inner(emb_copy, alive_copy, ivf_snap)
+        finally:
+            # info-only, races just yield slightly stale stats()
+            self._last_build = {
+                "engine": self.engine,
+                "seconds": round(time.perf_counter() - t0, 3),
+                "rows": int(emb_copy.shape[0]),
+            }
+
+    def _build_device_inner(
+        self,
+        emb_copy: np.ndarray,
+        alive_copy: np.ndarray,
+        ivf_snap: Optional[dict] = None,
+    ):
         eng = self._engine_for(emb_copy)
         if eng == "tilemax-host":
             from imatch_tpu.index.search import prepare_host_rescore_corpus

@@ -162,6 +162,7 @@ def prepare_sharded_ivf_incremental(
         "built_live": built_live,
         "dp": dp,
         "rows": rows,
+        "last_mode": "repair" if repair else "train",
     }
     c_max = max(c.shape[0] for c in cents)
     m_max = max(m.shape[1] for m in membs)

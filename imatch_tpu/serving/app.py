@@ -623,6 +623,7 @@ def create_app(state: Optional[AppState] = None, root: str = ".") -> App:
 
         snap = METRICS.snapshot()
         snap["index_count"] = state.store.count()
+        snap["index"] = state.store.stats()
         return snap
 
     @app.post("/api/profile/start")

@@ -406,6 +406,12 @@ def test_metrics_and_profiler_endpoints(client):
     assert "timings" in m and "embed.text" in m["timings"]
     assert m["timings"]["embed.text"]["count"] >= 1
     assert "index_count" in m
+    # operational index snapshot (store.stats)
+    assert m["index"]["engine"] in (
+        "tilemax", "sharded", "pallas", "ivf", "ivf-sharded", "tilemax-host"
+    )
+    assert m["index"]["live"] == m["index_count"]
+    assert "score_dtype" in m["index"]
 
     # profiler start/stop lifecycle (CPU backend traces fine)
     import tempfile

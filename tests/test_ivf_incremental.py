@@ -321,3 +321,21 @@ def test_sharded_sidecar_skipped_with_tombstones(
     )
     assert_same_results(got, ref.query(emb[:3], n_results=10))
     assert train_counter["n"] == 8  # full per-shard retrain
+
+
+def test_stats_reports_ivf_state(train_counter, full_probe):
+    d = 16
+    emb = _corpus(600, d=d, seed=13)
+    st = VectorStore(dim=d, engine="ivf")
+    st.add(ids=_ids(512), embeddings=emb[:512])
+    st.query(emb[:1], n_results=5)
+    s = st.stats()
+    assert s["engine"] == "ivf" and s["live"] == 512
+    assert s["ivf"]["kind"] == "ivf" and s["ivf"]["last_mode"] == "train"
+    assert s["ivf"]["built_live"] == 512 and s["ivf"]["clusters"] >= 1
+    assert s["last_build"]["seconds"] >= 0
+    st.add(ids=_ids(88, base=512), embeddings=emb[512:])
+    st.query(emb[:1], n_results=5)
+    s = st.stats()
+    assert s["ivf"]["last_mode"] == "repair"
+    assert s["live"] == 600 and s["ivf"]["built_live"] == 512
