@@ -535,10 +535,23 @@ class VectorStore:
                 )
             else:
                 assign = assign[:cap]
+            assign[~alive_copy] = -1  # dead slots: reused slots must repair
             fresh = np.nonzero((assign == -1) & alive_copy)[0]
             if fresh.size:
                 assign[fresh] = assign_rows(emb_copy[fresh], snap["cents"])
-            state = pack_ivf(emb_copy, alive_copy, snap["cents"], assign)
+            try:
+                state = pack_ivf(
+                    emb_copy, alive_copy, snap["cents"], assign
+                )
+            except (IndexError, ValueError) as e:
+                # semantically-corrupt host state (e.g. a bad sidecar
+                # that passed the load-time shape checks) must degrade
+                # to a retrain, never poison the serving path
+                logger.warning(
+                    "IVF repair failed (%s) — retraining from scratch", e
+                )
+                snap = None
+                return self._build_ivf(emb_copy, alive_copy, None)
             host = {
                 "kind": "ivf",
                 "cents": snap["cents"],
@@ -550,6 +563,12 @@ class VectorStore:
         cents = train_centroids(emb_copy, alive_copy)
         cents_np = np.asarray(cents, np.float32)
         assign = assign_rows(emb_copy, cents)
+        # the streamed argmax assigns EVERY capacity slot — dead and
+        # padding rows (zero vectors) land in some arbitrary cluster.
+        # Stamp them unassigned, or rows added into those slots later
+        # would be treated as already-placed by the repair pass and
+        # packed into the wrong member list (invisible at low n_probe).
+        assign[~alive_copy] = -1
         state = pack_ivf(emb_copy, alive_copy, cents_np, assign)
         return state, {
             "kind": "ivf",
@@ -579,15 +598,17 @@ class VectorStore:
         (None for every other engine), installed by the caller under the
         same generation check as the device state."""
         t0 = time.perf_counter()
-        try:
-            return self._build_device_inner(emb_copy, alive_copy, ivf_snap)
-        finally:
-            # info-only, races just yield slightly stale stats()
-            self._last_build = {
-                "engine": self.engine,
-                "seconds": round(time.perf_counter() - t0, 3),
-                "rows": int(emb_copy.shape[0]),
-            }
+        dc, ivf_host = self._build_device_inner(
+            emb_copy, alive_copy, ivf_snap
+        )
+        # info-only write, races just yield slightly stale stats();
+        # dc[0] is the EFFECTIVE tag (auto may have escalated)
+        self._last_build = {
+            "engine": dc[0],
+            "seconds": round(time.perf_counter() - t0, 3),
+            "rows": int(emb_copy.shape[0]),
+        }
+        return dc, ivf_host
 
     def _build_device_inner(
         self,
@@ -985,6 +1006,12 @@ class VectorStore:
                             "cents": self._ivf_host["cents"],
                             "assign": assign_slots,
                         }
+                    # live rows at the LAST K-MEANS, not snapshot count:
+                    # restoring the snapshot count would ratchet the
+                    # retrain baseline upward across save/restart cycles
+                    payload["built_live"] = np.int64(
+                        self._ivf_host["built_live"]
+                    )
                     with open(ipath, "wb") as f:
                         np.savez(f, **payload)
                         f.flush()
@@ -1081,6 +1108,11 @@ class VectorStore:
                     with np.load(os.path.join(path, ivf_file)) as z:
                         kind = str(z["kind"]) if "kind" in z else "ivf"
                         assign = np.asarray(z["assign"], np.int32)
+                        built_live = (
+                            int(z["built_live"])
+                            if "built_live" in z
+                            else len(records)
+                        )
                         if kind == "ivf-sharded":
                             cents = [
                                 np.asarray(z[f"cents_{si}"], np.float32)
@@ -1101,7 +1133,17 @@ class VectorStore:
                                 cents.ndim == 2
                                 and cents.shape[1] == store.dim
                             )
-                    if dim_ok and assign.shape[0] == len(records):
+                        max_c = (
+                            max((c.shape[0] for c in cents), default=0)
+                            if kind == "ivf-sharded"
+                            else cents.shape[0]
+                        )
+                        range_ok = bool(
+                            np.all(assign >= -1) and np.all(assign < max_c)
+                        ) if assign.size else True
+                    if dim_ok and range_ok and (
+                        assign.shape[0] == len(records)
+                    ):
                         full = np.full(
                             (store._emb.shape[0],), -1, np.int32
                         )
@@ -1110,12 +1152,14 @@ class VectorStore:
                         # check (dp/rows vs the current mesh and capacity,
                         # dist_ivf.prepare_sharded_ivf_incremental) decides
                         # whether this state is reusable; a mismatch just
-                        # retrains
+                        # retrains. built_live restores the live count at
+                        # the last k-means (legacy sidecars fall back to
+                        # the snapshot count).
                         store._ivf_host = {
                             "kind": kind,
                             "cents": cents,
                             "assign": full,
-                            "built_live": len(records),
+                            "built_live": built_live,
                             **extra,
                         }
                 except (OSError, ValueError, KeyError, zipfile.BadZipFile):

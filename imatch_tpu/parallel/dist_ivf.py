@@ -125,19 +125,32 @@ def prepare_sharded_ivf_incremental(
                 ]
             )
         else:
-            assign = assign[: corpus.shape[0]]
+            # copy, not a view: the per-shard repair writes in place and
+            # callers own their snap dict (the store passes a private
+            # copy, but this is public API)
+            assign = assign[: corpus.shape[0]].copy()
+        assign[~valid] = -1  # dead slots: reused slots must repair
         built_live = snap["built_live"]
         cents = list(snap["cents"])
-        for s in range(dp):
-            sl = slice(s * rows, (s + 1) * rows)
-            a_s, ok_s = assign[sl], valid[sl]
-            fresh = np.nonzero((a_s == -1) & ok_s)[0]
-            if fresh.size:
-                a_s[fresh] = _ivf.assign_rows(corpus[sl][fresh], cents[s])
-            m, counts = _ivf.pack_members(a_s, ok_s, cents[s].shape[0])
-            membs.append(m)
-            masks.append(counts > 0)
-    else:
+        try:
+            for s in range(dp):
+                sl = slice(s * rows, (s + 1) * rows)
+                a_s, ok_s = assign[sl], valid[sl]
+                fresh = np.nonzero((a_s == -1) & ok_s)[0]
+                if fresh.size:
+                    a_s[fresh] = _ivf.assign_rows(
+                        corpus[sl][fresh], cents[s]
+                    )
+                m, counts = _ivf.pack_members(a_s, ok_s, cents[s].shape[0])
+                membs.append(m)
+                masks.append(counts > 0)
+        except (IndexError, ValueError):
+            # semantically-corrupt host state (e.g. a bad sidecar whose
+            # assignments exceed a shard's cluster count) degrades to a
+            # full per-shard retrain, never a poisoned serving path
+            repair = False
+            cents, membs, masks = [], [], []
+    if not repair:
         assign = np.full((corpus.shape[0],), -1, np.int32)
         built_live = live
         for s in range(dp):
@@ -154,6 +167,11 @@ def prepare_sharded_ivf_incremental(
             cents.append(c)
             membs.append(m)
             masks.append(counts > 0)
+        # the streamed argmax assigned EVERY slot — dead/padding rows
+        # (zero vectors) landed in an arbitrary cluster; stamp them
+        # unassigned so rows added into those slots later get repaired
+        # into their true nearest cluster
+        assign[~valid] = -1
 
     host = {
         "kind": "ivf-sharded",

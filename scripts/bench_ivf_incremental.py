@@ -32,7 +32,10 @@ os.environ.setdefault("IMATCH_WARMUP", "0")
 import jax
 
 
-def _accelerator_alive(timeout_s: float = 120.0) -> bool:
+def _accelerator_alive(timeout_s: float = None) -> bool:
+    # kept in sync with bench.py's probe; honors the same env knob
+    if timeout_s is None:
+        timeout_s = float(os.environ.get("IMATCH_BENCH_PROBE_TIMEOUT", "120"))
     try:
         r = subprocess.run(
             [sys.executable, "-c", "import jax; jax.devices()"],

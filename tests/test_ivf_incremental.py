@@ -108,10 +108,15 @@ def test_update_reassigns_changed_vector(train_counter, full_probe):
     assert train_counter["n"] == 1  # repaired, not retrained
 
 
-def test_low_probe_self_match_after_repair(train_counter):
+def test_low_probe_self_match_after_repair(train_counter, monkeypatch):
     """n_probe=1 finds each row via its OWN cluster — misplaced member
     lists (a bad assignment repair) would break this where full-probe
-    exactness tests cannot see it."""
+    exactness tests cannot see it. Regression: the train pass assigns
+    EVERY capacity slot (dead/padding rows included), and before the
+    fix those stale assignments made the repair pass skip post-train
+    adds, packing all of them into cluster 0 (127/128 self-match misses
+    at n_probe=1)."""
+    monkeypatch.setenv("IMATCH_IVF_NPROBE", "1")
     rng = np.random.default_rng(4)
     centers = norm_rows(rng.standard_normal((16, 32)))
     pts = norm_rows(
@@ -123,10 +128,34 @@ def test_low_probe_self_match_after_repair(train_counter):
     ivf.query(pts[:1], n_results=1)
     ivf.add(ids=_ids(128, base=512), embeddings=pts[512:])
     assert train_counter["n"] == 1
-    res = ivf.query(pts[500:520], n_results=1)  # spans old + new rows
+    res = ivf.query(pts, n_results=1)  # EVERY row, old and new
     got = [r[0] for r in res["ids"]]
-    want = _ids(640)[500:520]
-    assert got == want
+    assert got == _ids(640)
+    assert train_counter["n"] == 1  # still the repair path
+
+
+def test_sharded_low_probe_self_match_after_repair(
+    train_counter, monkeypatch
+):
+    """Sharded variant of the regression above: rows added into a
+    partially-filled shard must be repaired into their true nearest
+    cluster, not inherit the dead slot's stale assignment."""
+    monkeypatch.setenv("IMATCH_IVF_NPROBE", "1")
+    rng = np.random.default_rng(5)
+    centers = norm_rows(rng.standard_normal((12, 32)))
+    pts = norm_rows(
+        centers.repeat(50, axis=0)
+        + 0.05 * rng.standard_normal((600, 32))
+    ).astype(np.float32)
+    ivf = VectorStore(dim=32, engine="ivf-sharded")
+    ivf.add(ids=_ids(480), embeddings=pts[:480])  # shards partially live
+    ivf.query(pts[:1], n_results=1)
+    assert train_counter["n"] == 8
+    ivf.add(ids=_ids(120, base=480), embeddings=pts[480:])
+    res = ivf.query(pts, n_results=1)
+    got = [r[0] for r in res["ids"]]
+    assert got == _ids(600)
+    assert train_counter["n"] == 8  # repaired, not retrained
 
 
 def test_compaction_remaps_assignments(train_counter, full_probe):
@@ -339,3 +368,68 @@ def test_stats_reports_ivf_state(train_counter, full_probe):
     s = st.stats()
     assert s["ivf"]["last_mode"] == "repair"
     assert s["live"] == 600 and s["ivf"]["built_live"] == 512
+
+
+def test_semantically_corrupt_sidecar_degrades_to_retrain(
+    tmp_path, train_counter, full_probe, monkeypatch
+):
+    """A sidecar that LOADS fine but carries out-of-range assignments
+    must not poison the serving path — load-time range validation
+    rejects it (and the build-time try/except backstops anything that
+    slips through)."""
+    d = 16
+    emb = _corpus(300, d=d, seed=14)
+    path = str(tmp_path / "idx")
+    st = VectorStore(dim=d, engine="ivf", persist_dir=path)
+    st.add(ids=_ids(300), embeddings=emb)
+    st.query(emb[:1], n_results=5)
+    st.save(path)
+    import json
+    import os
+
+    with open(os.path.join(path, "manifest.json")) as f:
+        ivf_file = json.load(f)["ivf"]
+    with np.load(os.path.join(path, ivf_file)) as z:
+        payload = {k: z[k] for k in z.files}
+    payload["assign"] = np.full_like(payload["assign"], 10_000_000)
+    with open(os.path.join(path, ivf_file), "wb") as f:
+        np.savez(f, **payload)
+
+    monkeypatch.setenv("IMATCH_INDEX_ENGINE", "ivf")
+    train_counter["n"] = 0
+    loaded = VectorStore.load(path)
+    assert loaded._ivf_host is None  # range validation rejected it
+    ref = VectorStore(dim=d, engine="tilemax")
+    ref.add(ids=_ids(300), embeddings=emb)
+    assert_same_results(
+        loaded.query(emb[:3], n_results=10),
+        ref.query(emb[:3], n_results=10),
+    )
+    assert train_counter["n"] == 1
+
+
+def test_built_live_survives_restart_without_ratchet(
+    tmp_path, train_counter, full_probe, monkeypatch
+):
+    """built_live must persist as the live count at the LAST K-MEANS:
+    restoring the snapshot count instead would ratchet the retrain
+    threshold upward across save/restart cycles."""
+    d = 16
+    emb = _corpus(700, d=d, seed=15)
+    path = str(tmp_path / "idx")
+    st = VectorStore(dim=d, engine="ivf", persist_dir=path)
+    st.add(ids=_ids(512), embeddings=emb[:512])
+    st.query(emb[:1], n_results=5)  # train at 512
+    st.add(ids=_ids(100, base=512), embeddings=emb[512:612])
+    st.query(emb[:1], n_results=5)  # repair at 612
+    assert train_counter["n"] == 1
+    st.save(path)
+
+    monkeypatch.setenv("IMATCH_INDEX_ENGINE", "ivf")
+    train_counter["n"] = 0
+    loaded = VectorStore.load(path)
+    assert loaded._ivf_host["built_live"] == 512  # not the 612 snapshot
+    # 512 * 1.3 = 665: adding to 688 live must RETRAIN, not repair
+    loaded.add(ids=_ids(76, base=612), embeddings=emb[612:688])
+    loaded.query(emb[:1], n_results=5)
+    assert train_counter["n"] == 1
