@@ -57,6 +57,33 @@ ops_strategy = st.lists(
 )
 @given(ops=ops_strategy)
 def test_store_matches_oracle(ops):
+    _with_small_cap(ops, "tilemax")
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow],
+)
+@given(ops=ops_strategy)
+def test_sharded_store_matches_oracle(ops):
+    # the multi-chip exact engine must satisfy the same oracle under
+    # arbitrary mutation interleavings (virtual 8-device mesh)
+    _with_small_cap(ops, "sharded")
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow],
+)
+@given(ops=ops_strategy)
+def test_host_rescore_store_matches_oracle(ops):
+    # the int8-phase1 capacity tier is exact too (fp32 host rescore)
+    _with_small_cap(ops, "tilemax-host")
+
+
+def _with_small_cap(ops, engine):
     import imatch_tpu.index.store as store_mod
 
     # shrink the capacity floor so compaction and capacity doubling are
@@ -64,13 +91,13 @@ def test_store_matches_oracle(ops):
     orig_cap = store_mod._MIN_CAP
     store_mod._MIN_CAP = 8
     try:
-        _run_ops(ops)
+        _run_ops(ops, engine)
     finally:
         store_mod._MIN_CAP = orig_cap
 
 
-def _run_ops(ops):
-    store = VectorStore(dim=D, engine="tilemax")
+def _run_ops(ops, engine="tilemax"):
+    store = VectorStore(dim=D, engine=engine)
     oracle = Oracle()
     for op in ops:
         if op[0] == "add":
