@@ -384,3 +384,77 @@ def test_coalescer_mixed_limits_grouped_correctly():
         row = out[(i, k)]
         assert len(row) == k and row[0] == f"i{i}", (i, k, row)
         assert row == store.query(emb[i], n_results=k)["ids"][0]
+
+
+def test_ivf_repair_races_writers(monkeypatch):
+    """The IVF host state (centroids + assignment table) is captured,
+    repaired OUTSIDE the store lock, and installed under a generation
+    check — concurrent writers must never corrupt it. Hammer an ivf
+    store with interleaved adds/updates/deletes and queries, then pin
+    final exactness at full probe against tilemax."""
+    import threading
+
+    import numpy as np
+
+    from imatch_tpu.index.store import VectorStore
+
+    monkeypatch.setenv("IMATCH_IVF_NPROBE", "1000000")
+    d = 16
+    rng = np.random.default_rng(77)
+
+    def vec(i):
+        r = np.random.default_rng(i)
+        v = r.standard_normal(d).astype(np.float32)
+        return v / np.linalg.norm(v)
+
+    store = VectorStore(dim=d, engine="ivf")
+    base = np.stack([vec(i) for i in range(400)])
+    store.add(ids=[f"b{i:04d}" for i in range(400)], embeddings=base)
+    store.query(base[:1], n_results=5)  # initial train
+
+    errors = []
+    stop = threading.Event()
+
+    def writer(tid):
+        try:
+            for i in range(40):
+                store.add(
+                    ids=[f"w{tid}_{i:03d}"],
+                    embeddings=[vec(10_000 + tid * 100 + i)],
+                )
+                if i % 7 == 3:
+                    store.update(
+                        ids=[f"w{tid}_{i - 1:03d}"],
+                        embeddings=[vec(20_000 + tid * 100 + i)],
+                    )
+                if i % 11 == 5:
+                    store.delete([f"w{tid}_{i - 2:03d}"])
+        except Exception as e:  # noqa: BLE001
+            errors.append(e)
+
+    def reader():
+        try:
+            while not stop.is_set():
+                store.query(base[:2], n_results=10)
+        except Exception as e:  # noqa: BLE001
+            errors.append(e)
+
+    writers = [threading.Thread(target=writer, args=(t,)) for t in range(3)]
+    readers = [threading.Thread(target=reader) for _ in range(2)]
+    for t in readers + writers:
+        t.start()
+    for t in writers:
+        t.join()
+    stop.set()
+    for t in readers:
+        t.join()
+    assert not errors, errors
+
+    # final state must be exact vs a tilemax store built from get()
+    snap = store.get(include=["embeddings", "metadatas"])
+    ref = VectorStore(dim=d, engine="tilemax")
+    ref.add(ids=snap["ids"], embeddings=snap["embeddings"])
+    q = np.stack([vec(i + 500) for i in range(4)])
+    got = store.query(q, n_results=10)
+    want = ref.query(q, n_results=10)
+    assert got["ids"] == want["ids"]
