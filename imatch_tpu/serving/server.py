@@ -10,6 +10,7 @@ from __future__ import annotations
 
 import asyncio
 import logging
+import os
 import socket
 logger = logging.getLogger("imatch.server")
 
@@ -17,12 +18,29 @@ _MAX_HEADER = 64 * 1024
 _MAX_BODY = 512 * 1024 * 1024
 
 
+def _idle_timeout() -> float:
+    """Keep-alive / header-read timeout (slowloris guard): a client
+    that opens a connection and trickles or sends nothing must not pin
+    a connection task forever. nginx-style default."""
+    return float(os.environ.get("IMATCH_HTTP_IDLE_TIMEOUT", "75"))
+
+
+def _body_timeout() -> float:
+    return float(os.environ.get("IMATCH_HTTP_BODY_TIMEOUT", "300"))
+
+
 async def _handle_connection(app, reader, writer):
     try:
         while True:
             try:
-                header_blob = await reader.readuntil(b"\r\n\r\n")
-            except (asyncio.IncompleteReadError, asyncio.LimitOverrunError):
+                header_blob = await asyncio.wait_for(
+                    reader.readuntil(b"\r\n\r\n"), _idle_timeout()
+                )
+            except (
+                asyncio.IncompleteReadError,
+                asyncio.LimitOverrunError,
+                asyncio.TimeoutError,
+            ):
                 return
             if len(header_blob) > _MAX_HEADER:
                 return
@@ -67,7 +85,16 @@ async def _handle_connection(app, reader, writer):
                 writer.write(b"HTTP/1.1 413 Payload Too Large\r\n\r\n")
                 await writer.drain()
                 return
-            body = await reader.readexactly(length) if length else b""
+            try:
+                body = (
+                    await asyncio.wait_for(
+                        reader.readexactly(length), _body_timeout()
+                    )
+                    if length
+                    else b""
+                )
+            except (asyncio.IncompleteReadError, asyncio.TimeoutError):
+                return
 
             if "?" in target:
                 path, _, query = target.partition("?")

@@ -163,3 +163,41 @@ def test_concurrent_filter_adds_lose_nothing(server_url):
     with httpx.Client(base_url=server_url) as c:
         filters = c.get("/api/filters").json()["filters"]
     assert set(names) <= set(filters)
+
+
+def test_idle_connection_closed_by_timeout(server_url, monkeypatch):
+    """Slowloris guard: a connection that sends nothing (or half a
+    header) must be closed by the idle timeout instead of pinning a
+    connection task forever."""
+    import socket
+    import time
+
+    monkeypatch.setenv("IMATCH_HTTP_IDLE_TIMEOUT", "1")
+    host, port = server_url.rsplit("/", 1)[1].split(":")
+    t0 = time.time()
+    with socket.create_connection((host, int(port)), timeout=10) as s:
+        s.sendall(b"GET /api/health HTTP/1.1\r\nhost: x")  # half a header
+        s.settimeout(10)
+        data = s.recv(65536)  # server closes -> b""
+    assert data == b""
+    assert time.time() - t0 < 8
+
+
+def test_stalled_body_closed_by_timeout(server_url, monkeypatch):
+    """A request that declares a body and never sends it must be
+    dropped by the body timeout."""
+    import socket
+    import time
+
+    monkeypatch.setenv("IMATCH_HTTP_BODY_TIMEOUT", "1")
+    host, port = server_url.rsplit("/", 1)[1].split(":")
+    t0 = time.time()
+    with socket.create_connection((host, int(port)), timeout=10) as s:
+        s.sendall(
+            b"POST /api/search/text HTTP/1.1\r\nhost: x\r\n"
+            b"content-length: 100000\r\n\r\npartial"
+        )
+        s.settimeout(10)
+        data = s.recv(65536)
+    assert data == b""
+    assert time.time() - t0 < 8
