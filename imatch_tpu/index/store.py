@@ -838,8 +838,16 @@ class VectorStore:
         if q.ndim == 1:
             q = q[None]
         with METRICS.timer("index.query"):
-            if q.shape[0] == 1 and self._coalescer is not None:
-                return self._coalescer.submit(q, n_results, tuple(include))
+            # single read: set_coalescing(False) can null the attribute
+            # between a check and a call on another thread
+            c = self._coalescer
+            if q.shape[0] == 1 and c is not None:
+                from imatch_tpu.runtime.coalesce import CoalescerClosed
+
+                try:
+                    return c.submit(q, n_results, tuple(include))
+                except CoalescerClosed:
+                    pass  # disabled concurrently — serve directly
             return self._query_impl(q, n_results, include)
 
     def _query_impl(

@@ -27,10 +27,17 @@ from __future__ import annotations
 import os
 import queue
 import threading
+import weakref
 from concurrent.futures import Future
 from typing import Callable, Sequence, Tuple
 
 _CLOSE = object()  # sentinel: worker drains and exits
+
+
+class CoalescerClosed(RuntimeError):
+    """Raised by submit() when the coalescer has been closed — distinct
+    from engine errors propagated out of a batch, so callers can fall
+    back to a direct dispatch unambiguously."""
 
 
 def _default_max_batch() -> int:
@@ -52,40 +59,55 @@ class QueryCoalescer:
     """
 
     def __init__(self, direct: Callable, max_batch: int | None = None):
-        self._direct = direct
+        # Hold the dispatch target WEAKLY when it is a bound method: the
+        # worker thread must not pin the owning store (its embedding
+        # matrix) after the store is dropped without close(). A finalize
+        # hook on the owner closes the coalescer so the thread is reaped
+        # too; plain functions are kept strongly (nothing to pin).
+        try:
+            ref = weakref.WeakMethod(direct)
+            weakref.finalize(direct.__self__, self.close)
+            self._direct_ref = ref
+        except TypeError:
+            self._direct_ref = lambda d=direct: d
         self.max_batch = max_batch or _default_max_batch()
         self._q: queue.SimpleQueue = queue.SimpleQueue()
         self._started = False
         self._closed = False
-        self._start_lock = threading.Lock()
+        self._lock = threading.Lock()
 
     # -- client side ---------------------------------------------------------
 
     def submit(self, q, n_results: int, include: Tuple[str, ...]) -> dict:
         """Block until the (1, d) query ``q`` has been answered as part
         of some batch; returns the single-row chroma-shaped dict."""
-        if self._closed:
-            raise RuntimeError("coalescer is closed")
-        if not self._started:
-            with self._start_lock:
-                if not self._started:
-                    threading.Thread(
-                        target=self._loop,
-                        daemon=True,
-                        name="imatch-coalesce",
-                    ).start()
-                    self._started = True
         fut: Future = Future()
-        self._q.put((q, int(n_results), tuple(include), fut))
+        # enqueue under the same lock close() takes: nothing can land
+        # AFTER the _CLOSE sentinel, so no future is ever stranded (an
+        # unsynchronized check-then-put could block fut.result() forever)
+        with self._lock:
+            if self._closed:
+                raise CoalescerClosed("coalescer is closed")
+            if not self._started:
+                threading.Thread(
+                    target=self._loop,
+                    daemon=True,
+                    name="imatch-coalesce",
+                ).start()
+                self._started = True
+            self._q.put((q, int(n_results), tuple(include), fut))
         return fut.result()
 
     def close(self):
         """Stop the worker (after it finishes anything already queued)
         and reject further submits. Releases the worker's reference to
         the owning store so a discarded store is collectable."""
-        self._closed = True
-        if self._started:
-            self._q.put(_CLOSE)
+        with self._lock:
+            if self._closed:
+                return
+            self._closed = True
+            if self._started:
+                self._q.put(_CLOSE)
 
     # -- worker side -----------------------------------------------------------
 
@@ -127,7 +149,10 @@ class QueryCoalescer:
     def _run_group(self, k: int, inc: Tuple[str, ...], members):
         futs = [f for _, f in members]
         try:
-            res = self._direct(
+            direct = self._direct_ref()
+            if direct is None:  # owner collected mid-flight
+                raise CoalescerClosed("coalescer owner was collected")
+            res = direct(
                 self._stack([q for q, _ in members]), k, inc
             )
             for i, fut in enumerate(futs):
@@ -161,4 +186,13 @@ class QueryCoalescer:
                 for t in ts:
                     t.join()
             if closing:
-                return
+                # defensively fail anything that somehow remains queued
+                while True:
+                    try:
+                        item = self._q.get_nowait()
+                    except queue.Empty:
+                        return
+                    if item is not _CLOSE and not item[3].done():
+                        item[3].set_exception(
+                            CoalescerClosed("coalescer is closed")
+                        )

@@ -253,7 +253,9 @@ class App:
                     fn()
                 self._started = True
 
-    def _cors_headers(self, request_origin: str = "") -> List[Tuple[str, str]]:
+    def _cors_headers(
+        self, request_origin: str = "", request_headers: str = ""
+    ) -> List[Tuple[str, str]]:
         """Fetch-spec-correct CORS: allow-origin must be a SINGLE value,
         and credentials require echoing the requesting Origin (browsers
         reject '*' or comma-joined lists for credentialed requests) —
@@ -263,10 +265,16 @@ class App:
             return []
         allowed = "*" in self.cors_origins or request_origin in self.cors_origins
         if request_origin and allowed:
+            # credentialed responses must NOT use the '*' wildcard for
+            # allow-headers (the Fetch spec reads it as a literal header
+            # name): echo the preflight's requested headers instead
             return [
                 ("access-control-allow-origin", request_origin),
                 ("access-control-allow-methods", "GET, POST, PUT, DELETE, OPTIONS"),
-                ("access-control-allow-headers", "*"),
+                (
+                    "access-control-allow-headers",
+                    request_headers or "content-type, authorization",
+                ),
                 ("access-control-allow-credentials", "true"),
                 ("vary", "origin"),
             ]
@@ -299,10 +307,19 @@ class App:
         path = urllib.parse.unquote(raw_path) if have_raw else raw_path
 
         if method == "OPTIONS":
-            # __call__ appends the CORS headers to every response; adding
-            # them here too would duplicate access-control-allow-origin,
-            # which browsers reject ("*, *" is invalid) and preflights fail.
-            return Response(b"", status=204)
+            # Short-circuit only GENUINE CORS preflights (Origin +
+            # access-control-request-method, CORS enabled) — __call__
+            # appends the CORS headers; adding them here too would
+            # duplicate access-control-allow-origin, which browsers
+            # reject ("*, *" is invalid). Plain OPTIONS falls through to
+            # normal routing (an app-registered handler, else 404).
+            hdrs = {k: v for k, v in scope.get("headers", ())}
+            if (
+                self.cors_origins is not None
+                and b"origin" in hdrs
+                and b"access-control-request-method" in hdrs
+            ):
+                return Response(b"", status=204)
 
         # static mounts
         if method in ("GET", "HEAD"):
@@ -372,7 +389,19 @@ class App:
                 return JSONResponse({"success": False, "error": str(e)}, 500)
             if isinstance(result, Response):
                 return result
-            return JSONResponse(result)
+            try:
+                return JSONResponse(result)
+            except (TypeError, ValueError) as e:
+                # non-JSON-serializable return (e.g. a numpy scalar
+                # leaking into a dict) must surface as a logged 500, not
+                # an unhandled exception that kills the connection
+                logger.error(
+                    "unserializable result on %s %s: %s", method, path, e
+                )
+                return JSONResponse(
+                    {"success": False, "error": f"unserializable response: {e}"},
+                    500,
+                )
         return JSONResponse({"detail": "Not Found"}, 404)
 
     # -- ASGI entry ---------------------------------------------------------
@@ -389,15 +418,19 @@ class App:
                     return
             return
         assert scope["type"] == "http"
-        body = b""
+        chunks = bytearray()
         while True:
             message = await receive()
             if message["type"] == "http.request":
-                body += message.get("body", b"")
+                # extend-and-join, not bytes +=: third-party ASGI hosts
+                # deliver large uploads in ~64 KB chunks and repeated
+                # bytes concatenation is O(n^2) on the event loop
+                chunks.extend(message.get("body", b""))
                 if not message.get("more_body"):
                     break
             elif message["type"] == "http.disconnect":
                 return
+        body = bytes(chunks)
         resp = await self._handle(scope, body)
         headers = [
             ("content-type", resp.media_type),
@@ -405,11 +438,13 @@ class App:
         ]
         headers += resp.headers
         req_origin = ""
+        req_acrh = ""
         for hk, hv in scope.get("headers", ()):
             if hk == b"origin":
                 req_origin = hv.decode("latin-1")
-                break
-        headers += self._cors_headers(req_origin)
+            elif hk == b"access-control-request-headers":
+                req_acrh = hv.decode("latin-1")
+        headers += self._cors_headers(req_origin, req_acrh)
         await send(
             {
                 "type": "http.response.start",

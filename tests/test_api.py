@@ -356,9 +356,26 @@ def test_health(client):
 
 
 def test_cors_preflight(client):
-    r = client.request("OPTIONS", "/api/images")
+    # a GENUINE preflight carries Origin + Access-Control-Request-Method
+    # (what Starlette's CORSMiddleware keys on too); bare OPTIONS falls
+    # through to normal routing
+    r = client.request(
+        "OPTIONS",
+        "/api/images",
+        headers={
+            "origin": "http://localhost:3000",
+            "access-control-request-method": "GET",
+            "access-control-request-headers": "content-type",
+        },
+    )
     assert r.status_code == 204
     assert "access-control-allow-origin" in r.headers
+    # credentialed responses must echo requested headers, not "*"
+    assert r.headers["access-control-allow-headers"] == "content-type"
+    # bare OPTIONS without preflight headers is ordinary routing: no
+    # OPTIONS route exists -> 404, never a phantom 204 for any path
+    r = client.request("OPTIONS", "/api/nonexistent")
+    assert r.status_code == 404
 
 
 # ---------------------------------------------------------------------------
@@ -648,7 +665,14 @@ def test_multipart_preserves_trailing_newlines(client):
 
 
 def test_options_has_single_cors_origin(client):
-    r = client.request("OPTIONS", "/api/upload")
+    r = client.request(
+        "OPTIONS",
+        "/api/upload",
+        headers={
+            "origin": "http://localhost:3000",
+            "access-control-request-method": "POST",
+        },
+    )
     assert r.status_code == 204
     vals = [
         v for k, v in r.headers.multi_items()
@@ -774,3 +798,17 @@ def test_upload_folder_stores_original_bytes_verbatim(client, monkeypatch):
     assert res["status"] == "success"
     md = client.state.image_metadata[res["id"]]
     assert md["url"].endswith(".png")
+
+
+def test_unserializable_handler_result_is_500(client):
+    """A handler returning non-JSON-serializable data must surface as a
+    logged 500, not an unhandled exception killing the connection."""
+    import numpy as np
+
+    @client.app.get("/api/_test_bad")
+    def bad(req):
+        return {"x": np.float32(1.5), "arr": np.arange(3)}
+
+    r = client.get("/api/_test_bad")
+    assert r.status_code == 500
+    assert "unserializable" in r.json()["error"]

@@ -458,3 +458,66 @@ def test_ivf_repair_races_writers(monkeypatch):
     got = store.query(q, n_results=10)
     want = ref.query(q, n_results=10)
     assert got["ids"] == want["ids"]
+
+
+def test_coalescer_close_races_submitters():
+    """submit() and close() are synchronized: every submit either
+    completes, or raises CoalescerClosed — never blocks forever on a
+    stranded future."""
+    import threading
+
+    import numpy as np
+
+    from imatch_tpu.index.store import VectorStore
+    from imatch_tpu.runtime.coalesce import CoalescerClosed
+
+    for _ in range(10):
+        store = VectorStore(dim=8, engine="tilemax", coalesce=True)
+        emb = np.eye(8, dtype=np.float32)
+        store.add(ids=[f"r{i}" for i in range(8)], embeddings=emb)
+        outcomes = []
+
+        def hammer():
+            try:
+                r = store.query(emb[:1], n_results=2)
+                outcomes.append(("ok", r["ids"][0][0]))
+            except Exception as e:  # noqa: BLE001
+                outcomes.append(("err", type(e).__name__))
+
+        ts = [threading.Thread(target=hammer) for _ in range(6)]
+        for t in ts[:3]:
+            t.start()
+        store.set_coalescing(False)
+        for t in ts[3:]:
+            t.start()
+        for t in ts:
+            t.join(timeout=30)
+            assert not t.is_alive(), "stranded submitter"
+        # the store.query fallback converts CoalescerClosed into a
+        # direct dispatch, so every request succeeds
+        assert all(o[0] == "ok" and o[1] == "r0" for o in outcomes), outcomes
+
+
+def test_discarded_store_with_coalescer_is_collected():
+    """A store dropped WITHOUT set_coalescing(False) must still be
+    garbage-collectable: the worker holds its dispatch target weakly
+    and a finalizer closes the coalescer when the store dies."""
+    import gc
+    import time
+    import weakref
+
+    import numpy as np
+
+    from imatch_tpu.index.store import VectorStore
+
+    store = VectorStore(dim=8, engine="tilemax", coalesce=True)
+    store.add(ids=["a"], embeddings=np.eye(8, dtype=np.float32)[:1])
+    store.query(np.eye(8, dtype=np.float32)[:1], n_results=1)  # start worker
+    ref = weakref.ref(store)
+    del store
+    for _ in range(20):
+        gc.collect()
+        if ref() is None:
+            break
+        time.sleep(0.05)
+    assert ref() is None, "coalescer worker pinned the discarded store"
