@@ -129,6 +129,20 @@ class ClipEmbedder:
             shardings = dict(
                 in_shardings=(None, NamedSharding(mesh, P("data"))),
             )
+            # the fused bulk-ingest step shards its frame batch the same
+            # way (resample-matrix constants replicated) — without this
+            # the highest-throughput path would replicate every frame to
+            # all dp devices and compute the full batch dp times
+            fused_shardings = dict(
+                in_shardings=(
+                    None,
+                    NamedSharding(mesh, P("data")),
+                    None,
+                    None,
+                    None,
+                    None,
+                ),
+            )
             self.params = jax.tree.map(
                 lambda x: jax.device_put(x, NamedSharding(mesh, P())),
                 self.params,
@@ -142,7 +156,10 @@ class ClipEmbedder:
         def _txt_fn(params, tokens):
             return encode_text(params, tokens, cfg, dtype=dt, eos_token_id=eos_id)
 
-        @jax.jit
+        if not (data_parallel and data_parallel > 1):
+            fused_shardings = {}
+
+        @functools.partial(jax.jit, **fused_shardings)
         def _fused_fn(params, frames_u8, a_v_c, a_h_c, a_v_p, a_h_p):
             """Fused bulk-ingest step: the uint8 frames are uploaded to
             HBM ONCE and both consumers read them there — CLIP preprocess
@@ -284,6 +301,8 @@ class ClipEmbedder:
         VectorStore.query the whole batch pays one blocking transfer, so
         the per-query cost amortizes the host<->device round-trip Q ways
         (the batched-search serving path)."""
+        if len(texts) == 0:
+            return jnp.zeros((0, self.dim), jnp.float32)
         return self._embed_tokens(self._tokenize(list(texts)))
 
     def embed_image_device(self, image: np.ndarray) -> jax.Array:
@@ -314,6 +333,8 @@ class ClipEmbedder:
             os.environ.get("IMATCH_QUERY_PIXEL_BUDGET", str(1 << 26))
         )
         n = len(images)
+        if n == 0:
+            return jnp.zeros((0, self.dim), jnp.float32)
         outs = []
         start = 0
         while start < n:
@@ -373,8 +394,8 @@ class ClipEmbedder:
                 buckets.setdefault(im.shape[:2], []).append(i)
 
         chunk = int(os.environ.get("IMATCH_EMBED_CHUNK", "512"))
-        host_hash_idx: list = []  # need a host hash (small/unconfident)
-        slow_embed_idx: list = []  # small buckets: normal embed path
+        # small geometry buckets: host hash + normal embed path
+        small_idx: list = []
         out_size = self.cfg.vision.image_size
 
         # Phase 1: dispatch device chunks for every big bucket, yielding
@@ -387,6 +408,10 @@ class ClipEmbedder:
         def _drain_one():
             idxs_chunk, handles = in_flight.pop(0)
             e, bits, conf, small = jax.device_get(handles)
+            # metric counted per FINISHED chunk: a stream that dies
+            # mid-bucket must not pre-count work the caller's fallback
+            # (embed_images, which counts too) will redo
+            METRICS.inc("images_embedded", len(idxs_chunk))
             ids_c: list = [None] * len(idxs_chunk)
             for j in range(len(idxs_chunk)):
                 if conf[j]:
@@ -400,8 +425,7 @@ class ClipEmbedder:
 
         for (h, w), idxs in buckets.items():
             if len(idxs) < DEVICE_BUCKET_MIN:
-                host_hash_idx.extend(idxs)
-                slow_embed_idx.extend(idxs)
+                small_idx.extend(idxs)
                 continue
             a_v_c, a_h_c = resize_crop_matrices(h, w, out_size)
             a_v_p = resample_matrix(h, 32, "lanczos")
@@ -409,7 +433,6 @@ class ClipEmbedder:
             consts = tuple(
                 jnp.asarray(m) for m in (a_v_c, a_h_c, a_v_p, a_h_p)
             )
-            METRICS.inc("images_embedded", len(idxs))
             for s, b, bp in self._chunk_bounds(len(idxs), chunk):
                 GATE.checkpoint()  # bulk ingest yields to live searches
                 part = np.stack([images[i] for i in idxs[s : s + b]])
@@ -435,21 +458,21 @@ class ClipEmbedder:
 
         # Phase 2: the leftovers (small geometry buckets) — plain embed
         # path plus threaded host hashes, one final yield.
-        if slow_embed_idx:
-            rest = self.embed_images([images[i] for i in slow_embed_idx])
-            ids_r: list = [None] * len(slow_embed_idx)
-            order = {i: j for j, i in enumerate(slow_embed_idx)}
+        if small_idx:
+            rest = self.embed_images([images[i] for i in small_idx])
+            ids_r: list = [None] * len(small_idx)
+            order = {i: j for j, i in enumerate(small_idx)}
 
             def host_one(i):
                 return i, _host_image_id(_Image.fromarray(images[i]))
 
-            if pool is not None and len(host_hash_idx) > 1:
-                for i, id_ in pool.map(host_one, host_hash_idx):
+            if pool is not None and len(small_idx) > 1:
+                for i, id_ in pool.map(host_one, small_idx):
                     ids_r[order[i]] = id_
             else:
-                for i in host_hash_idx:
+                for i in small_idx:
                     ids_r[order[i]] = host_one(i)[1]
-            yield slow_embed_idx, ids_r, rest
+            yield small_idx, ids_r, rest
 
     def ids_and_embed_images(self, images: Sequence[np.ndarray], pool=None):
         """Whole-batch form of ids_and_embed_images_stream: returns

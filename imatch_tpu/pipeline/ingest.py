@@ -15,6 +15,7 @@ the >=5k img/s/chip BASELINE.md target comes from.
 from __future__ import annotations
 
 import datetime
+import io
 import json
 import logging
 import os
@@ -30,6 +31,7 @@ from imatch_tpu.ops.phash import image_ids_batch
 from imatch_tpu.pipeline.captioner import save_encoded
 from imatch_tpu.pipeline.filters import format_filter_query
 from imatch_tpu.pipeline.state import AppState
+from imatch_tpu.utils.batching import to_rgb
 from imatch_tpu.utils.metrics import METRICS
 
 logger = logging.getLogger("imatch.ingest")
@@ -150,7 +152,7 @@ def process_image(
         processed_custom += caption
 
     # RGB for embedding even if the segmenter produced RGBA
-    embed_np = clean_np[..., :3] if clean_np.shape[-1] == 4 else clean_np
+    embed_np = to_rgb(clean_np)
     embedding = state.get_embedder().embed_image(embed_np)
 
     url = f"/static/processed/{img_id}.png"
@@ -191,6 +193,57 @@ def process_image(
 _RAW_EXTS = {".jpg", ".jpeg", ".png", ".webp", ".avif", ".gif"}
 
 
+def _raw_bytes_render_identical(data: bytes) -> bool:
+    """True when storing the encoded file verbatim renders the SAME
+    image a re-encoded PNG of the decoded frame would: no EXIF
+    orientation (browsers auto-rotate raw JPEGs; the decoded array we
+    hashed/embedded — and the reference's re-encoded PNG — are
+    unrotated) and not animated (only frame 1 was embedded). Header
+    parse only, ~100 us — far cheaper than the PNG encode it avoids."""
+    try:
+        with Image.open(io.BytesIO(data)) as im:
+            if getattr(im, "n_frames", 1) > 1:
+                return False
+            exif = im.getexif()
+            if exif and exif.get(0x0112, 1) not in (None, 1):
+                return False
+    except Exception:
+        return False
+    return True
+
+
+def _reap_orphan_saves(state, results, ids, save_futs, save_ext):
+    """Delete processed files written for items later demoted to
+    error/skipped (embed failure, add-race collision, failed save) —
+    otherwise repeated failing bulk ingests accumulate unbounded orphan
+    files. A path another record actually points at (the collision
+    winner's) is kept."""
+    keep = set()
+    for i in save_futs:
+        r = results[i]
+        if r is not None and r.get("status") == "success":
+            keep.add(os.path.join(state.processed_dir, f"{ids[i]}{save_ext[i]}"))
+    for i in list(save_futs):
+        r = results[i]
+        if r is None or r.get("status") == "success":
+            continue
+        try:
+            save_futs[i].result()
+        except Exception:
+            pass
+        path = os.path.join(state.processed_dir, f"{ids[i]}{save_ext[i]}")
+        if path in keep:
+            continue
+        with state.lock:
+            winner = state.image_metadata.get(ids[i])
+        if winner and winner.get("processed_url") == path:
+            continue  # a concurrent winner owns this exact file
+        try:
+            os.unlink(path)
+        except OSError:
+            pass
+
+
 def process_batch(
     state: AppState,
     images: Sequence[Image.Image],
@@ -216,6 +269,12 @@ def process_batch(
 
     Returns per-file results: {"filename", "status": success|skipped|error,
     "id"?, "metadata"?, "error"?}.
+
+    Known divergence: when one batch contains pHash-identical duplicates
+    in DIFFERENT geometry buckets, the kept copy's metadata follows
+    stream-yield order (big buckets first), not strict file order as the
+    reference's serial loop would — the stored pixels are
+    pHash-equivalent either way, only filename/description can differ.
     """
     n = len(images)
     results: List[dict] = [None] * n
@@ -229,8 +288,9 @@ def process_batch(
             try:
                 if isinstance(im, np.ndarray):
                     # native-loader output (RGB uint8 HWC) — no PIL
-                    # round-trip copy; RGBA defensively narrowed
-                    arrays[i] = im[..., :3] if im.shape[-1] == 4 else im
+                    # round-trip copy; RGBA/grayscale normalized by the
+                    # shared helper
+                    arrays[i] = to_rgb(im)
                 else:
                     im = im.convert("RGB") if im.mode != "RGB" else im
                     arrays[i] = np.asarray(im)
@@ -259,7 +319,9 @@ def process_batch(
     def _ext_for(i) -> str:
         if save_original and raw_bytes[i] is not None:
             ext = os.path.splitext(filenames[i])[1].lower()
-            if ext in _RAW_EXTS:
+            if ext in _RAW_EXTS and _raw_bytes_render_identical(
+                raw_bytes[i]
+            ):
                 return ext
         return ".png"
 
@@ -461,10 +523,7 @@ def process_batch(
     # or the tail of a failed stream)
     missing = [i for i in fresh if i not in emb_by_idx]
     if missing:
-        embed_inputs = [
-            a[..., :3] if a.shape[-1] == 4 else a
-            for a in (arrays[i] for i in missing)
-        ]
+        embed_inputs = [to_rgb(arrays[i]) for i in missing]
         try:
             with METRICS.timer("ingest.embed"):
                 more = state.get_embedder().embed_images(embed_inputs)
@@ -483,6 +542,7 @@ def process_batch(
                 }
             fresh = [i for i in fresh if i not in set(missing)]
             if not fresh:
+                _reap_orphan_saves(state, results, ids, save_futs, save_ext)
                 return results
 
     # saves not yet submitted by the stream consumer (segmented frames,
@@ -546,6 +606,7 @@ def process_batch(
     if not add_ids:
         # every fresh file was demoted to an error: nothing to insert
         # (store.add raises on empty ids, chroma parity)
+        _reap_orphan_saves(state, results, ids, save_futs, save_ext)
         return results
 
     with state.lock, METRICS.timer("ingest.add"):
@@ -580,4 +641,5 @@ def process_batch(
         for md in add_mds:
             if md["id"] in inserted:
                 state.image_metadata[md["id"]] = md
+    _reap_orphan_saves(state, results, ids, save_futs, save_ext)
     return results

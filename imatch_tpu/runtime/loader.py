@@ -71,12 +71,22 @@ def _build_lib() -> Optional[ctypes.CDLL]:
                 os.path.dirname(_SRC), f"libimatch_loader_{digest}.so"
             )
             if not os.path.exists(so_path):
+                # compile to a private temp name and os.replace into
+                # place: concurrent processes racing this path must
+                # never dlopen a half-linked ELF (which would silently
+                # disable the native loader for their whole lifetime)
+                tmp_path = f"{so_path}.tmp.{os.getpid()}"
                 cmd = [
                     "g++", "-O3", "-shared", "-fPIC", "-std=c++17",
-                    "-o", so_path, _SRC, *_LIBS, "-lpthread",
+                    "-o", tmp_path, _SRC, *_LIBS, "-lpthread",
                 ]
                 logger.info("building native loader: %s", " ".join(cmd))
-                subprocess.run(cmd, check=True, capture_output=True)
+                try:
+                    subprocess.run(cmd, check=True, capture_output=True)
+                    os.replace(tmp_path, so_path)
+                finally:
+                    if os.path.exists(tmp_path):
+                        os.unlink(tmp_path)
             lib = ctypes.CDLL(so_path)
             lib.iml_create.restype = ctypes.c_void_p
             lib.iml_create.argtypes = [ctypes.c_int]
@@ -127,15 +137,42 @@ class NativeImageLoader:
             self._lib.iml_create(self.threads) if self._lib else None
         )
         self._closed = False
+        self._state_lock = threading.Lock()
+        self._inflight = 0  # threads inside a native submit/wait call
 
     @property
     def native(self) -> bool:
         return self._pool is not None
 
     def close(self):
-        if self._pool is not None and not self._closed:
+        """Idempotent; never destroys the pool under a thread that is
+        inside a native call (a request still decoding at shutdown
+        would otherwise hit freed memory). Skipping destroy in that
+        case leaks the pool — acceptable, since close() runs at
+        process exit."""
+        with self._state_lock:
+            if self._pool is None or self._closed:
+                return
+            if self._inflight:
+                logger.warning(
+                    "native loader closed with %d in-flight decodes; "
+                    "leaving the pool to the OS", self._inflight
+                )
+                self._closed = True
+                return
             self._lib.iml_destroy(self._pool)
             self._closed = True
+
+    def _enter_native(self) -> bool:
+        with self._state_lock:
+            if self._pool is None or self._closed:
+                return False
+            self._inflight += 1
+            return True
+
+    def _exit_native(self):
+        with self._state_lock:
+            self._inflight -= 1
 
     def __del__(self):
         if sys is None or sys.is_finalizing():
@@ -148,16 +185,22 @@ class NativeImageLoader:
     # -- ticketed interface ------------------------------------------------
 
     def submit_bytes(self, data: bytes):
-        if self._pool is None:
+        if not self._enter_native():
             return ("pil", data)
-        t = self._lib.iml_submit_mem(self._pool, data, len(data))
+        try:
+            t = self._lib.iml_submit_mem(self._pool, data, len(data))
+        finally:
+            self._exit_native()
         return ("native", t, data)  # keep data for the PIL fallback path
 
     def submit_path(self, path: str):
-        if self._pool is None:
+        if not self._enter_native():
             with open(path, "rb") as f:
                 return ("pil", f.read())
-        t = self._lib.iml_submit_file(self._pool, path.encode())
+        try:
+            t = self._lib.iml_submit_file(self._pool, path.encode())
+        finally:
+            self._exit_native()
         return ("native", t, path)
 
     def wait(self, ticket) -> np.ndarray:
@@ -167,9 +210,16 @@ class NativeImageLoader:
         w = ctypes.c_int()
         h = ctypes.c_int()
         err = ctypes.c_int()
-        ptr = self._lib.iml_wait(
-            self._pool, t, ctypes.byref(w), ctypes.byref(h), ctypes.byref(err)
-        )
+        if not self._enter_native():
+            data = src if isinstance(src, bytes) else open(src, "rb").read()
+            return _pil_decode(data)
+        try:
+            ptr = self._lib.iml_wait(
+                self._pool, t, ctypes.byref(w), ctypes.byref(h),
+                ctypes.byref(err),
+            )
+        finally:
+            self._exit_native()
         if not ptr:
             # unsupported format (AVIF) or decode failure -> PIL
             data = src if isinstance(src, bytes) else open(src, "rb").read()

@@ -479,3 +479,84 @@ def test_text_query_embedding_cache(monkeypatch):
     e3.embed_text_device("same")
     e3.embed_text_device("same")
     assert calls["n"] == 2
+
+
+def _jpeg_with_orientation(arr, orientation):
+    import io as _io
+
+    ex = Image.Exif()
+    ex[0x0112] = orientation
+    b = _io.BytesIO()
+    Image.fromarray(arr).save(b, "JPEG", exif=ex)
+    return b.getvalue()
+
+
+def test_save_original_rejects_exif_rotation_and_animation(state):
+    """IMATCH_SAVE_ORIGINAL stores raw bytes only when they render
+    identically to the decoded frame: EXIF-rotated JPEGs (browsers
+    auto-rotate raw files; the hashed/embedded array — and the
+    reference's re-encoded PNG — are unrotated) and animated GIFs
+    (only frame 1 was embedded) must fall back to PNG re-encode."""
+    import io as _io
+
+    rng = np.random.default_rng(31)
+    a1 = rng.integers(0, 256, (40, 56, 3), np.uint8)
+    rot = _jpeg_with_orientation(a1, 6)
+    a2 = rng.integers(0, 256, (40, 56, 3), np.uint8)
+    plain = _jpeg_with_orientation(a2, 1)
+    f1, f2 = Image.open(_io.BytesIO(rot)), Image.open(_io.BytesIO(plain))
+    res = process_batch(
+        state,
+        [np.asarray(f1.convert("RGB")), np.asarray(f2.convert("RGB"))],
+        ["rotated.jpg", "plain.jpg"],
+        raw_bytes=[rot, plain],
+    )
+    assert [r["status"] for r in res] == ["success", "success"]
+    # EXIF-rotated -> re-encoded PNG; orientation-1 -> raw bytes kept
+    assert res[0]["metadata"]["url"].endswith(".png")
+    assert res[1]["metadata"]["url"].endswith(".jpg")
+
+    # animated GIF -> PNG
+    frames = [
+        Image.fromarray(rng.integers(0, 256, (24, 24, 3), np.uint8))
+        for _ in range(3)
+    ]
+    b = _io.BytesIO()
+    frames[0].save(b, "GIF", save_all=True, append_images=frames[1:])
+    gif = b.getvalue()
+    first = np.asarray(Image.open(_io.BytesIO(gif)).convert("RGB"))
+    res = process_batch(state, [first], ["anim.gif"], raw_bytes=[gif])
+    assert res[0]["status"] == "success"
+    assert res[0]["metadata"]["url"].endswith(".png")
+
+
+def test_add_collision_loser_file_reaped(state, monkeypatch):
+    """An in-flight collision (another request inserted the id between
+    our dup check and store.add) reclassifies the loser as skipped —
+    and its already-written processed file must not be left orphaned."""
+    rng = np.random.default_rng(33)
+    a1 = rng.integers(0, 256, (40, 56, 3), np.uint8)
+    a2 = rng.integers(0, 256, (48, 64, 3), np.uint8)
+
+    orig_add = state.store.add
+    calls = {"n": 0}
+
+    def racy_add(ids, **kw):
+        calls["n"] += 1
+        if calls["n"] == 1 and len(ids) > 1:
+            raise ValueError("simulated concurrent insert")
+        if calls["n"] == 3:  # second per-id retry: the loser
+            raise ValueError(f"duplicate id {ids[0]}")
+        return orig_add(ids=ids, **kw)
+
+    monkeypatch.setattr(state.store, "add", racy_add)
+    res = process_batch(state, [a1, a2], ["w.png", "l.png"])
+    statuses = sorted(r["status"] for r in res)
+    assert statuses == ["skipped", "success"]
+    winner = next(r for r in res if r["status"] == "success")
+    loser = next(r for r in res if r["status"] == "skipped")
+    assert os.path.exists(winner["metadata"]["processed_url"])
+    loser_path = os.path.join(
+        state.processed_dir, f"{loser['id']}.png"
+    )
+    assert not os.path.exists(loser_path), "orphan file left behind"
