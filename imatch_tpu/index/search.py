@@ -12,7 +12,11 @@ bf16 (fp32 accumulation), select top-(k + margin) candidates, then rescore
 just those candidates in fp32 HIGHEST and re-sort. Near-tie candidates
 within bf16 error of the cutoff land inside the margin, so the final
 ordering equals full-fp32 ordering (verified against numpy in
-tests/test_index.py).
+tests/test_index.py). Caveat, shared by every fixed-margin two-phase
+scheme: a corpus where MORE than k+margin rows/tiles tie within
+score-dtype rounding can push the true winner outside the candidate
+set — raise IMATCH_TILEMAX_MARGIN for such corpora, or set
+IMATCH_SCORE_DTYPE=fp32 to make phase 1 exact outright.
 
 The corpus streams through ``lax.scan`` in chunks with a running top-k
 merge, so the (Q, N) score matrix never materializes in HBM for large
@@ -139,7 +143,20 @@ def _tilemax_topk(
     s = jnp.where(valid[None, :], s, NEG_INF)
     tile_max = jnp.max(s.reshape(nq, n_tiles, tile_n), axis=2)
 
-    margin = 16 if scoring.dtype == jnp.int8 else 4
+    # Tile-selection margin: the +margin absorbs score-dtype rounding at
+    # the tile cutoff. Like ANY fixed margin it is defeated when MORE
+    # than k+margin tiles tie within score-dtype error (a corpus that is
+    # thousands of near-identical vectors) — deployments with such
+    # corpora should raise IMATCH_TILEMAX_MARGIN or set
+    # IMATCH_SCORE_DTYPE=fp32, which makes phase 1 itself exact.
+    import os as _os
+
+    margin = int(
+        _os.environ.get(
+            "IMATCH_TILEMAX_MARGIN",
+            "16" if scoring.dtype == jnp.int8 else "4",
+        )
+    )
     kt = min(k + margin, n_tiles)
     _, top_tiles = jax.lax.top_k(tile_max, kt)  # (Q, kt)
     corpus_tiles = exact.reshape(n_tiles, tile_n, d)
@@ -266,6 +283,14 @@ def cosine_topk(
         preferred_element_type=jnp.float32,
     )
     exact = jnp.where(cand_i >= 0, exact, NEG_INF)
+    # ties break to the lower row index (chroma parity), matching
+    # _tilemax_topk / host_rescore_topk: order candidates by index so
+    # top_k's earlier-position preference resolves exact-score ties
+    # deterministically instead of by bf16 phase-1 rank
+    big = jnp.iinfo(jnp.int32).max
+    order = jnp.argsort(jnp.where(cand_i < 0, big, cand_i), axis=1)
+    exact = jnp.take_along_axis(exact, order, axis=1)
+    cand_i = jnp.take_along_axis(cand_i, order, axis=1)
     top_s, pos = jax.lax.top_k(exact, min(k, kk))
     top_i = jnp.take_along_axis(cand_i, pos, axis=1)
     top_i = jnp.where(top_s <= NEG_INF / 2, -1, top_i)

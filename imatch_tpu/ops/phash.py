@@ -111,13 +111,24 @@ def phash_core(imgs, a_v, a_h, hash_size=8, highfreq_factor=4):
     imagehash.phash answer — ~80x cheaper than decode+resize+hash
     (host_bits_from_small)."""
     hi = jax.lax.Precision.HIGHEST
-    gray = jnp.einsum("bhwc,c->bhw", imgs.astype(jnp.float32), _L_WEIGHTS)
+    # precision=HIGHEST is exactness, not speed hygiene: at TPU DEFAULT
+    # precision fp32 dots demote to bf16 and the 0-255 products lose
+    # integer exactness. With full fp32 every product here is < 2^24 and
+    # a multiple of 2^-16, so the L conversion is EXACT integer math and
+    # floor(gray + 0.5) == PIL's (R*19595+G*38470+B*7471+0x8000)>>16.
+    gray = jnp.einsum(
+        "bhwc,c->bhw", imgs.astype(jnp.float32), _L_WEIGHTS, precision=hi
+    )
     gray = jnp.floor(gray + 0.5)  # PIL integer rounding of the L conversion
-    # LANCZOS resample to 32x32 with PIL's two-pass uint8 rounding
+    # LANCZOS resample to 32x32 with PIL's two-pass uint8 rounding.
+    # floor(x + 0.5), NOT round(): PIL's clip8((ss + 2^21) >> 22) rounds
+    # half UP while jnp.round rounds half to even — with 2^-22-quantized
+    # weights (see resample_matrix) exact .5 ties are reachable and
+    # half-even would deterministically diverge on them.
     x = jnp.einsum("xw,bhw->bhx", a_h, gray, precision=hi)
-    x = jnp.clip(jnp.round(x), 0.0, 255.0)
+    x = jnp.clip(jnp.floor(x + 0.5), 0.0, 255.0)
     x = jnp.einsum("yh,bhx->byx", a_v, x, precision=hi)
-    x = jnp.clip(jnp.round(x), 0.0, 255.0)
+    x = jnp.clip(jnp.floor(x + 0.5), 0.0, 255.0)
     # 2D DCT-II via matmuls, crop the low-frequency block
     C = jnp.asarray(_dct2_matrix(hash_size * highfreq_factor))
     d = jnp.einsum("kh,bhx->bkx", C, x, precision=hi)
@@ -137,12 +148,15 @@ def phash_core(imgs, a_v, a_h, hash_size=8, highfreq_factor=4):
     return (flat > med).reshape(low.shape), confident, x.astype(jnp.uint8)
 
 
-def host_bits_from_small(small_u8: np.ndarray) -> str:
-    """Exact imagehash.phash tail on a device-resampled 32x32 grid:
-    fp64 DCT + median threshold -> 16 hex chars. Bit-identical to
-    ``phash_host`` because the grid itself is pixel-exact vs PIL."""
+def host_bits_from_small(small_u8: np.ndarray, hash_size: int = 8) -> str:
+    """Exact imagehash.phash tail on a device-resampled grid: fp64 DCT +
+    median threshold -> hex chars. Matches ``phash_host`` whenever the
+    grid matches PIL's resample — exact except where a pass value lands
+    within fp32 summation error (~1e-5) of a half-integer boundary.
+    ``hash_size`` must match the one the grid was built with
+    (grid side = hash_size * highfreq_factor)."""
     dct = _scipy_dct2(np.asarray(small_u8, np.float64))
-    low = dct[:8, :8]
+    low = dct[:hash_size, :hash_size]
     return bits_to_hex(low > np.median(low))
 
 
@@ -156,8 +170,8 @@ def _phash_batch_jit(imgs, a_v, a_h, *, hash_size=8, highfreq_factor=4):
 def _phash_batch_device(imgs_u8, hash_size, highfreq_factor):
     h, w = imgs_u8.shape[1:3]
     n = hash_size * highfreq_factor
-    a_v = resample_matrix(h, n, "lanczos")
-    a_h = resample_matrix(w, n, "lanczos")
+    a_v = resample_matrix(h, n, "lanczos", quantize_8bpc=True)
+    a_h = resample_matrix(w, n, "lanczos", quantize_8bpc=True)
     bits, confident, small = _phash_batch_jit(
         jnp.asarray(imgs_u8),
         jnp.asarray(a_v),

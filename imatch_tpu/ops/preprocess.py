@@ -49,7 +49,7 @@ def preprocess_core(imgs_u8, a_v, a_h, quantize=True, dtype=jnp.float32):
     if quantize:
         x = jnp.clip(jnp.round(x), 0.0, 255.0)
     x = x * (1.0 / 255.0)
-    x = (x - CLIP_MEAN) / CLIP_STD
+    x = normalize(x)  # the one definition of the CLIP affine
     return x.astype(dtype)
 
 

@@ -51,8 +51,16 @@ def resample_matrix(
     out_size: int,
     filter: str = "bicubic",
     box: Tuple[float, float] = None,
+    quantize_8bpc: bool = False,
 ) -> np.ndarray:
-    """(out_size, in_size) row-stochastic sampling matrix, PIL semantics."""
+    """(out_size, in_size) row-stochastic sampling matrix, PIL semantics.
+
+    ``quantize_8bpc``: snap each weight to PIL's 8-bit-path fixed point
+    (round(w * 2^22) / 2^22, ImagingResampleHorizontal_8bpc's
+    normalize_coeffs) — required when emulating PIL's uint8 resample
+    bit-for-bit (the pHash grid); the CLIP float path leaves weights
+    unquantized. The quantized values are exact in fp32 (<= 24
+    significant bits)."""
     fn, support0 = _FILTERS[filter]
     box0, box1 = box if box is not None else (0.0, float(in_size))
     scale = (box1 - box0) / out_size
@@ -69,6 +77,8 @@ def resample_matrix(
         if s != 0:
             w = w / s
         A[i, xmin:xmax] = w
+    if quantize_8bpc:
+        A = np.round(A * (1 << 22)) / (1 << 22)
     return A.astype(np.float32)
 
 

@@ -30,6 +30,7 @@ from __future__ import annotations
 
 import functools
 import json
+from collections import OrderedDict
 from typing import Dict, Iterable, List, Optional, Sequence, Tuple
 
 import numpy as np
@@ -100,7 +101,10 @@ class CLIPTokenizer:
         self.eos_token = eos_token
         self.bos_id = self.vocab[bos_token]
         self.eos_id = self.vocab[eos_token]
-        self._bpe_cache: Dict[str, str] = {}
+        # bounded LRU: a long-lived server seeing unbounded unique words
+        # (filenames, adversarial queries) must not grow memory forever
+        self._bpe_cache: "OrderedDict[str, str]" = OrderedDict()
+        self._bpe_cache_cap = 32768
 
     # -- constructors -------------------------------------------------------
 
@@ -142,6 +146,7 @@ class CLIPTokenizer:
     def bpe(self, token: str) -> str:
         cached = self._bpe_cache.get(token)
         if cached is not None:
+            self._bpe_cache.move_to_end(token)
             return cached
         word = tuple(token[:-1]) + (token[-1] + "</w>",)
         pairs = _get_pairs(word)
@@ -180,6 +185,8 @@ class CLIPTokenizer:
             pairs = _get_pairs(word)
         out = " ".join(word)
         self._bpe_cache[token] = out
+        if len(self._bpe_cache) > self._bpe_cache_cap:
+            self._bpe_cache.popitem(last=False)
         return out
 
     def _tokenize_word(self, token: str) -> List[int]:
@@ -195,6 +202,13 @@ class CLIPTokenizer:
         text = _WHITESPACE.sub(" ", text.strip()).lower()
         ids: List[int] = []
         for tok in _SPLIT.findall(text):
+            if tok == self.bos_token or tok == self.eos_token:
+                # HF treats the special literals as added tokens (one
+                # id), not text to byte-encode through BPE
+                ids.append(
+                    self.bos_id if tok == self.bos_token else self.eos_id
+                )
+                continue
             ids.extend(self._tokenize_word(tok))
         return ids
 
@@ -208,14 +222,16 @@ class CLIPTokenizer:
 
         Matches HF's ``padding="max_length", truncation=True`` semantics
         (/root/reference/utils.py:88): sequences longer than ``max_length``
-        keep the first ``max_length - 2`` content tokens.
+        keep the first ``max_length - 2`` content tokens. ``pad_to``
+        (when given) is the exact row width: rows both pad AND truncate
+        to it, so the returned array shape is always (N, pad_to).
         """
-        pad_to = pad_to or max_length
+        width = pad_to if pad_to is not None else max_length
         rows = []
         for text in texts:
-            ids = self.encode(text)[: max_length - 2]
+            ids = self.encode(text)[: min(max_length, width) - 2]
             row = [self.bos_id] + ids + [self.eos_id]
-            row = row + [self.eos_id] * (pad_to - len(row))
+            row = row + [self.eos_id] * (width - len(row))
             rows.append(row)
         return np.asarray(rows, dtype=np.int32)
 

@@ -428,8 +428,8 @@ class ClipEmbedder:
                 small_idx.extend(idxs)
                 continue
             a_v_c, a_h_c = resize_crop_matrices(h, w, out_size)
-            a_v_p = resample_matrix(h, 32, "lanczos")
-            a_h_p = resample_matrix(w, 32, "lanczos")
+            a_v_p = resample_matrix(h, 32, "lanczos", quantize_8bpc=True)
+            a_h_p = resample_matrix(w, 32, "lanczos", quantize_8bpc=True)
             consts = tuple(
                 jnp.asarray(m) for m in (a_v_c, a_h_c, a_v_p, a_h_p)
             )

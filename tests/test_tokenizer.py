@@ -118,3 +118,36 @@ def test_nfc_normalization_matches_composed():
     decomposed = unicodedata.normalize("NFD", composed)
     assert composed != decomposed  # sanity: genuinely different strings
     assert tok.encode(composed) == tok.encode(decomposed)
+
+
+def test_special_token_literals_map_to_ids():
+    """A literal '<|endoftext|>' in user text is ONE special id (HF
+    added-token behavior), not a byte-level BPE expansion."""
+    tok = CLIPTokenizer.byte_fallback()
+    ids = tok.encode("hello <|endoftext|> world")
+    assert tok.eos_id in ids
+    assert ids.count(tok.eos_id) == 1
+    plain = tok.encode("hello world")
+    # removing the special leaves exactly the plain encoding
+    stripped = [i for i in ids if i != tok.eos_id]
+    assert stripped == plain
+    assert tok.encode("<|startoftext|>") == [tok.bos_id]
+
+
+def test_encode_batch_pad_to_is_exact_row_width():
+    tok = CLIPTokenizer.byte_fallback()
+    arr = tok.encode_batch(["hi", "word " * 400], max_length=248, pad_to=64)
+    assert arr.shape == (2, 64)
+    assert arr[0, 0] == tok.bos_id and arr[0, -1] == tok.eos_id
+    # pad_to > max_length still truncates content by max_length
+    arr2 = tok.encode_batch(["word " * 400], max_length=16, pad_to=32)
+    assert arr2.shape == (1, 32)
+    assert (arr2[0, 15:] == tok.eos_id).all()
+
+
+def test_bpe_cache_is_bounded():
+    tok = CLIPTokenizer.byte_fallback()
+    tok._bpe_cache_cap = 64
+    for i in range(500):
+        tok.encode(f"uniqueword{i}")
+    assert len(tok._bpe_cache) <= 64
