@@ -40,10 +40,17 @@ def prefill(
     max_new: int = 0,
     use_cache: bool = True,
 ) -> Tuple[jax.Array, KVCache, jax.Array]:
-    """Run [image patches; prompt tokens] through the decoder.
+    """Run [BOS; image patches; prompt tokens] through the decoder.
 
-    image_embeds: (B, P, D) projected vision features (prefix).
-    token_ids: (B, S) prompt token ids (fixed length, no padding).
+    Layout parity: moondream2 checkpoints were trained with the BOS
+    embedding at position 0 BEFORE the image patches (the reference
+    runtime's input_embeds), so token_ids[:, 0] MUST be BOS — the
+    runtime's _prompt_id_list guarantees it. Placing BOS after the
+    image shifts every rotary position the model was trained on.
+
+    image_embeds: (B, P, D) projected vision features.
+    token_ids: (B, S) prompt token ids, BOS first (fixed length, no
+    padding).
     max_new > 0 sizes the KV cache to a 128-slot bucket just above
     prompt+max_new instead of max_seq — decode attends the whole cache
     per step, so this cuts per-token reads (measured ~2x at moondream2
@@ -51,7 +58,8 @@ def prefill(
     """
     b = token_ids.shape[0]
     tok = embed_tokens(params, token_ids, dtype)
-    seq = jnp.concatenate([image_embeds.astype(tok.dtype), tok], axis=1)
+    img = image_embeds.astype(tok.dtype)
+    seq = jnp.concatenate([tok[:, :1], img, tok[:, 1:]], axis=1)
     if not use_cache:
         # cache-free prefill: no (L, B, H, Dh, S) buffers at all — the
         # VQA fast path only reads the logits, and the discarded cache

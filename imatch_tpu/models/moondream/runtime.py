@@ -46,7 +46,7 @@ from imatch_tpu.models.moondream.model import (
     encode_image_features,
     init_md_params,
 )
-from imatch_tpu.ops.resize import resize_crop_matrices
+from imatch_tpu.ops.resize import resample_matrix
 from imatch_tpu.ops.tokenizer_gpt2 import GPT2Tokenizer
 from imatch_tpu.utils.batching import pad_rows, pow2_bucket, to_rgb
 from imatch_tpu.utils.metrics import METRICS
@@ -222,14 +222,21 @@ class MoondreamJax:
     # -- image encoding -------------------------------------------------
 
     def _preprocess(self, image) -> jnp.ndarray:
-        """PIL image or HWC uint8 array -> (1, S, S, 3) in [-1, 1]."""
+        """PIL image or HWC uint8 array -> (1, S, S, 3) in [-1, 1].
+
+        Full-frame SQUASH resize to (S, S), not shortest-edge + center
+        crop: moondream2's trained preprocessing resizes the whole frame
+        (378x378 bicubic), so a crop would silently discard the edges of
+        non-square images — content a caption or a yes/no filter answer
+        must still see."""
         arr = to_rgb(image)
         h, w = arr.shape[:2]
         key = (h, w)
         if key not in self._resize_cache:
             if len(self._resize_cache) >= 64:  # bound device-array growth
                 self._resize_cache.pop(next(iter(self._resize_cache)))
-            a_v, a_h = resize_crop_matrices(h, w, self._size)
+            a_v = resample_matrix(h, self._size, "bicubic")
+            a_h = resample_matrix(w, self._size, "bicubic")
             self._resize_cache[key] = (jnp.asarray(a_v), jnp.asarray(a_h))
         a_v, a_h = self._resize_cache[key]
         x = jnp.asarray(arr, jnp.float32)[None]
@@ -318,8 +325,13 @@ class MoondreamJax:
         chunk = int(os.environ.get("IMATCH_VLM_ENC_CHUNK", "16"))
         arrs = [to_rgb(im) for im in images]
         out: list = [None] * len(arrs)
+        from imatch_tpu.runtime.scheduler import GATE
+
         with self._lock, METRICS.timer("vlm.encode_batch"):
             for s in range(0, len(arrs), chunk):
+                # bulk stream: park between chunks while live searches
+                # are in flight (every other bulk device path does)
+                GATE.checkpoint()
                 part = list(range(s, min(s + chunk, len(arrs))))
                 pix = jnp.concatenate(
                     [self._preprocess(arrs[i]) for i in part], axis=0

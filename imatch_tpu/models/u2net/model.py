@@ -80,16 +80,9 @@ def _conv1x1(x, p):
     return y + p["b"].astype(x.dtype)
 
 
-def _conv3x3_plain(x, p):
-    y = jax.lax.conv_general_dilated(
-        x,
-        p["w"].astype(x.dtype),
-        window_strides=(1, 1),
-        padding="SAME",
-        dimension_numbers=("NHWC", "HWIO", "NHWC"),
-        preferred_element_type=jnp.float32,
-    ).astype(x.dtype)
-    return y + p["b"].astype(x.dtype)
+# kernel size comes from the weights: the side heads' 3x3 convs and the
+# 1x1 outconv are the SAME stride-1 SAME-padded op
+_conv3x3_plain = _conv1x1
 
 
 # ---------------------------------------------------------------------------

@@ -105,8 +105,11 @@ class U2NetSegmenter:
         if key not in self._resize_cache:
             if len(self._resize_cache) >= 64:  # bound device-array growth
                 self._resize_cache.pop(next(iter(self._resize_cache)))
-            a_v = resample_matrix(h, size, "bilinear")
-            a_h = resample_matrix(w, size, "bilinear")
+            # rembg preprocesses with PIL LANCZOS (sessions resize the
+            # PIL image); bilinear here would feed the net measurably
+            # different high-frequency content than the reference
+            a_v = resample_matrix(h, size, "lanczos")
+            a_h = resample_matrix(w, size, "lanczos")
             self._resize_cache[key] = (jnp.asarray(a_v), jnp.asarray(a_h))
         a_v, a_h = self._resize_cache[key]
         x = jnp.asarray(
