@@ -15,7 +15,13 @@ from imatch_tpu.parallel.sharding import (
     data_spec,
     replicated,
 )
+from imatch_tpu.parallel.dist_ivf import (
+    prepare_sharded_ivf,
+    prepare_sharded_ivf_incremental,
+    sharded_ivf_topk,
+)
 from imatch_tpu.parallel.dist_search import (
+    pad_corpus_for_mesh,
     prepare_sharded_corpus,
     sharded_cosine_topk,
     sharded_topk_prepared,
@@ -35,8 +41,12 @@ __all__ = [
     "clip_param_specs",
     "data_spec",
     "replicated",
+    "pad_corpus_for_mesh",
     "prepare_sharded_corpus",
+    "prepare_sharded_ivf",
+    "prepare_sharded_ivf_incremental",
     "sharded_cosine_topk",
+    "sharded_ivf_topk",
     "sharded_topk_prepared",
     "gpipe_scan",
     "ring_attention",

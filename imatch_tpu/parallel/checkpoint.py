@@ -90,7 +90,20 @@ def restore_checkpoint(
         if key not in data:
             raise KeyError(f"checkpoint missing leaf {key}")
         arr = data[key]
-        new_leaves.append(arr.reshape(np.shape(leaf)))
+        want = np.shape(leaf)
+        if arr.shape != want:
+            # reshape only normalizes 0-d/() scalar storage; a different
+            # structured shape means the checkpoint was saved under a
+            # different config — silently reshaping a (512, 2048) into a
+            # (2048, 512) template would load transposed garbage
+            if arr.size == 1 and int(np.prod(want, dtype=np.int64)) == 1:
+                arr = arr.reshape(want)
+            else:
+                raise ValueError(
+                    f"checkpoint leaf {key} has shape {arr.shape}, "
+                    f"template expects {want} — wrong config?"
+                )
+        new_leaves.append(arr)
     state = jax.tree_util.tree_unflatten(treedef, new_leaves)
     if mesh is not None and param_specs is not None:
         from jax.sharding import NamedSharding

@@ -106,14 +106,21 @@ def prepare_sharded_ivf_incremental(
     live = int(valid.sum())
     frac = float(os.environ.get("IMATCH_IVF_REBUILD_FRAC", "0.3"))
 
-    repair = (
-        snap is not None
-        and snap.get("kind") == "ivf-sharded"
-        and snap.get("dp") == dp
-        and snap.get("rows") == rows
-        and snap["cents"][0].shape[1] == corpus.shape[1]
-        and live <= snap["built_live"] * (1.0 + frac)
-    )
+    try:
+        repair = (
+            snap is not None
+            and snap.get("kind") == "ivf-sharded"
+            and snap.get("dp") == dp
+            and snap.get("rows") == rows
+            and len(snap["cents"]) == dp
+            and all(c.ndim == 2 for c in snap["cents"])
+            and snap["cents"][0].shape[1] == corpus.shape[1]
+            and live <= snap["built_live"] * (1.0 + frac)
+        )
+    except (KeyError, IndexError, AttributeError, TypeError):
+        # malformed host state (e.g. a hand-edited sidecar): the probe
+        # itself must degrade to retrain, same as a failing repair
+        repair = False
     cents, membs, masks = [], [], []
     if repair:
         assign = snap["assign"]

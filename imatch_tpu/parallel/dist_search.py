@@ -49,6 +49,10 @@ def sharded_cosine_topk(
     """
     n = corpus.shape[0]
     dp = mesh.shape[AXIS_DATA]
+    if n == 0:
+        # 0 % dp == 0 would slip past the divisibility check and divide
+        # by a zero tile size below; fail with intent instead
+        raise ValueError("empty corpus: nothing to search")
     if n % dp:
         raise ValueError(f"corpus rows {n} not a multiple of mesh data={dp}")
     shard_rows = n // dp

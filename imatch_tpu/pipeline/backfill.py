@@ -9,7 +9,10 @@ TPU-native difference: when the captioner exposes the batched yes/no
 fast path (MoondreamJax.query_yes_no_batch — one prefill per batch,
 logit comparison instead of a decode loop), images are processed in
 device-sized batches; the reference decodes one answer per image per
-filter over the network.
+filter over the network. Per-image error isolation is preserved: a
+failed batch retries image-by-image so one bad encoding costs one
+image (main.py:975-1037), and the final progress record carries an
+``errors`` count instead of claiming a clean completion.
 """
 
 from __future__ import annotations
@@ -23,7 +26,9 @@ from imatch_tpu.pipeline.state import AppState
 
 logger = logging.getLogger("imatch.backfill")
 
-BATCH = int(os.environ.get("IMATCH_BACKFILL_BATCH", "64"))
+
+def _batch_size() -> int:
+    return int(os.environ.get("IMATCH_BACKFILL_BATCH", "64"))
 
 
 def _query_batched(state: AppState, encs, formatted):
@@ -36,6 +41,29 @@ def _query_batched(state: AppState, encs, formatted):
     return [
         state.captioner.query(e, formatted)["answer"] for e in encs
     ]
+
+
+def _answers_isolated(state: AppState, ids, encs, formatted):
+    """Batch query with per-image fallback: the batched call is the fast
+    path, but ONE bad encoding (torn cache file, backend-mismatched
+    payload) must cost one image, not the whole batch — the reference
+    wraps each image individually (main.py:975-1037). Returns
+    (kept_ids, answers, n_failed)."""
+    try:
+        return ids, _query_batched(state, encs, formatted), 0
+    except Exception as e:  # noqa: BLE001
+        logger.warning(
+            "batched filter query failed (%s); retrying per image", e
+        )
+    kept, answers, failed = [], [], 0
+    for image_id, enc in zip(ids, encs):
+        try:
+            answers.extend(_query_batched(state, [enc], formatted))
+            kept.append(image_id)
+        except Exception as ee:  # noqa: BLE001
+            failed += 1
+            logger.warning("filter query failed for %s: %s", image_id, ee)
+    return kept, answers, failed
 
 
 def process_filter_on_all_images(state: AppState, filter_query: str) -> None:
@@ -60,8 +88,10 @@ def process_filter_on_all_images(state: AppState, filter_query: str) -> None:
         }
 
         done = 0
-        for lo in range(0, total, BATCH):
-            batch_ids = all_ids[lo : lo + BATCH]
+        failed = 0
+        batch = _batch_size()
+        for lo in range(0, total, batch):
+            batch_ids = all_ids[lo : lo + batch]
             try:
                 state.filter_progress[filter_query] = {
                     "status": "processing",
@@ -84,7 +114,10 @@ def process_filter_on_all_images(state: AppState, filter_query: str) -> None:
                 if not ids:
                     done += len(batch_ids)
                     continue
-                answers = _query_batched(state, encs, formatted)
+                ids, answers, n_fail = _answers_isolated(
+                    state, ids, encs, formatted
+                )
+                failed += n_fail
                 with state.lock:
                     for image_id, raw in zip(ids, answers):
                         try:
@@ -93,10 +126,15 @@ def process_filter_on_all_images(state: AppState, filter_query: str) -> None:
                             )
                             md = dict(state.image_metadata.get(image_id, {}))
                             md = merge_filter_result(md, filter_query, answer)
-                            state.image_metadata[image_id] = md
+                            # store FIRST: if the image was deleted
+                            # mid-backfill this raises KeyError before
+                            # the metadata mirror is touched — writing
+                            # the mirror first resurrected deleted
+                            # images as ghost records
                             state.store.update(
                                 ids=[image_id], metadatas=[md]
                             )
+                            state.image_metadata[image_id] = md
                         except KeyError:
                             # image deleted mid-backfill: skip it without
                             # discarding the rest of the batch's answers
@@ -105,17 +143,26 @@ def process_filter_on_all_images(state: AppState, filter_query: str) -> None:
                             )
             except Exception as e:
                 logger.error("filter error for batch at %d: %s", lo, e)
+                failed += len(batch_ids)
             done += len(batch_ids)
 
         # Persist the per-image results (the reference's chroma updates are
         # durable implicitly; our snapshot makes them survive a restart).
         state.snapshot()
-        state.filter_progress[filter_query] = {
+        final = {
             "status": "completed",
             "progress": 100,
-            "processed": total,
+            "processed": total - failed,
             "total": total,
         }
+        if failed:
+            # honest completion: the poller sees how many images the
+            # filter could not be applied to instead of a clean 100%
+            final["errors"] = failed
+            if failed >= total and total:
+                final["status"] = "error"
+                final["message"] = "every image failed"
+        state.filter_progress[filter_query] = final
     except Exception as e:
         logger.error("error processing filter: %s", e)
         state.filter_progress[filter_query] = {

@@ -98,7 +98,7 @@ class CloudCaptioner:
 
     def _post(self, endpoint: str, payload: dict) -> dict:
         import time as _time
-        from urllib.error import HTTPError
+        from urllib.error import HTTPError, URLError
 
         req = urllib.request.Request(
             f"{self.base_url}/{endpoint}",
@@ -133,6 +133,22 @@ class CloudCaptioner:
                 raise RuntimeError(
                     f"moondream API {endpoint} failed: HTTP {e.code} {body}"
                 ) from e
+            except (URLError, TimeoutError, OSError) as e:
+                # DNS blips / connection resets / socket timeouts are at
+                # least as transient as a 503 — same bounded retry
+                if attempt < attempts - 1:
+                    delay = 0.5 * (2**attempt)
+                    logger.warning(
+                        "moondream API %s -> %s, retrying in %.1fs",
+                        endpoint,
+                        e,
+                        delay,
+                    )
+                    _time.sleep(delay)
+                    continue
+                raise RuntimeError(
+                    f"moondream API {endpoint} failed: {e}"
+                ) from e
 
     def caption(self, encoded: Dict[str, Any]) -> Dict[str, str]:
         out = self._post(
@@ -150,12 +166,23 @@ class CloudCaptioner:
 
 
 def save_encoded(path_dir: str, image_id: str, encoded: Any) -> str:
+    """Atomic (tmp + os.replace): a crash mid-write must not leave a
+    truncated .npz that poisons every later backfill of this image —
+    the same torn-write discipline as save_filters and the store
+    snapshot."""
     os.makedirs(path_dir, exist_ok=True)
     path = os.path.join(path_dir, f"{image_id}.npz")
-    if isinstance(encoded, dict):
-        np.savez(path, **{k: np.asarray(v) for k, v in encoded.items()})
-    else:
-        np.savez(path, encoded=np.asarray(encoded))
+    # np.savez appends ".npz" to names lacking it — keep the suffix
+    tmp = f"{path}.{os.getpid()}.tmp.npz"
+    try:
+        if isinstance(encoded, dict):
+            np.savez(tmp, **{k: np.asarray(v) for k, v in encoded.items()})
+        else:
+            np.savez(tmp, encoded=np.asarray(encoded))
+        os.replace(tmp, path)
+    finally:
+        if os.path.exists(tmp):
+            os.unlink(tmp)
     return path
 
 
@@ -163,8 +190,12 @@ def load_encoded(path_dir: str, image_id: str) -> Optional[Dict[str, np.ndarray]
     path = os.path.join(path_dir, f"{image_id}.npz")
     if not os.path.exists(path):
         return None
-    with np.load(path) as z:
-        return {k: z[k] for k in z.files}
+    try:
+        with np.load(path) as z:
+            return {k: z[k] for k in z.files}
+    except Exception as e:  # legacy torn files: behave like a cache miss
+        logger.warning("unreadable encoded cache %s: %s", path, e)
+        return None
 
 
 def get_captioner():
