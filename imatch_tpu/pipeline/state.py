@@ -57,6 +57,7 @@ class AppState:
             segmenter = get_segmenter()
         self.segmenter = segmenter
         self.lock = threading.RLock()
+        self._embedder_lock = threading.Lock()
         self.filter_progress: Dict[str, dict] = {}
         self.image_metadata: Dict[str, dict] = {}
         self.store = (
@@ -65,11 +66,16 @@ class AppState:
         self._hydrate_metadata()
 
     def get_embedder(self) -> ClipEmbedder:
-        """Lazy like the reference's CLIP load (utils.py:28-49)."""
-        with self.lock:
-            if self.embedder is None:
-                self.embedder = ClipEmbedder()
-            return self.embedder
+        """Lazy like the reference's CLIP load (utils.py:28-49).
+
+        Guarded by a DEDICATED lock: holding the global state.lock for a
+        checkpoint load (seconds to minutes) would hang every unrelated
+        endpoint — /api/images, filter polls — behind the first embed."""
+        if self.embedder is None:
+            with self._embedder_lock:
+                if self.embedder is None:
+                    self.embedder = ClipEmbedder()
+        return self.embedder
 
     def _hydrate_metadata(self):
         """load_metadata_from_chromadb equivalent (main.py:550-579)."""

@@ -39,6 +39,24 @@ CORS_ORIGINS = [
 ]
 
 
+def _form_str(form, key: str, default=None):
+    """String form field: multipart clients can send any field as a FILE
+    part; .strip() on an UploadFile was an opaque 500. Returns default
+    when absent, raises _FieldTypeError when present but not a string."""
+    v = form.get(key)
+    if v is None:
+        return default
+    if isinstance(v, str):
+        return v
+    raise _FieldTypeError(key)
+
+
+class _FieldTypeError(ValueError):
+    def __init__(self, field: str):
+        super().__init__(f"field {field!r} must be a string")
+        self.field = field
+
+
 def _parse_bool(v, default=False) -> bool:
     if v is None:
         return default
@@ -115,12 +133,12 @@ def _warmup(state: AppState):
             state.store.query(
                 emb.embed_texts_device(["warmup"] * 16), n_results=10
             )
-            if getattr(state.store, "coalescing", False):
+            coal = getattr(state.store, "_coalescer", None)  # single read
+            if coal is not None:
                 # pre-compile every pow2 Q bucket up to the coalescer's
                 # max batch at the default limit; non-default limits
                 # with Q>1 still compile (once, cached) on first use
-                mb = state.store._coalescer.max_batch
-                qc = [b for b in (2, 4, 8, 16, 32, 64) if b <= mb]
+                qc = [b for b in (2, 4, 8, 16, 32, 64) if b <= coal.max_batch]
                 state.store.warm(n_results_list=(10,), q_counts=qc)
         logger.info("warmup done in %.1fs", time.time() - t0)
     except Exception as e:
@@ -257,7 +275,10 @@ def create_app(state: Optional[AppState] = None, root: str = ".") -> App:
     @app.post("/api/search/text")
     def search_text(req):
         form = req.form()
-        query = form.get("query", "")
+        try:
+            query = _form_str(form, "query", "")
+        except _FieldTypeError as e:
+            return JSONResponse({"success": False, "error": str(e)}, 422)
         filters = form.getlist("filters")
         limit = _parse_int(form.get("limit"), 10)
         if not query.strip() and filters:
@@ -289,7 +310,10 @@ def create_app(state: Optional[AppState] = None, root: str = ".") -> App:
             return JSONResponse(
                 {"success": False, "error": "file field required"}, 422
             )
-        query = form.get("query", "")
+        try:
+            query = _form_str(form, "query", "")
+        except _FieldTypeError as e:
+            return JSONResponse({"success": False, "error": str(e)}, 422)
         weight_image = _parse_float(form.get("weight_image"), 0.5)
         filters = form.getlist("filters")
         limit = _parse_int(form.get("limit"), 10)
@@ -352,11 +376,15 @@ def create_app(state: Optional[AppState] = None, root: str = ".") -> App:
         )
         for i, r in zip(embed_idx, embedded):
             rows[i] = r
+        listing = None
         for i in range(len(queries)):
             if rows[i] is None:
-                rows[i] = search_mod.get_all_images_with_limit(
-                    state, limit=limit
-                )
+                if listing is None:
+                    # one lock + sort for ALL empty queries, not per row
+                    listing = search_mod.get_all_images_with_limit(
+                        state, limit=limit
+                    )
+                rows[i] = [dict(md) for md in listing]
         return {
             "results": [apply_search_filters(r, filters) for r in rows]
         }
@@ -384,10 +412,14 @@ def create_app(state: Optional[AppState] = None, root: str = ".") -> App:
         filters = form.getlist("filters")
         limit = _parse_int(form.get("limit"), 10)
         remove_bg = _parse_bool(form.get("remove_bg"))
+        # decode concurrently on the C++ pool (submit all, then wait) —
+        # the serial per-file decode made batch latency N x single-decode
+        loader = default_loader()
+        tickets = [loader.submit_bytes(f.content) for f in files]
         images = []
-        for f in files:
+        for f, t in zip(files, tickets):
             try:
-                image = _open_upload(f)
+                image = Image.fromarray(loader.wait(t))
             except Exception as e:
                 return JSONResponse(
                     {
@@ -433,20 +465,43 @@ def create_app(state: Optional[AppState] = None, root: str = ".") -> App:
                 {"success": False, "error": "description field required"},
                 422,
             )
-        if image_id not in state.image_metadata:
+        if not isinstance(description, str):
             return JSONResponse(
-                {"success": False, "error": "Image not found"}, 404
+                {"success": False, "error": "description must be a string"},
+                422,
             )
         custom_metadata = form.get("custom_metadata")
+        if custom_metadata is not None and not isinstance(
+            custom_metadata, str
+        ):
+            return JSONResponse(
+                {"success": False, "error": "custom_metadata must be a string"},
+                422,
+            )
         with state.lock:
-            metadata = dict(state.image_metadata[image_id])
+            # existence check INSIDE the lock (a concurrent reset between
+            # check and write used to 500), and store-first ordering so a
+            # vanished id cannot leave a ghost mirror record
+            current = state.image_metadata.get(image_id)
+            if current is None:
+                return JSONResponse(
+                    {"success": False, "error": "Image not found"}, 404
+                )
+            metadata = dict(current)
             metadata["description"] = description
+            # reference parity: Form(None) overwrites — an omitted
+            # custom_metadata clears the stored one (main.py:479,503)
             metadata["custom_metadata"] = custom_metadata
+            try:
+                # Unlike the reference (which overwrites the stored
+                # metadata with a 3-field subset, main.py:503-510 —
+                # losing id/url on restart), persist the full record.
+                state.store.update(ids=[image_id], metadatas=[metadata])
+            except KeyError:
+                return JSONResponse(
+                    {"success": False, "error": "Image not found"}, 404
+                )
             state.image_metadata[image_id] = metadata
-            # Unlike the reference (which overwrites the stored metadata
-            # with a 3-field subset, main.py:503-510 — losing id/url on
-            # restart), persist the full updated record.
-            state.store.update(ids=[image_id], metadatas=[metadata])
         state.snapshot()
         return {"success": True, "metadata": metadata}
 
@@ -590,19 +645,25 @@ def create_app(state: Optional[AppState] = None, root: str = ".") -> App:
             (f, loader.submit_path(os.path.join(samples_dir, f)))
             for f in files
         ]
+        failed_decode = []
         for f, t in tickets:
             try:
                 images.append(loader.wait(t))
                 names.append(f)
-            except Exception:
-                continue
-        results = process_batch(state, images, names)
+            except Exception as e:
+                # report undecodable files instead of silently dropping
+                # them from a response that claims success
+                failed_decode.append(
+                    {"filename": f, "status": "error", "error": str(e)}
+                )
+        results = process_batch(state, images, names) + failed_decode
         state.snapshot()
         return {
             "success": True,
-            "total": len(names),
+            "total": len(files),
             "successful": sum(1 for r in results if r["status"] == "success"),
             "skipped": sum(1 for r in results if r["status"] == "skipped"),
+            "failed": sum(1 for r in results if r["status"] == "error"),
             "results": results,
         }
 

@@ -263,7 +263,13 @@ class App:
         (backend/app/main.py:57-63)."""
         if self.cors_origins is None:
             return []
-        allowed = "*" in self.cors_origins or request_origin in self.cors_origins
+        # Credentialed reflection ONLY for explicitly-listed origins: a
+        # "*" entry must not make the server echo arbitrary Origins with
+        # allow-credentials (any page could then issue credentialed
+        # requests and read responses). Unlisted origins fall through to
+        # the wildcard-without-credentials branch — still usable by
+        # plain fetches, never by credentialed ones.
+        allowed = request_origin in self.cors_origins
         if request_origin and allowed:
             # credentialed responses must NOT use the '*' wildcard for
             # allow-headers (the Fetch spec reads it as a literal header

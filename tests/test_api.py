@@ -812,3 +812,43 @@ def test_unserializable_handler_result_is_500(client):
     r = client.get("/api/_test_bad")
     assert r.status_code == 500
     assert "unserializable" in r.json()["error"]
+
+
+def test_unlisted_origin_never_gets_credentialed_cors(client):
+    """'*' in the origin list must NOT reflect arbitrary Origins with
+    allow-credentials — only explicitly-listed origins get the
+    credentialed response; others get the wildcard WITHOUT credentials."""
+    r = client.get("/api/images", headers={"origin": "https://evil.example"})
+    acao = r.headers.get("access-control-allow-origin")
+    cred = r.headers.get("access-control-allow-credentials")
+    assert acao in (None, "*")
+    assert cred is None
+    # explicitly-listed dev origin still gets the credentialed reflect
+    r = client.get(
+        "/api/images", headers={"origin": "http://localhost:3000"}
+    )
+    assert r.headers["access-control-allow-origin"] == "http://localhost:3000"
+    assert r.headers["access-control-allow-credentials"] == "true"
+
+
+def test_string_field_sent_as_file_is_422(client):
+    """A multipart client sending 'query' as a FILE part must get a 422
+    validation error, not an AttributeError 500."""
+    r = client.post(
+        "/api/search/text",
+        files={"query": ("q.txt", b"drill", "text/plain")},
+        data={"limit": "3", "filters": "x"},
+    )
+    assert r.status_code == 422
+    assert "string" in r.json()["error"]
+
+
+def test_metadata_update_races_reset_404_not_500(client):
+    md = upload(client).json()["metadata"]
+    client.post("/api/reset")
+    r = client.put(
+        f"/api/metadata/{md['id']}",
+        data={"description": "after reset"},
+    )
+    assert r.status_code == 404
+    assert client.get("/api/images").json()["images"] == []
