@@ -60,4 +60,23 @@ if __name__ == "__main__":
     root = os.environ.get("IMATCH_ROOT", ".")
     port = int(os.environ.get("PORT", "8000"))
     app = create_app(root=root)
+
+    # Graceful shutdown: mutations are already journaled per-op, so no
+    # data is at risk — but compacting into a snapshot here makes the
+    # NEXT start take the fast cold-load path (one npy read) instead of
+    # a journal replay. SIGTERM is what orchestrators send.
+    import signal
+    import sys
+
+    def _graceful(signum, frame):
+        log = logging.getLogger("imatch.run")
+        log.info("signal %d: snapshotting before exit", signum)
+        try:
+            app.state.snapshot(force=True)
+        except Exception as e:
+            log.error("shutdown snapshot failed: %s", e)
+        sys.exit(0)
+
+    signal.signal(signal.SIGTERM, _graceful)
+    signal.signal(signal.SIGINT, _graceful)
     serve(app, port=port)
