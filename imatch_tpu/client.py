@@ -41,13 +41,15 @@ def _encode_multipart(fields: Sequence[Tuple[str, Any]]) -> Tuple[bytes, str]:
                 mimetypes.guess_type(filename)[0]
                 or "application/octet-stream"
             )
-            # escape like urllib3: quotes would truncate the server's
-            # filename capture, CR/LF would inject part headers
+            # HTML5/browser escaping: percent-encode the three unsafe
+            # characters. Backslash-escaping quotes does NOT round-trip
+            # (the server's filename="..." capture stops at the first
+            # quote); %22 is what browsers send and servers store it
+            # literally, with no truncation or header injection.
             safe_name = (
-                filename.replace("\\", "\\\\")
-                .replace('"', '\\"')
-                .replace("\r", " ")
-                .replace("\n", " ")
+                filename.replace('"', "%22")
+                .replace("\r", "%0D")
+                .replace("\n", "%0A")
             )
             out += (
                 f'Content-Disposition: form-data; name="{name}"; '
@@ -157,14 +159,52 @@ class ImageMatchClient:
                 on_progress(i + 1, len(paths), entry)
         return results
 
-    def upload_folder_batched(self, paths: Sequence[str], remove_bg=False) -> Dict:
-        """One /api/upload-folder request — the batched TPU-native path."""
+    def upload_folder_batched(
+        self,
+        paths: Sequence[str],
+        remove_bg=False,
+        max_batch_bytes: int = 64 * 1024 * 1024,
+        max_batch_files: int = 256,
+    ) -> Dict:
+        """Batched /api/upload-folder, chunked by payload size — one
+        request per <=64 MB / <=256 files instead of materializing the
+        whole folder in memory twice (a 5 GB corpus would hold ~10 GB
+        transient RAM and time out a single request). Returns one merged
+        summary across all chunks."""
+        merged = {
+            "success": True,
+            "total": 0,
+            "successful": 0,
+            "skipped": 0,
+            "failed": 0,
+            "results": [],
+        }
+
+        def _send(fields):
+            fields.append(("remove_bg", str(remove_bg).lower()))
+            out = self._request("POST", "/api/upload-folder", fields)
+            merged["total"] += out.get("total", 0)
+            for k in ("successful", "skipped", "failed"):
+                merged[k] += out.get(k, 0)
+            merged["results"].extend(out.get("results", []))
+            merged["success"] = merged["success"] and out.get("success", False)
+
         fields: List[Tuple[str, Any]] = []
+        size = 0
         for p in paths:
             with open(p, "rb") as f:
-                fields.append(("files", (os.path.basename(p), f.read())))
-        fields.append(("remove_bg", str(remove_bg).lower()))
-        return self._request("POST", "/api/upload-folder", fields)
+                data = f.read()
+            if fields and (
+                size + len(data) > max_batch_bytes
+                or len(fields) >= max_batch_files
+            ):
+                _send(fields)
+                fields, size = [], 0
+            fields.append(("files", (os.path.basename(p), data)))
+            size += len(data)
+        if fields:
+            _send(fields)
+        return merged
 
     # -- search ---------------------------------------------------------------
 

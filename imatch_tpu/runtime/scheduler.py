@@ -45,32 +45,40 @@ class PriorityGate:
 
     def __init__(self):
         self._cond = threading.Condition()
-        self._started = 0  # priority sections ever opened
-        self._finished = 0  # priority sections ever closed
+        self._next_seq = 0  # priority sections ever opened
+        self._open: set = set()  # seq numbers of in-flight sections
 
     @contextmanager
     def priority(self):
         """Mark a latency-critical section (dispatch + fetch)."""
         with self._cond:
-            self._started += 1
+            seq = self._next_seq
+            self._next_seq += 1
+            self._open.add(seq)
         try:
             yield
         finally:
             with self._cond:
-                self._finished += 1
+                self._open.discard(seq)
                 self._cond.notify_all()
 
     def checkpoint(self, timeout: float = 2.0) -> bool:
         """Bulk yield point: park until every priority section open at
         this moment has finished (or ``timeout`` — a stuck search must
         not wedge ingest). Returns True if it waited. Costs one
-        uncontended lock acquire when idle."""
+        uncontended lock acquire when idle.
+
+        Exactness matters here: the wait is on the SET of open section
+        ids below the snapshot, not on a finished-count — with counters,
+        a later section opening and closing quickly could satisfy the
+        count while a section open at snapshot time was still in flight,
+        letting a bulk quantum interleave mid-section."""
         with self._cond:
-            target = self._started
-            if self._finished >= target:
+            target = self._next_seq
+            if not any(s < target for s in self._open):
                 return False
             deadline = time.monotonic() + timeout
-            while self._finished < target:
+            while any(s < target for s in self._open):
                 left = deadline - time.monotonic()
                 if left <= 0:
                     break
@@ -79,7 +87,7 @@ class PriorityGate:
 
     @property
     def contended(self) -> bool:
-        return self._finished < self._started
+        return bool(self._open)
 
 
 GATE = PriorityGate()

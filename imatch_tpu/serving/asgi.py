@@ -98,6 +98,13 @@ class Request:
         return json.loads(self.body)
 
 
+def _mp_decode(b: bytes) -> str:
+    try:
+        return b.decode("utf-8")
+    except UnicodeDecodeError:
+        return b.decode("latin-1")
+
+
 def _parse_multipart(body: bytes, content_type: str) -> FormData:
     form = FormData()
     m = re.search(r'boundary="?([^";]+)"?', content_type)
@@ -127,9 +134,10 @@ def _parse_multipart(body: bytes, content_type: str) -> FormData:
         for line in raw_headers.split(b"\r\n"):
             if b":" in line:
                 k, v = line.split(b":", 1)
-                headers[k.decode("latin-1").strip().lower()] = v.decode(
-                    "latin-1"
-                ).strip()
+                # browsers send RAW UTF-8 in multipart filenames (HTML5);
+                # latin-1 would mojibake 'café.jpg'. Fall back to latin-1
+                # only for bytes that are not valid UTF-8.
+                headers[_mp_decode(k).strip().lower()] = _mp_decode(v).strip()
         disp = headers.get("content-disposition", "")
         name_m = re.search(r'name="([^"]*)"', disp)
         if not name_m:

@@ -85,8 +85,9 @@ async function doSearch(ev){
   $('#go').disabled=true;$('#status').textContent='searching…';
   try{
     const r=await fetch(url,{method:'POST',body:fd}); const j=await r.json();
-    render(j.results||[]);
-    $('#status').textContent=`${(j.results||[]).length} results`;
+    if(!r.ok){$('#status').textContent='error: '+(j.error||r.status);render([]);}
+    else{render(j.results||[]);
+      $('#status').textContent=`${(j.results||[]).length} results`;}
   }catch(e){$('#status').textContent='error: '+e}
   $('#go').disabled=false;
 }
@@ -173,10 +174,12 @@ async function upload(ev){
   fd.append('custom_metadata',$('#umeta').value);
   fd.append('remove_bg',$('#ubg').checked);
   $('#ustatus').textContent='uploading…';
-  const r=await fetch('/api/upload',{method:'POST',body:fd});
-  const j=await r.json();
-  $('#ustatus').textContent=r.status===409?'duplicate — already indexed ('+j.metadata.id+')'
-    :(j.success?'indexed as '+j.metadata.id:'error: '+(j.error||r.status));
+  try{
+    const r=await fetch('/api/upload',{method:'POST',body:fd});
+    const j=await r.json();
+    $('#ustatus').textContent=r.status===409?'duplicate — already indexed ('+j.metadata.id+')'
+      :(j.success?'indexed as '+j.metadata.id:'error: '+(j.error||r.status));
+  }catch(e){$('#ustatus').textContent='error: '+e;}
   listImages();
 }
 // Sequential per-file upload with live progress and 409 classification —
@@ -228,11 +231,14 @@ async function uploadBatch(ev){
   ok.forEach(f=>fd.append('files',f));
   fd.append('remove_bg',$('#bbg').checked);
   $('#bstatus').textContent=sizeMsg(rejected)+'uploading '+ok.length+' files…';
-  const r=await fetch('/api/upload-folder',{method:'POST',body:fd});
-  const j=await r.json();
-  $('#bstatus').textContent=sizeMsg(rejected)+
-    `done: ${j.successful} ok, ${j.skipped} skipped, ${j.failed} failed\\n`+
-    (j.results||[]).map(x=>`${x.filename}: ${x.status}${x.reason?' — '+x.reason:''}`).join('\\n');
+  try{
+    const r=await fetch('/api/upload-folder',{method:'POST',body:fd});
+    const j=await r.json();
+    if(!r.ok){$('#bstatus').textContent=sizeMsg(rejected)+'error: '+(j.error||r.status);}
+    else{$('#bstatus').textContent=sizeMsg(rejected)+
+      `done: ${j.successful} ok, ${j.skipped} skipped, ${j.failed} failed\\n`+
+      (j.results||[]).map(x=>`${x.filename}: ${x.status}${x.reason?' — '+x.reason:''}`).join('\\n');}
+  }catch(e){$('#bstatus').textContent=sizeMsg(rejected)+'error: '+e;}
   listImages();
 }
 // drag-and-drop zone (FileDropzone.tsx equivalent)
@@ -267,7 +273,8 @@ async function loadFilters(){
   });
 }
 async function delFilter(f){
-  await fetch('/api/filters/'+encodeURIComponent(f),{method:'DELETE'});
+  try{await fetch('/api/filters/'+encodeURIComponent(f),{method:'DELETE'});}
+  catch(e){$('#fprogtext').textContent='delete failed: '+e;$('#fprog').style.display='block';}
   loadFilters();
 }
 async function addFilter(ev){
@@ -279,24 +286,46 @@ async function addFilter(ev){
   let url='/api/filters';
   if(parts.length>1){url='/api/filters/batch';fd.append('filter_queries',q);}
   else fd.append('filter_query',q);
-  await fetch(url,{method:'POST',body:fd});
+  try{await fetch(url,{method:'POST',body:fd});}
+  catch(e){$('#fprogtext').textContent='add failed: '+e;$('#fprog').style.display='block';return;}
   $('#fquery').value=''; loadFilters();
   parts.forEach(p=>pollProgress(p));
 }
+// One poller at a time: the progress text/bar are shared elements, so
+// comma-batch adds queue their filters and poll SEQUENTIALLY instead of
+// interleaving writes (the bar used to flip between filters every tick).
+const _pollQueue=[]; let _polling=false;
 function pollProgress(q){
+  _pollQueue.push(q);
+  if(!_polling)_pollNext();
+}
+function _pollNext(){
+  const q=_pollQueue.shift();
+  if(q===undefined){_polling=false;return;}
+  _polling=true;
   const el=$('#fprog'); el.style.display='block';
-  let notFound=0;
+  let notFound=0, errors=0;
   const tick=async()=>{
-    const r=await fetch('/api/filter-progress?filter_query='+encodeURIComponent(q));
-    const j=await r.json();
+    let j;
+    try{
+      const r=await fetch('/api/filter-progress?filter_query='+encodeURIComponent(q));
+      j=await r.json();
+    }catch(e){
+      // transient blip must not freeze the bar forever
+      if(errors++<20){setTimeout(tick,1000);}
+      else{$('#fprogtext').textContent=`${q}: poll failed — ${e}`;_pollNext();}
+      return;
+    }
     $('#fprogtext').textContent=`${q}: ${j.status} ${j.progress||0}% `+
-      (j.current_image?('— '+j.current_image):'');
+      (j.current_image?('— '+j.current_image):'')+
+      (j.errors?` (${j.errors} errors)`:'');
     $('#fprogbar').value=j.progress||0;
     // 'not_found' right after add is the registration race (the
     // backfill thread hasn't written its progress record yet) — keep
     // polling briefly instead of freezing the bar forever
     if(j.status==='processing'||j.status==='pending'){setTimeout(tick,500);}
     else if(j.status==='not_found'&&notFound++<20){setTimeout(tick,500);}
+    else{_pollNext();}
   };
   tick();
 }
@@ -323,7 +352,10 @@ async function saveEdit(ev){
   const fd=new FormData();
   fd.append('description',$('#edesc').value);
   fd.append('custom_metadata',$('#emeta').value);
-  await fetch('/api/metadata/'+editing,{method:'PUT',body:fd});
+  try{
+    const r=await fetch('/api/metadata/'+editing,{method:'PUT',body:fd});
+    if(!r.ok){const j=await r.json();alert('save failed: '+(j.error||r.status));return;}
+  }catch(e){alert('save failed: '+e);return;}
   $('#edlg').close(); listImages();
 }
 async function resetAll(){

@@ -187,3 +187,25 @@ def test_client_filter_with_slash_roundtrip(server):
     assert "indoor/outdoor scene" in c.filters()
     c.delete_filter("indoor/outdoor scene")
     assert "indoor/outdoor scene" not in c.filters()
+
+
+def test_client_unicode_and_quote_filenames_roundtrip(server, tmp_path):
+    """Multipart filenames with UTF-8 and quotes survive the client ->
+    server round-trip: UTF-8 exactly (the server decodes part headers
+    as UTF-8 like browsers send them), quotes as %22 (browser-style
+    percent-encoding — no truncation, no header injection)."""
+    from PIL import Image
+    import numpy as np
+
+    c = server  # the fixture yields a ready client
+    rng = np.random.default_rng(77)
+    p = tmp_path / 'café "q".png'
+    Image.fromarray(
+        rng.integers(0, 256, (24, 24, 3), np.uint8)
+    ).save(p)
+    out = c.upload(str(p))
+    assert out["success"] is True
+    got = out["metadata"]["filename"]
+    assert "café" in got  # UTF-8 preserved, not mojibaked
+    assert "%22q%22" in got  # quotes percent-encoded, nothing truncated
+    assert "\\" not in got
