@@ -436,6 +436,48 @@ def bench_http_search(embedder, store: VectorStore, on_tpu: bool):
         return round(float(np.median(times)) * 1e3, 3), batch_p50, per_q
 
 
+def bench_ivf_incremental(on_tpu: bool):
+    """ANN-tier rebuild cost per ingest batch: repair (assign only the
+    new rows against existing centroids, round-3) vs the old full
+    k-means. Fail-soft: the bench must never die on an optional tier."""
+    import time
+
+    try:
+        rows = 400_000 if on_tpu else 30_000
+        d = 512
+        rng = np.random.default_rng(0)
+        emb = rng.standard_normal((rows, d)).astype(np.float32)
+        emb /= np.linalg.norm(emb, axis=1, keepdims=True)
+        q = emb[:8]
+        store = VectorStore(dim=d, engine="ivf")
+        store.add(ids=[f"r{i:08d}" for i in range(rows)], embeddings=emb)
+        t0 = time.perf_counter()
+        store.query(q, n_results=10)
+        build_s = time.perf_counter() - t0
+        batch = emb[:2048] * -1.0
+        store.add(
+            ids=[f"x{i:05d}" for i in range(2048)], embeddings=batch
+        )
+        t0 = time.perf_counter()
+        store.query(q, n_results=10)
+        repair_s = time.perf_counter() - t0
+        os.environ["IMATCH_IVF_REBUILD_FRAC"] = "0"
+        store.add(ids=["y0"], embeddings=emb[:1])
+        t0 = time.perf_counter()
+        store.query(q, n_results=10)
+        retrain_s = time.perf_counter() - t0
+        os.environ.pop("IMATCH_IVF_REBUILD_FRAC", None)
+        return {
+            "ivf_rows": rows,
+            "ivf_initial_build_s": round(build_s, 3),
+            "ivf_repair_rebuild_s": round(repair_s, 3),
+            "ivf_full_retrain_s": round(retrain_s, 3),
+            "ivf_repair_speedup": round(retrain_s / max(repair_s, 1e-9), 1),
+        }
+    except Exception as e:
+        return {"ivf_incremental_error": str(e)[:200]}
+
+
 def main():
     import sys
 
@@ -465,6 +507,10 @@ def main():
     http_p50, http_batch_p50, http_batch_per_q = bench_http_search(
         embedder, store, on_tpu
     )
+    del store  # free the 1M corpus before the IVF tier builds its own
+    mark("incremental IVF tier…")
+    ivf_stats = bench_ivf_incremental(on_tpu)
+    mark(f"ivf {ivf_stats}")
 
     print(
         json.dumps(
@@ -492,6 +538,7 @@ def main():
                     "search_dim": 512,
                     "link_down_mb_s": link_down,
                     "link_up_mb_s": link_up,
+                    **ivf_stats,
                 },
             }
         )
