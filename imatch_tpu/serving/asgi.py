@@ -22,6 +22,7 @@ import json
 import logging
 import mimetypes
 import os
+import time
 import re
 import threading
 import traceback
@@ -200,6 +201,10 @@ class FileResponse(Response):
 
 class App:
     def __init__(self, cors_origins: Optional[List[str]] = None):
+        # per-request access line (method path status bytes ms) — the
+        # reference logs every request (SURVEY.md §5); IMATCH_ACCESS_LOG=0
+        # silences it for benchmark runs
+        self._access_log = os.environ.get("IMATCH_ACCESS_LOG", "1") != "0"
         # routes: (method, regex, param_names, handler)
         self._routes: List[Tuple[str, re.Pattern, List[str], Callable]] = []
         self._static: List[Tuple[str, str]] = []  # (url_prefix, directory)
@@ -445,7 +450,17 @@ class App:
             elif message["type"] == "http.disconnect":
                 return
         body = bytes(chunks)
+        t0 = time.perf_counter()
         resp = await self._handle(scope, body)
+        if self._access_log:
+            logger.info(
+                "%s %s -> %d %dB %.1fms",
+                scope["method"],
+                scope["path"],
+                resp.status,
+                len(resp.body),
+                (time.perf_counter() - t0) * 1e3,
+            )
         headers = [
             ("content-type", resp.media_type),
             ("content-length", str(len(resp.body))),
