@@ -92,12 +92,14 @@ from imatch_tpu.utils.metrics import METRICS
 BASELINE_IMGS_PER_SEC = 5000.0
 
 
-def bench_ingest(on_tpu: bool):
+def bench_ingest(on_tpu: bool, quant: bool = False):
     """Headline metric: embedded + INDEXED (BASELINE.md's north star) —
     each batch's embeddings are fetched and inserted into a live
     VectorStore while the device runs the next batches (the fetch +
     host-side add overlap the compute stream, exactly like the real
-    pipelined ingest path)."""
+    pipelined ingest path). With ``quant=True`` the tower runs the
+    opt-in W8A8 int8 path (IMATCH_EMBED_QUANT=int8,
+    models/clip/quant.py) — reported as an extras tier."""
     cfg = get_config("vit-b32")
     params = init_params(jax.random.key(0), cfg)
     dtype = jnp.bfloat16 if on_tpu else jnp.float32
@@ -112,14 +114,31 @@ def bench_ingest(on_tpu: bool):
     mean = jnp.asarray(CLIP_MEAN * 255.0)
     std_inv = jnp.asarray(1.0 / (CLIP_STD * 255.0))
 
+    if quant:
+        from imatch_tpu.models.clip.quant import (
+            encode_image_w8a8,
+            quantize_vision_tower,
+        )
+
+        qvision = jax.block_until_ready(
+            quantize_vision_tower(params["vision"])
+        )
+
     @jax.jit
     def ingest_step(params, frames_u8):
+        if quant:
+            params, qv = params
         x = frames_u8.astype(jnp.float32)
         hi = jax.lax.Precision.HIGHEST
         x = jnp.einsum("xw,bhwc->bhxc", a_h, x, precision=hi)
         x = jnp.einsum("yh,bhxc->byxc", a_v, x, precision=hi)
         x = (x - mean) * std_inv
+        if quant:
+            return encode_image_w8a8(params, qv, x, cfg)
         return encode_image(params, x, cfg, dtype=dtype)
+
+    if quant:
+        params = (params, qvision)
 
     rng = np.random.default_rng(0)
     frames = jnp.asarray(
@@ -492,6 +511,15 @@ def main():
     mark(f"link {link_down}/{link_up} MB/s; headline ingest (embed+index)…")
     imgs_per_sec = bench_ingest(on_tpu)
 
+    # opt-in W8A8 tier (IMATCH_EMBED_QUANT=int8): measured alongside the
+    # bf16 headline so the throughput-profile operating point is a
+    # recorded number, not a claim (TPU only — int8 means nothing on the
+    # CPU fallback).
+    int8_imgs_per_sec = None
+    if on_tpu:
+        mark(f"headline {imgs_per_sec:.0f} img/s; int8 (W8A8) tier…")
+        int8_imgs_per_sec = bench_ingest(on_tpu, quant=True)
+
     mark(f"headline {imgs_per_sec:.0f} img/s; e2e folder ingest…")
     embedder = ClipEmbedder(config="vit-b32")
     e2e_rate, e2e_ms, stages = bench_e2e_ingest(embedder, on_tpu)
@@ -521,6 +549,11 @@ def main():
                 "vs_baseline": round(imgs_per_sec / BASELINE_IMGS_PER_SEC, 3),
                 "extras": {
                     "backend": jax.default_backend(),
+                    **(
+                        {"ingest_int8_imgs_per_sec": round(int8_imgs_per_sec, 1)}
+                        if int8_imgs_per_sec is not None
+                        else {}
+                    ),
                     "e2e_ingest_imgs_per_sec": round(e2e_rate, 1),
                     "e2e_ingest_wall_ms": e2e_ms,
                     "e2e_stage_ms": stages,

@@ -1,0 +1,198 @@
+"""W8A8 int8 CLIP vision tower — the opt-in embed throughput tier.
+
+The v5e MXU rates int8 matmuls at 2x bf16 (394 vs 197 T*OPS) with
+int32 accumulation. The towers are compute-bound at the bf16 roofline
+(docs/DESIGN.md "CLIP encode ceiling"), so running the encoder's dense
+matmuls int8 x int8 -> int32 buys throughput the bf16 path cannot
+reach. Scheme (the standard W8A8 inference recipe):
+
+- weights: per-out-channel symmetric int8, scales precomputed once at
+  load (``quantize_vision_tower``);
+- activations: dynamic per-token symmetric int8, quantized from the
+  fp32 layernorm output each layer — ONE quantization per LN feeds the
+  packed QKV dots (q/k/v share the same input);
+- attention math, layernorms, residual stream, softmax: bf16/fp32
+  exactly as the shipped path (imatch_tpu/models/clip/model.py) — only
+  the six dense contractions per layer change;
+- output projection and patch-embed conv stay bf16: the conv is
+  C_in=3 (no MXU int8 win) and the projection runs once per image.
+
+Replaces nothing by default: ``IMATCH_EMBED_QUANT=int8`` opts in
+(pipeline/embedder.py), and like the VLM int8 modes it stays opt-in
+until the real-weights gate blesses the fidelity
+(tests/test_golden_weights.py, WEIGHTS.md par. 5). The reference has no
+quantized path at all — its CLIP forward is fp32 torch
+(/root/reference/utils.py:59-102); this tier is a beyond-parity
+capability.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict
+
+import jax
+import jax.numpy as jnp
+
+from imatch_tpu.models.clip.configs import CLIPConfig
+from imatch_tpu.models.clip.model import _act, _layer_norm, _prec
+from imatch_tpu.ops.attention import mha
+
+Params = Dict[str, Any]
+
+
+def _quantize_weight(w: jax.Array) -> Dict[str, jax.Array]:
+    """Per-out-channel symmetric int8 for a stacked (L, D, F) or flat
+    (D, F) weight: scale over the contraction axis (-2)."""
+    w32 = w.astype(jnp.float32)
+    amax = jnp.max(jnp.abs(w32), axis=-2, keepdims=True)
+    scale = jnp.where(amax > 0, amax / 127.0, 1.0)
+    wi = jnp.clip(jnp.round(w32 / scale), -127, 127).astype(jnp.int8)
+    return {"w": wi, "s": jnp.squeeze(scale, axis=-2)}
+
+
+def quantize_vision_tower(vision: Params) -> Params:
+    """Quantize the encoder's dense weights; biases/LN/embeddings are
+    referenced from the original params at call time (no copies)."""
+    layers = vision["layers"]
+    a, m = layers["attn"], layers["mlp"]
+    return {
+        "attn": {
+            "wq": _quantize_weight(a["wq"]),
+            "wk": _quantize_weight(a["wk"]),
+            "wv": _quantize_weight(a["wv"]),
+            "wo": _quantize_weight(a["wo"]),
+        },
+        "mlp": {
+            "w1": _quantize_weight(m["w1"]),
+            "w2": _quantize_weight(m["w2"]),
+        },
+    }
+
+
+def _quant_rows(x32: jax.Array):
+    """Dynamic per-token symmetric int8 from an fp32 activation."""
+    amax = jnp.max(jnp.abs(x32), axis=-1, keepdims=True)
+    scale = jnp.where(amax > 0, amax / 127.0, 1.0)
+    xi = jnp.clip(jnp.round(x32 / scale), -127, 127).astype(jnp.int8)
+    return xi, scale
+
+
+def _qdot(xi: jax.Array, ascale: jax.Array, wq: Dict, b, out_dtype):
+    """int8 x int8 -> int32 contraction + fused dequant (+ bias)."""
+    y = jax.lax.dot_general(
+        xi,
+        wq["w"],
+        (((xi.ndim - 1,), (0,)), ((), ())),
+        preferred_element_type=jnp.int32,
+    )
+    y = (y.astype(jnp.float32) * ascale * wq["s"]).astype(out_dtype)
+    if b is not None:
+        y = y + b.astype(out_dtype)
+    return y
+
+
+def _layer_norm_f32(x, p, eps):
+    """model._layer_norm without the output downcast — the quantizer
+    wants the fp32 values (one fewer rounding)."""
+    x32 = x.astype(jnp.float32)
+    mean = jnp.mean(x32, axis=-1, keepdims=True)
+    var = jnp.var(x32, axis=-1, keepdims=True)
+    y = (x32 - mean) * jax.lax.rsqrt(var + eps)
+    return y * p["scale"] + p["bias"]
+
+
+def _encoder_w8a8(x, layers: Params, qlayers: Params, *, num_heads, eps, act):
+    b, s, d = x.shape
+    hd = d // num_heads
+    prec = _prec(x.dtype)
+
+    # scan xs carry ONLY what the body reads: the fp32 master weights
+    # stay out of the loop (no HBM reads of dead operands riding on
+    # XLA's DCE).
+    a, m = layers["attn"], layers["mlp"]
+    layers = {
+        "ln1": layers["ln1"],
+        "ln2": layers["ln2"],
+        "attn": {k: a[k] for k in ("bq", "bk", "bv", "bo")},
+        "mlp": {"b1": m["b1"], "b2": m["b2"]},
+    }
+
+    def body(h, lp):
+        lp, qp = lp
+        y32 = _layer_norm_f32(h, lp["ln1"], eps)
+        xi, asc = _quant_rows(y32)  # one quant feeds q, k and v
+        a, qa = lp["attn"], qp["attn"]
+        q = _qdot(xi, asc, qa["wq"], a["bq"], h.dtype)
+        k = _qdot(xi, asc, qa["wk"], a["bk"], h.dtype)
+        v = _qdot(xi, asc, qa["wv"], a["bv"], h.dtype)
+        q = q.reshape(b, s, num_heads, hd).transpose(0, 2, 1, 3)
+        k = k.reshape(b, s, num_heads, hd).transpose(0, 2, 1, 3)
+        v = v.reshape(b, s, num_heads, hd).transpose(0, 2, 1, 3)
+        o = mha(q, k, v, causal=False, impl="xla", precision=prec)
+        o = o.transpose(0, 2, 1, 3).reshape(b, s, d)
+        oi, osc = _quant_rows(o.astype(jnp.float32))
+        h = h + _qdot(oi, osc, qa["wo"], a["bo"], h.dtype)
+
+        y32 = _layer_norm_f32(h, lp["ln2"], eps)
+        xi, asc = _quant_rows(y32)
+        m, qm = lp["mlp"], qp["mlp"]
+        y = _act(_qdot(xi, asc, qm["w1"], m["b1"], h.dtype), act)
+        yi, ysc = _quant_rows(y.astype(jnp.float32))
+        h = h + _qdot(yi, ysc, qm["w2"], m["b2"], h.dtype)
+        return h, None
+
+    x, _ = jax.lax.scan(body, x, (layers, qlayers))
+    return x
+
+
+def encode_image_w8a8(
+    params: Params,
+    qvision: Params,
+    pixels: jax.Array,
+    cfg: CLIPConfig,
+    *,
+    normalize: bool = True,
+) -> jax.Array:
+    """Image tower with W8A8 encoder matmuls; stem/pool/projection
+    identical to model.encode_image (bf16 compute)."""
+    vc = cfg.vision
+    vp = params["vision"]
+    dtype = jnp.bfloat16
+    x = pixels.astype(dtype)
+    x = jax.lax.conv_general_dilated(
+        x,
+        vp["patch_embedding"].astype(dtype),
+        window_strides=(vc.patch_size, vc.patch_size),
+        padding="VALID",
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        precision=_prec(dtype),
+    )
+    b = x.shape[0]
+    x = x.reshape(b, vc.num_patches, vc.hidden_size)
+    cls = jnp.broadcast_to(
+        vp["class_embedding"].astype(dtype), (b, 1, vc.hidden_size)
+    )
+    x = jnp.concatenate([cls, x], axis=1)
+    x = x + vp["position_embedding"].astype(dtype)
+    x = _layer_norm(x, vp["pre_ln"], vc.layer_norm_eps)
+    x = _encoder_w8a8(
+        x,
+        vp["layers"],
+        qvision,
+        num_heads=vc.num_heads,
+        eps=vc.layer_norm_eps,
+        act=vc.hidden_act,
+    )
+    pooled = x[:, 0, :]
+    pooled = _layer_norm(pooled, vp["post_ln"], vc.layer_norm_eps)
+    feats = jnp.einsum(
+        "bd,df->bf",
+        pooled,
+        vp["projection"].astype(pooled.dtype),
+        precision=_prec(pooled.dtype),
+        preferred_element_type=jnp.float32,
+    )
+    feats = feats.astype(jnp.float32)
+    if normalize:
+        feats = feats / jnp.linalg.norm(feats, axis=-1, keepdims=True)
+    return feats

@@ -79,6 +79,25 @@ class ClipEmbedder:
                 jnp.bfloat16 if jax.default_backend() == "tpu" else jnp.float32
             )
         self.compute_dtype = compute_dtype
+        # Opt-in W8A8 image tower (IMATCH_EMBED_QUANT=int8): encoder
+        # matmuls run int8 x int8 -> int32 on the MXU (rated 2x bf16 on
+        # v5e). Measured (scripts/exp_w8a8_vit.py, TPU v5e, 2026-08-18):
+        # ViT-B/32 B=512 1.11x (10.2k -> 11.2k img/s), ViT-L/14 B=32
+        # 1.27x (798 -> 1012 img/s); cosine vs fp32 >= 0.9995 on random
+        # init. Stays opt-in until the real-weights gate blesses recall
+        # (WEIGHTS.md par. 5). Text tower is untouched — queries keep
+        # full bf16 fidelity.
+        self.quant = os.environ.get("IMATCH_EMBED_QUANT", "").strip().lower()
+        if self.quant not in ("", "none", "int8"):
+            raise ValueError(
+                f"IMATCH_EMBED_QUANT={self.quant!r}: expected 'int8' or unset"
+            )
+        self._qvision = None
+        if self.quant == "int8":
+            from imatch_tpu.models.clip.quant import quantize_vision_tower
+
+            self._qvision = quantize_vision_tower(self.params["vision"])
+            logger.info("image tower quantized: W8A8 int8 (opt-in)")
         self.tokenizer = default_tokenizer()
         self._lock = threading.Lock()
         # Query-embedding LRU: repeated text queries skip the tokenizer
@@ -147,10 +166,34 @@ class ClipEmbedder:
                 lambda x: jax.device_put(x, NamedSharding(mesh, P())),
                 self.params,
             )
+            if self._qvision is not None:
+                self._qvision = jax.tree.map(
+                    lambda x: jax.device_put(x, NamedSharding(mesh, P())),
+                    self._qvision,
+                )
+
+        # The image-tower jitted fns take ONE weights arg: the params
+        # tree (bf16 path) or a (params, qvision) tuple (int8 path) —
+        # weights are jit ARGUMENTS, never closure captures (closed-over
+        # device arrays become HLO literals; a ViT tower's literals
+        # overflow remote-compile request limits).
+        if self._qvision is not None:
+            from imatch_tpu.models.clip.quant import encode_image_w8a8
+
+            self._img_weights = (self.params, self._qvision)
+
+            def _img_core(weights, pixels):
+                return encode_image_w8a8(weights[0], weights[1], pixels, cfg)
+
+        else:
+            self._img_weights = self.params
+
+            def _img_core(weights, pixels):
+                return encode_image(weights, pixels, cfg, dtype=dt)
 
         @functools.partial(jax.jit, **shardings)
-        def _img_fn(params, pixels):
-            return encode_image(params, pixels, cfg, dtype=dt)
+        def _img_fn(weights, pixels):
+            return _img_core(weights, pixels)
 
         @functools.partial(jax.jit, **shardings)
         def _txt_fn(params, tokens):
@@ -160,7 +203,7 @@ class ClipEmbedder:
             fused_shardings = {}
 
         @functools.partial(jax.jit, **fused_shardings)
-        def _fused_fn(params, frames_u8, a_v_c, a_h_c, a_v_p, a_h_p):
+        def _fused_fn(weights, frames_u8, a_v_c, a_h_c, a_v_p, a_h_p):
             """Fused bulk-ingest step: the uint8 frames are uploaded to
             HBM ONCE and both consumers read them there — CLIP preprocess
             + tower AND the pHash dedup bits (+ the exact 32x32 grids
@@ -172,7 +215,7 @@ class ClipEmbedder:
             from imatch_tpu.ops.preprocess import preprocess_core
 
             pixels = preprocess_core(frames_u8, a_v_c, a_h_c, dtype=dt)
-            emb = encode_image(params, pixels, cfg, dtype=dt)
+            emb = _img_core(weights, pixels)
             bits, conf, small = phash_core(frames_u8, a_v_p, a_h_p)
             return emb, bits, conf, small
 
@@ -213,7 +256,7 @@ class ClipEmbedder:
                     part = jnp.concatenate(
                         [part, jnp.tile(part[-1:], (bp - b, 1, 1, 1))]
                     )
-                outs.append(self._img_fn(self.params, part)[:b])
+                outs.append(self._img_fn(self._img_weights, part)[:b])
         return outs[0] if len(outs) == 1 else jnp.concatenate(outs)
 
     def embed_images(self, images: Sequence[np.ndarray]) -> np.ndarray:
@@ -443,7 +486,7 @@ class ClipEmbedder:
                             [dev, jnp.tile(dev[-1:], (bp - b, 1, 1, 1))]
                         )
                     e, bits, conf, small = self._fused_fn(
-                        self.params, dev, *consts
+                        self._img_weights, dev, *consts
                     )
                 in_flight.append(
                     (

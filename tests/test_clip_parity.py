@@ -133,6 +133,31 @@ def test_bf16_forward_close_to_fp32():
     assert float(cos.min()) > 0.99
 
 
+def test_w8a8_forward_close_to_fp32():
+    """Opt-in W8A8 tower (imatch_tpu/models/clip/quant.py): int8 encoder
+    matmuls stay close to the fp32 embeddings on random init — a
+    catastrophic scale/layout bug shows up even without real weights."""
+    import jax
+    from imatch_tpu.models.clip.model import init_params
+    from imatch_tpu.models.clip.quant import (
+        encode_image_w8a8,
+        quantize_vision_tower,
+    )
+
+    cfg = C.TINY
+    params = init_params(jax.random.key(0), cfg)
+    qvision = quantize_vision_tower(params["vision"])
+    rng = np.random.default_rng(1)
+    pixels = jnp.asarray(
+        rng.standard_normal((4, 32, 32, 3)).astype(np.float32)
+    )
+    f32 = encode_image(params, pixels, cfg, dtype=jnp.float32, attn_impl="xla")
+    q = encode_image_w8a8(params, qvision, pixels, cfg)
+    assert q.shape == f32.shape
+    cos = jnp.sum(f32 * q, axis=-1)
+    assert float(cos.min()) > 0.98, np.asarray(cos)
+
+
 def test_position_stretching_longclip():
     """LongCLIP 77->248 stretching: head rows verbatim, tail interpolated."""
     from imatch_tpu.models.clip.convert import _stretch_positions

@@ -176,6 +176,56 @@ def test_process_batch_applies_existing_filters_and_batched_captions(tmp_path):
         assert isinstance(md["custom_metadata"], str)
 
 
+def test_embedder_int8_quant_mode(monkeypatch):
+    """IMATCH_EMBED_QUANT=int8 (W8A8 image tower): embeddings stay
+    close to the bf16/fp32 path (unit-norm, high cosine), the fused
+    bulk-ingest step runs through the quantized tower, and text
+    embeddings are BIT-identical (the text tower is untouched)."""
+    rng = np.random.default_rng(3)
+    imgs = [
+        rng.integers(0, 256, (40 + 4 * i, 48, 3), np.uint8) for i in range(4)
+    ]
+    texts = ["a red drill", "blue sky"]
+    base = ClipEmbedder(config="tiny")
+    monkeypatch.setenv("IMATCH_EMBED_QUANT", "int8")
+    q = ClipEmbedder(config="tiny")
+    assert q.quant == "int8"
+
+    e_base = base.embed_images(imgs)
+    e_q = q.embed_images(imgs)
+    np.testing.assert_allclose(
+        np.linalg.norm(e_q, axis=-1), 1.0, rtol=1e-4
+    )
+    cos = np.sum(e_base * e_q, axis=-1)
+    assert cos.min() > 0.98, cos
+
+    # fused path (ids_and_embed_images: pHash + embed in one dispatch)
+    ids_b, emb_b = base.ids_and_embed_images(imgs)
+    ids_q, emb_q = q.ids_and_embed_images(imgs)
+    assert ids_b == ids_q  # pHash ids are quant-independent
+    cos = np.sum(emb_b * emb_q, axis=-1)
+    assert cos.min() > 0.98, cos
+
+    np.testing.assert_array_equal(
+        base.embed_texts(texts), q.embed_texts(texts)
+    )
+
+    # DP + quant compose: replicated qvision, sharded batch
+    import jax
+
+    if len(jax.devices()) >= 8:
+        q8 = ClipEmbedder(config="tiny", data_parallel=8)
+        np.testing.assert_allclose(
+            q8.embed_images(imgs), e_q, rtol=2e-5, atol=2e-6
+        )
+
+    monkeypatch.setenv("IMATCH_EMBED_QUANT", "fp7")
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        ClipEmbedder(config="tiny")
+
+
 def test_embedder_data_parallel_matches_single():
     """DP-sharded embedding == single-device embedding (8 virtual devs),
     including the batch-padding path (batch not divisible by dp)."""
