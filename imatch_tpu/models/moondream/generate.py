@@ -39,6 +39,7 @@ def prefill(
     cache_dtype=None,
     max_new: int = 0,
     use_cache: bool = True,
+    act_quant: bool = False,
 ) -> Tuple[jax.Array, KVCache, jax.Array]:
     """Run [BOS; image patches; prompt tokens] through the decoder.
 
@@ -67,7 +68,8 @@ def prefill(
         # moondream2; XLA materializes its zero-init twice).
         start = jnp.zeros((b,), jnp.int32)
         hidden, _ = decoder_forward(
-            params, seq, None, start, cfg, dtype=dtype
+            params, seq, None, start, cfg, dtype=dtype,
+            act_quant=act_quant,
         )
         logits = lm_logits(params, hidden[:, -1:, :], cfg)[:, 0]
         return logits, None, jnp.full((b,), seq.shape[1], jnp.int32)
@@ -87,7 +89,8 @@ def prefill(
     # path's HBM peak was ~2 extra cache copies — the batch-size
     # ceiling for caption prefill.
     hidden, kv = decoder_forward(
-        params, seq, None, start, cfg, dtype=dtype, collect_kv=True
+        params, seq, None, start, cfg, dtype=dtype, collect_kv=True,
+        act_quant=act_quant,
     )
     ks, vs = kv
     cdt = cache_dtype or dtype
@@ -234,6 +237,7 @@ def vqa_yes_no(
     no_ids: Sequence[int],
     *,
     dtype=jnp.float32,
+    act_quant: bool = False,
 ) -> jax.Array:
     """Batched yes/no probability: True where P(yes) > P(no).
 
@@ -244,7 +248,8 @@ def vqa_yes_no(
     # cache exists at all (at moondream2 geometry a discarded cache is
     # ~140 MB per batch row — the backfill batch-size ceiling).
     logits, _, _ = prefill(
-        params, cfg, image_embeds, token_ids, dtype=dtype, use_cache=False
+        params, cfg, image_embeds, token_ids, dtype=dtype, use_cache=False,
+        act_quant=act_quant,
     )
     probs = jax.nn.softmax(logits, axis=-1)
     p_yes = probs[:, jnp.asarray(list(yes_ids))].sum(axis=-1)

@@ -205,6 +205,32 @@ def _layer_norm(x, p, eps):
     return (y * p["scale"] + p["bias"]).astype(x.dtype)
 
 
+def _quant_rows(x):
+    """Dynamic per-token symmetric int8 (the activation half of W8A8;
+    same recipe as models/clip/quant.py)."""
+    x32 = x.astype(jnp.float32)
+    amax = jnp.max(jnp.abs(x32), axis=-1, keepdims=True)
+    scale = jnp.where(amax > 0, amax / 127.0, 1.0)
+    xi = jnp.clip(jnp.round(x32 / scale), -127, 127).astype(jnp.int8)
+    return xi, scale
+
+
+def _dense_w8a8(xi, ascale, w, b, out_dtype):
+    """int8 activations x int8 weight dict -> int32 on the MXU, dequant
+    fused into the accumulator scale. ``w`` must be a quantize_int8
+    dict ({"q": int8 (in, out), "s": fp32 (1, out)})."""
+    y = jax.lax.dot_general(
+        xi,
+        w["q"],
+        (((xi.ndim - 1,), (0,)), ((), ())),
+        preferred_element_type=jnp.int32,
+    )
+    y = (y.astype(jnp.float32) * ascale * w["s"]).astype(out_dtype)
+    if b is not None:
+        y = y + b.astype(out_dtype)
+    return y
+
+
 def _gelu(x):
     return jax.nn.gelu(x, approximate=True)
 
@@ -393,6 +419,7 @@ def decoder_forward(
     *,
     dtype=jnp.float32,
     collect_kv: bool = False,
+    act_quant: bool = False,
 ) -> Tuple[jax.Array, Optional[KVCache]]:
     """Run Sq tokens through the decoder, reading+writing the KV cache.
 
@@ -408,6 +435,15 @@ def decoder_forward(
     prefill logits, and the (L, B, H, Dh, S) cache it would otherwise
     allocate is pure waste — ~140 MB/row at moondream2 geometry, the
     HBM ceiling on the filter-backfill batch size.
+
+    act_quant=True (W8A8, IMATCH_MD_ACT=int8): the projection matmuls
+    run int8 x int8 -> int32 on the MXU — dynamic per-token activation
+    scales, the stored int8 weights from quantize_int8 used AS int8
+    instead of dequantized to bf16. Only worth it where the decoder is
+    compute-bound (prefill: Sq = prompt length); decode at Sq=1 is
+    weight-streaming-bound, where weight-only int8 already wins.
+    Requires quantize_int8 weights — non-dict weights fall back to
+    _dense per matmul.
     """
     t = cfg.text
     b, sq, d = embeds.shape
@@ -427,17 +463,28 @@ def decoder_forward(
     # moondream2 B=8 that is ~3 GB of pure copy traffic per decode step,
     # dwarfing the 2.6 GB of weight streaming the step actually needs.
     # Carry + in-place-update is the aliasing-friendly form for XLA.
+    def _mm(y, w, b, yq=None):
+        """One projection: W8A8 when act_quant and the weight is an
+        int8 dict, else the shipped _dense. ``yq`` carries a shared
+        (xi, scale) so ONE activation quantization feeds the packed
+        QKV+MLP (or the four unpacked) dots."""
+        if act_quant and isinstance(w, dict):
+            xi, asc = _quant_rows(y) if yq is None else yq
+            return _dense_w8a8(xi, asc, w, b, x.dtype)
+        return _dense(y, w, b, prec)
+
     def body(carry, xs):
         h, k_all, v_all, ks_all, vs_all = carry
         li, lp = xs
         y = _layer_norm(h, lp["ln"], t.layer_norm_eps)
+        yq = _quant_rows(y) if act_quant else None
         if "qkv_mlp" in lp:
             # Packed fast path (pack_text_layers): the Phi parallel block
             # feeds attention AND the MLP from the same LN output, so
             # Q, K, V and the MLP-in projection fuse into ONE matmul —
             # decode at B=1 is dispatch-bound (many small kernels per
             # step), and this cuts the projection kernels 4 -> 1.
-            z = _dense(y, lp["qkv_mlp"]["w"], lp["qkv_mlp"]["b"], prec)
+            z = _mm(y, lp["qkv_mlp"]["w"], lp["qkv_mlp"]["b"], yq)
             q, k, v, m1 = (
                 z[..., :d],
                 z[..., d : 2 * d],
@@ -446,10 +493,10 @@ def decoder_forward(
             )
         else:
             a = lp["attn"]
-            q = _dense(y, a["wq"], a["bq"], prec)
-            k = _dense(y, a["wk"], a["bk"], prec)
-            v = _dense(y, a["wv"], a["bv"], prec)
-            m1 = _dense(y, lp["mlp"]["w1"], lp["mlp"]["b1"], prec)
+            q = _mm(y, a["wq"], a["bq"], yq)
+            k = _mm(y, a["wk"], a["bk"], yq)
+            v = _mm(y, a["wv"], a["bv"], yq)
+            m1 = _mm(y, lp["mlp"]["w1"], lp["mlp"]["b1"], yq)
         q = q.reshape(b, sq, nh, hd).transpose(0, 2, 1, 3)
         k = k.reshape(b, sq, nh, hd).transpose(0, 2, 1, 3)
         v = v.reshape(b, sq, nh, hd).transpose(0, 2, 1, 3)
@@ -497,8 +544,8 @@ def decoder_forward(
             q, ck, cv, valid_len=valid, prec=prec, k_scale=sk, v_scale=sv
         )
         o = o.transpose(0, 2, 1, 3).reshape(b, sq, d)
-        attn_out = _dense(o, lp["attn"]["wo"], lp["attn"]["bo"], prec)
-        mlp_out = _dense(_gelu(m1), lp["mlp"]["w2"], lp["mlp"]["b2"], prec)
+        attn_out = _mm(o, lp["attn"]["wo"], lp["attn"]["bo"])
+        mlp_out = _mm(_gelu(m1), lp["mlp"]["w2"], lp["mlp"]["b2"])
         h = h + attn_out + mlp_out  # phi parallel residual
         return (h, k_all, v_all, ks_all, vs_all), kv_out
 

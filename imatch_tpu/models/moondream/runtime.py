@@ -109,6 +109,21 @@ class MoondreamJax:
             from imatch_tpu.models.moondream.model import quantize_int8
 
             self.params = quantize_int8(self.params)
+        # Opt-in W8A8 prefill (IMATCH_MD_ACT=int8): prefill/VQA matmuls
+        # run int8 x int8 on the MXU (compute-bound surfaces); decode
+        # steps stay weight-only (Sq=1 is weight-streaming-bound).
+        # Needs the int8 weights above — fail loudly, not silently slow.
+        md_act = os.environ.get("IMATCH_MD_ACT", "").strip().lower()
+        if md_act not in ("", "none", "int8"):
+            raise ValueError(
+                f"IMATCH_MD_ACT={md_act!r}: expected 'int8' or unset"
+            )
+        self.act_quant = md_act == "int8"
+        if self.act_quant and os.environ.get("IMATCH_MD_QUANT", "") != "int8":
+            raise ValueError(
+                "IMATCH_MD_ACT=int8 (W8A8 prefill) requires "
+                "IMATCH_MD_QUANT=int8 (the int8 weights it contracts with)"
+            )
         vocab = os.environ.get("IMATCH_MD_VOCAB")
         merges = os.environ.get("IMATCH_MD_MERGES")
         if vocab and merges:
@@ -140,6 +155,7 @@ class MoondreamJax:
         self._size = size
 
         cfg, dt = self.cfg, self.dtype
+        aq = self.act_quant
 
         @jax.jit
         def _encode(params, pixels):
@@ -157,7 +173,7 @@ class MoondreamJax:
         def _generate(params, feats, tokens, max_new):
             logits, cache, pos = prefill(
                 params, cfg, feats, tokens, dtype=dt, max_new=max_new,
-                cache_dtype=cache_dt,
+                cache_dtype=cache_dt, act_quant=aq,
             )
             return greedy_generate(
                 params, cfg, logits, cache, pos, max_new=max_new, dtype=dt
@@ -172,7 +188,7 @@ class MoondreamJax:
         def _gen_prefill(params, feats, tokens, max_new):
             logits, cache, pos = prefill(
                 params, cfg, feats, tokens, dtype=dt, max_new=max_new,
-                cache_dtype=cache_dt,
+                cache_dtype=cache_dt, act_quant=aq,
             )
             return init_gen_state(cfg, logits, cache, pos, max_new=max_new)
 
@@ -214,7 +230,7 @@ class MoondreamJax:
         def _vqa(params, feats, tokens):
             return vqa_yes_no(
                 params, cfg, feats, tokens, self._yes_ids, self._no_ids,
-                dtype=dt,
+                dtype=dt, act_quant=aq,
             )
 
         self._vqa_fn = _vqa

@@ -16,17 +16,18 @@ each flag.
 - ``throughput``  — bulk ingest / backfill boxes with no interactive
   readers. Monolithic decode dispatches (no segmentation overhead,
   100% caption rate), double-size embed chunks, W8A8 int8 image tower
-  (ViT-B/32 1.11x / ViT-L/14 1.27x encode), and coalesced
+  (ViT-B/32 1.11x / ViT-L/14 1.27x encode), int8 VLM weights + W8A8
+  prefill (VQA backfill 73 -> 96.5 answers/s at B=128), and coalesced
   single-query reads (any searches that do arrive share engine
   dispatches instead of stealing N of them; the store ignores the
   flag on CPU backends where batched scoring is FLOP-bound —
   docs/DESIGN.md).
 - ``capacity``    — largest corpus per chip. ``auto`` engine (which
   escalates tilemax → sharded → tilemax-host by HBM budget), int8
-  phase-1 scoring with fp32 rescore, int8 VLM weights + KV cache and
-  int8 image tower (opt-in tiers measured at 1.89 ms/query and 894
-  tok/s; bless real checkpoints per WEIGHTS.md §5 before production
-  use).
+  phase-1 scoring with fp32 rescore, int8 VLM weights + KV cache +
+  W8A8 prefill and int8 image tower (opt-in tiers measured at 1.89
+  ms/query and 894 tok/s; bless real checkpoints per WEIGHTS.md §5
+  before production use).
 
 Explicit env vars always win: the profile only fills in unset keys
 (``os.environ.setdefault``), so ``IMATCH_PROFILE=latency
@@ -60,12 +61,18 @@ PROFILES: dict[str, dict[str, str]] = {
         # W8A8 image tower: ViT-B/32 1.11x, ViT-L/14 1.27x encode
         # (scripts/exp_w8a8_vit.py; bless per WEIGHTS.md §5)
         "IMATCH_EMBED_QUANT": "int8",
+        # int8 VLM weights + W8A8 prefill: VQA backfill 73 -> 96.5
+        # answers/s at B=128 (scripts/exp_w8a8_vqa.py; bless per
+        # WEIGHTS.md §5)
+        "IMATCH_MD_QUANT": "int8",
+        "IMATCH_MD_ACT": "int8",
     },
     "capacity": {
         "IMATCH_INDEX_ENGINE": "auto",
         "IMATCH_SCORE_DTYPE": "int8",
         "IMATCH_MD_QUANT": "int8",
         "IMATCH_MD_CACHE": "int8",
+        "IMATCH_MD_ACT": "int8",
         "IMATCH_EMBED_QUANT": "int8",
     },
 }

@@ -484,3 +484,65 @@ def test_priority_gate_orders_bulk_behind_search():
     release.set()
     ts.join(3.0), tb.join(3.0)
     assert order == ["search", "bulk"]
+
+
+def test_w8a8_prefill_close_to_weight_only(md):
+    """act_quant=True (W8A8 prefill, IMATCH_MD_ACT=int8): int8
+    activation x int8 weight contractions track the weight-only int8
+    path — prefill logits cosine stays high on random init (a scale or
+    layout bug collapses it), the VQA decision matches, and the
+    cache-free and cache-building variants agree with each other."""
+    from imatch_tpu.models.moondream.model import (
+        pack_text_layers,
+        quantize_int8,
+    )
+
+    cfg = TINY_MD
+    feats = jax.random.normal(
+        jax.random.key(11),
+        (2, cfg.vision.num_patches, cfg.text.hidden_size),
+    )
+    tokens = jnp.asarray([[1, 5, 9, 2], [3, 7, 4, 8]], jnp.int32)
+    for tree in (quantize_int8(md), quantize_int8(pack_text_layers(md))):
+        l_w, _, _ = prefill(tree, cfg, feats, tokens)
+        l_aq, _, _ = prefill(tree, cfg, feats, tokens, act_quant=True)
+        a = np.asarray(l_w, np.float64)
+        b = np.asarray(l_aq, np.float64)
+        cos = (a * b).sum(-1) / (
+            np.linalg.norm(a, axis=-1) * np.linalg.norm(b, axis=-1)
+        )
+        assert cos.min() >= 0.99, cos
+        # cache-free (VQA) and cache-building prefill agree under W8A8
+        l_nc, _, _ = prefill(
+            tree, cfg, feats, tokens, use_cache=False, act_quant=True
+        )
+        np.testing.assert_allclose(
+            np.asarray(l_aq), np.asarray(l_nc), rtol=2e-4, atol=2e-4
+        )
+        v_w = vqa_yes_no(tree, cfg, feats, tokens, (1,), (2,))
+        v_aq = vqa_yes_no(
+            tree, cfg, feats, tokens, (1,), (2,), act_quant=True
+        )
+        np.testing.assert_array_equal(np.asarray(v_w), np.asarray(v_aq))
+
+
+def test_md_act_env_gating(monkeypatch):
+    """IMATCH_MD_ACT=int8 requires IMATCH_MD_QUANT=int8 and rejects
+    unknown values; with both set the runtime's VQA path runs W8A8."""
+    monkeypatch.setenv("IMATCH_MD_ACT", "int8")
+    monkeypatch.delenv("IMATCH_MD_QUANT", raising=False)
+    with pytest.raises(ValueError):
+        MoondreamJax(config="tiny-md")
+    monkeypatch.setenv("IMATCH_MD_ACT", "fp4")
+    with pytest.raises(ValueError):
+        MoondreamJax(config="tiny-md")
+    monkeypatch.setenv("IMATCH_MD_ACT", "int8")
+    monkeypatch.setenv("IMATCH_MD_QUANT", "int8")
+    m = MoondreamJax(config="tiny-md")
+    assert m.act_quant
+    img = np.full((24, 30, 3), 128, np.uint8)
+    enc = m.encode_image(img)
+    out = m.query(enc, "Yes or No: is it gray?")
+    assert out["answer"] in ("Yes", "No")
+    cap = m.caption(enc)
+    assert isinstance(cap["caption"], str)
