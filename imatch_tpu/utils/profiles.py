@@ -66,6 +66,11 @@ PROFILES: dict[str, dict[str, str]] = {
         # WEIGHTS.md §5)
         "IMATCH_MD_QUANT": "int8",
         "IMATCH_MD_ACT": "int8",
+        # B=128 is the VQA throughput knee (96 answers/s; plateaus
+        # flat through B=256) — cache-free prefill removed the old
+        # HBM ceiling that set the 64 default
+        "IMATCH_VLM_VQA_CHUNK": "128",
+        "IMATCH_BACKFILL_BATCH": "128",
     },
     "capacity": {
         "IMATCH_INDEX_ENGINE": "auto",
