@@ -36,18 +36,13 @@ import jax.numpy as jnp
 from imatch_tpu.models.clip.configs import CLIPConfig
 from imatch_tpu.models.clip.model import _act, _layer_norm, _prec
 from imatch_tpu.ops.attention import mha
+from imatch_tpu.ops.quant import (
+    qdot_int8,
+    quant_rows_int8,
+    quantize_weight_int8 as _quantize_weight,
+)
 
 Params = Dict[str, Any]
-
-
-def _quantize_weight(w: jax.Array) -> Dict[str, jax.Array]:
-    """Per-out-channel symmetric int8 for a stacked (L, D, F) or flat
-    (D, F) weight: scale over the contraction axis (-2)."""
-    w32 = w.astype(jnp.float32)
-    amax = jnp.max(jnp.abs(w32), axis=-2, keepdims=True)
-    scale = jnp.where(amax > 0, amax / 127.0, 1.0)
-    wi = jnp.clip(jnp.round(w32 / scale), -127, 127).astype(jnp.int8)
-    return {"w": wi, "s": jnp.squeeze(scale, axis=-2)}
 
 
 def quantize_vision_tower(vision: Params) -> Params:
@@ -69,26 +64,10 @@ def quantize_vision_tower(vision: Params) -> Params:
     }
 
 
-def _quant_rows(x32: jax.Array):
-    """Dynamic per-token symmetric int8 from an fp32 activation."""
-    amax = jnp.max(jnp.abs(x32), axis=-1, keepdims=True)
-    scale = jnp.where(amax > 0, amax / 127.0, 1.0)
-    xi = jnp.clip(jnp.round(x32 / scale), -127, 127).astype(jnp.int8)
-    return xi, scale
-
-
-def _qdot(xi: jax.Array, ascale: jax.Array, wq: Dict, b, out_dtype):
-    """int8 x int8 -> int32 contraction + fused dequant (+ bias)."""
-    y = jax.lax.dot_general(
-        xi,
-        wq["w"],
-        (((xi.ndim - 1,), (0,)), ((), ())),
-        preferred_element_type=jnp.int32,
-    )
-    y = (y.astype(jnp.float32) * ascale * wq["s"]).astype(out_dtype)
-    if b is not None:
-        y = y + b.astype(out_dtype)
-    return y
+# _quant_rows / _qdot live in ops/quant.py (shared with the Moondream
+# W8A8 prefill so the two towers cannot numerically diverge)
+_quant_rows = quant_rows_int8
+_qdot = qdot_int8
 
 
 def _layer_norm_f32(x, p, eps):
@@ -152,12 +131,14 @@ def encode_image_w8a8(
     cfg: CLIPConfig,
     *,
     normalize: bool = True,
+    dtype=jnp.bfloat16,
 ) -> jax.Array:
     """Image tower with W8A8 encoder matmuls; stem/pool/projection
-    identical to model.encode_image (bf16 compute)."""
+    identical to model.encode_image in the caller's compute dtype
+    (bf16 on TPU; the embedder passes fp32 on CPU backends so the
+    non-matmul stream doesn't silently degrade vs the fp32 default)."""
     vc = cfg.vision
     vp = params["vision"]
-    dtype = jnp.bfloat16
     x = pixels.astype(dtype)
     x = jax.lax.conv_general_dilated(
         x,

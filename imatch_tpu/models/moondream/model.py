@@ -20,6 +20,11 @@ import jax
 import jax.numpy as jnp
 
 from imatch_tpu.models.moondream.configs import MoondreamConfig
+from imatch_tpu.ops.quant import (
+    qdot_int8,
+    quant_rows_int8,
+    quantize_weight_int8,
+)
 from imatch_tpu.ops.attention import mha
 
 Params = Dict[str, Any]
@@ -205,30 +210,10 @@ def _layer_norm(x, p, eps):
     return (y * p["scale"] + p["bias"]).astype(x.dtype)
 
 
-def _quant_rows(x):
-    """Dynamic per-token symmetric int8 (the activation half of W8A8;
-    same recipe as models/clip/quant.py)."""
-    x32 = x.astype(jnp.float32)
-    amax = jnp.max(jnp.abs(x32), axis=-1, keepdims=True)
-    scale = jnp.where(amax > 0, amax / 127.0, 1.0)
-    xi = jnp.clip(jnp.round(x32 / scale), -127, 127).astype(jnp.int8)
-    return xi, scale
-
-
-def _dense_w8a8(xi, ascale, w, b, out_dtype):
-    """int8 activations x int8 weight dict -> int32 on the MXU, dequant
-    fused into the accumulator scale. ``w`` must be a quantize_int8
-    dict ({"q": int8 (in, out), "s": fp32 (1, out)})."""
-    y = jax.lax.dot_general(
-        xi,
-        w["q"],
-        (((xi.ndim - 1,), (0,)), ((), ())),
-        preferred_element_type=jnp.int32,
-    )
-    y = (y.astype(jnp.float32) * ascale * w["s"]).astype(out_dtype)
-    if b is not None:
-        y = y + b.astype(out_dtype)
-    return y
+# W8A8 primitives shared with the CLIP tower (ops/quant.py) — one
+# implementation, no numerical divergence between the two users
+_quant_rows = quant_rows_int8
+_dense_w8a8 = qdot_int8
 
 
 def _gelu(x):
@@ -604,12 +589,7 @@ def quantize_int8(params: Params) -> Params:
     real-weights caption-quality check blesses int8.
     """
 
-    def qmat(w):
-        w32 = w.astype(jnp.float32)
-        a = jnp.max(jnp.abs(w32), axis=-2, keepdims=True)
-        s = jnp.where(a > 0, a, 1.0) / 127.0
-        q = jnp.clip(jnp.round(w32 / s), -127, 127).astype(jnp.int8)
-        return {"q": q, "s": s.astype(jnp.float32)}
+    qmat = quantize_weight_int8
 
     tl = dict(params["text"]["layers"])
     if "qkv_mlp" in tl:

@@ -97,6 +97,30 @@ class ClipEmbedder:
             from imatch_tpu.models.clip.quant import quantize_vision_tower
 
             self._qvision = quantize_vision_tower(self.params["vision"])
+            # Drop the now-dead fp32/bf16 encoder matrices from the
+            # master tree: the W8A8 path reads only LN/bias/stem/proj
+            # from it, and keeping both copies resident costs ~1.2 GB
+            # HBM at ViT-L/14 — exactly what the capacity profile
+            # (largest corpus per chip) cannot afford.
+            vl = self.params["vision"]["layers"]
+            self.params = {
+                **self.params,
+                "vision": {
+                    **self.params["vision"],
+                    "layers": {
+                        "ln1": vl["ln1"],
+                        "ln2": vl["ln2"],
+                        "attn": {
+                            k: vl["attn"][k]
+                            for k in ("bq", "bk", "bv", "bo")
+                        },
+                        "mlp": {
+                            "b1": vl["mlp"]["b1"],
+                            "b2": vl["mlp"]["b2"],
+                        },
+                    },
+                },
+            }
             logger.info("image tower quantized: W8A8 int8 (opt-in)")
         self.tokenizer = default_tokenizer()
         self._lock = threading.Lock()
@@ -183,7 +207,9 @@ class ClipEmbedder:
             self._img_weights = (self.params, self._qvision)
 
             def _img_core(weights, pixels):
-                return encode_image_w8a8(weights[0], weights[1], pixels, cfg)
+                return encode_image_w8a8(
+                    weights[0], weights[1], pixels, cfg, dtype=dt
+                )
 
         else:
             self._img_weights = self.params

@@ -106,6 +106,23 @@ def apply_profile(env: os._Environ | dict | None = None) -> dict[str, str]:
         if key not in env:
             env[key] = value
             applied[key] = value
+    # A PROFILE-applied IMATCH_MD_ACT must not crash the runtime when
+    # the user explicitly overrode IMATCH_MD_QUANT away from int8 (the
+    # "explicit env vars always win" contract means per-flag overrides
+    # degrade gracefully). A user-set MD_ACT still fails loudly in
+    # MoondreamJax — that conflict is theirs to resolve.
+    if (
+        applied.get("IMATCH_MD_ACT") == "int8"
+        and env.get("IMATCH_MD_QUANT") != "int8"
+    ):
+        del env["IMATCH_MD_ACT"]
+        del applied["IMATCH_MD_ACT"]
+        log.info(
+            "profile %s: dropping IMATCH_MD_ACT=int8 (explicit "
+            "IMATCH_MD_QUANT=%r is not int8)",
+            name,
+            env.get("IMATCH_MD_QUANT"),
+        )
     if applied:
         log.info("profile %s: %s", name,
                  " ".join(f"{k}={v}" for k, v in sorted(applied.items())))

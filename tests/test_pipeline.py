@@ -610,3 +610,15 @@ def test_add_collision_loser_file_reaped(state, monkeypatch):
         state.processed_dir, f"{loser['id']}.png"
     )
     assert not os.path.exists(loser_path), "orphan file left behind"
+
+
+def test_embedder_int8_strips_master_dense_weights(monkeypatch):
+    """IMATCH_EMBED_QUANT=int8 must not keep the dead fp32 encoder
+    matrices resident next to the int8 copies (at ViT-L/14 that is
+    ~1.2 GB of HBM the capacity profile cannot afford)."""
+    monkeypatch.setenv("IMATCH_EMBED_QUANT", "int8")
+    q = ClipEmbedder(config="tiny")
+    layers = q.params["vision"]["layers"]
+    assert set(layers["attn"]) == {"bq", "bk", "bv", "bo"}
+    assert set(layers["mlp"]) == {"b1", "b2"}
+    assert q._qvision["attn"]["wq"]["q"].dtype.name == "int8"

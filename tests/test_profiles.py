@@ -52,3 +52,23 @@ def test_every_profile_key_is_documented_env_var():
     for name, group in PROFILES.items():
         for key in group:
             assert key.startswith("IMATCH_"), (name, key)
+
+
+def test_profile_md_act_degrades_when_quant_overridden():
+    """Explicit IMATCH_MD_QUANT != int8 must not turn a profile's
+    IMATCH_MD_ACT=int8 into a startup crash — the profile drops the
+    dependent flag instead (per-flag overrides degrade gracefully)."""
+    env = {"IMATCH_PROFILE": "throughput", "IMATCH_MD_QUANT": "bf16"}
+    applied = apply_profile(env)
+    assert "IMATCH_MD_ACT" not in env
+    assert "IMATCH_MD_ACT" not in applied
+    assert env["IMATCH_MD_QUANT"] == "bf16"  # untouched
+    # a user-set MD_ACT conflict is NOT silently dropped (the runtime
+    # raises on it — that conflict is the user's to resolve)
+    env = {
+        "IMATCH_PROFILE": "throughput",
+        "IMATCH_MD_QUANT": "bf16",
+        "IMATCH_MD_ACT": "int8",
+    }
+    apply_profile(env)
+    assert env["IMATCH_MD_ACT"] == "int8"
