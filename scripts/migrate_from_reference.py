@@ -134,15 +134,18 @@ def read_records(
         (metadata_segment,),
     ).fetchall()
     metas: Dict[int, dict] = {int(pk): {} for pk, _ in rows}
-    if rows:
+    # Chunk the IN() binds: SQLite caps bound variables (999 on older
+    # builds), and real deployments have far more rows than that.
+    _CHUNK = 500
+    pks = [int(pk) for pk, _ in rows]
+    for lo in range(0, len(pks), _CHUNK):
+        chunk = pks[lo : lo + _CHUNK]
         q = (
             "SELECT id, key, string_value, int_value, float_value, "
             "bool_value FROM embedding_metadata WHERE id IN "
-            f"({','.join('?' * len(rows))})"
+            f"({','.join('?' * len(chunk))})"
         )
-        for pk, key, s, i, f, b in con.execute(
-            q, [int(pk) for pk, _ in rows]
-        ):
+        for pk, key, s, i, f, b in con.execute(q, chunk):
             if s is not None:
                 val = s
             elif b is not None and i is None and f is None:

@@ -226,6 +226,69 @@ def test_migrate_dry_run_writes_nothing(tmp_path):
     assert not (tmp_path / "index_data").exists()
 
 
+def test_migrate_many_rows_crosses_bind_chunks(tmp_path):
+    """1,203 rows: the embedding_metadata IN() query must be chunked —
+    one bind per row breaks past SQLite's variable cap (999 on older
+    builds). Verifies metadata survives intact across chunk edges."""
+    n = 1203
+    chroma = tmp_path / "chroma_data"
+    os.makedirs(chroma, exist_ok=True)
+    con = sqlite3.connect(os.path.join(chroma, "chroma.sqlite3"))
+    con.executescript(
+        """
+        CREATE TABLE collections (
+            id TEXT PRIMARY KEY, name TEXT, dimension INTEGER);
+        CREATE TABLE segments (
+            id TEXT PRIMARY KEY, type TEXT, scope TEXT, collection TEXT);
+        CREATE TABLE embeddings (
+            id INTEGER PRIMARY KEY AUTOINCREMENT, segment_id TEXT,
+            embedding_id TEXT, seq_id BLOB, created_at TEXT);
+        CREATE TABLE embedding_metadata (
+            id INTEGER, key TEXT, string_value TEXT, int_value INTEGER,
+            float_value REAL, bool_value INTEGER);
+        CREATE TABLE embeddings_queue (seq_id INTEGER PRIMARY KEY,
+            created_at TEXT, operation INTEGER, topic TEXT, id TEXT,
+            vector BLOB, encoding TEXT, metadata TEXT);
+        """
+    )
+    con.execute(
+        "INSERT INTO collections VALUES ('col-1', 'image-match', ?)", (DIM,)
+    )
+    con.execute(
+        "INSERT INTO segments VALUES "
+        "('seg-md', 't', 'METADATA', 'col-1')"
+    )
+    ids = [f"img_{i:05d}" for i in range(n)]
+    con.executemany(
+        "INSERT INTO embeddings (id, segment_id, embedding_id)"
+        " VALUES (?, 'seg-md', ?)",
+        list(enumerate(ids, start=1)),
+    )
+    con.executemany(
+        "INSERT INTO embedding_metadata VALUES (?, 'filename', ?,"
+        " NULL, NULL, NULL)",
+        [(pk, f"{i}.jpg") for pk, i in enumerate(ids, start=1)],
+    )
+    con.executemany(
+        "INSERT INTO embeddings_queue VALUES (?, '', 0, 'col-1', ?, ?,"
+        " 'FLOAT32', '{}')",
+        [(pk, i, _vec(pk).tobytes()) for pk, i in enumerate(ids, start=1)],
+    )
+    con.commit()
+    con.close()
+    summary = migrate(
+        chroma_dir=str(chroma), root=str(tmp_path), collection="image-match"
+    )
+    assert summary["rows_migrated"] == n
+    store = VectorStore.load(str(tmp_path / "index_data"), persist=False)
+    got = store.get(include=["metadatas"])
+    md = dict(zip(got["ids"], got["metadatas"]))
+    assert len(md) == n
+    # spot rows on both sides of the 500-bind chunk edges
+    for probe in (0, 499, 500, 999, 1000, n - 1):
+        assert md[ids[probe]]["filename"] == f"{ids[probe]}.jpg"
+
+
 def test_migrate_unknown_collection(tmp_path):
     chroma = tmp_path / "chroma_data"
     make_chroma_db(str(chroma))
