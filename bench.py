@@ -92,18 +92,45 @@ from imatch_tpu.utils.metrics import METRICS
 BASELINE_IMGS_PER_SEC = 5000.0
 
 
-def bench_ingest(on_tpu: bool, quant: bool = False):
+def vit_flops_per_image(cfg) -> float:
+    """Matmul FLOPs for one ViT image-tower forward (2*M*N*K per
+    matmul): patch embed, per-layer QKV/proj/attention/MLP, final
+    projection. Used to report MFU next to the headline img/s —
+    BASELINE.md judges the number against the chip's peak, not just
+    the 5k img/s bar."""
+    v = cfg.vision
+    t = (v.image_size // v.patch_size) ** 2 + 1  # tokens incl. cls
+    d = v.hidden_size
+    f_patch = 2 * t * (v.patch_size**2 * 3) * d
+    f_attn = 2 * t * d * (3 * d) + 2 * t * d * d  # qkv + out proj
+    f_scores = 2 * t * t * d * 2  # QK^T + attn@V
+    f_mlp = 2 * 2 * t * d * (d * v.mlp_ratio)
+    f_proj = 2 * d * cfg.projection_dim  # pooled token only
+    return float(
+        f_patch + v.num_layers * (f_attn + f_scores + f_mlp) + f_proj
+    )
+
+
+# public bf16/int8 peaks for the chip the brief targets; override when
+# benching other hardware (IMATCH_PEAK_TFLOPS / IMATCH_PEAK_TOPS_INT8)
+V5E_PEAK_BF16 = float(os.environ.get("IMATCH_PEAK_TFLOPS", "197")) * 1e12
+V5E_PEAK_INT8 = float(os.environ.get("IMATCH_PEAK_TOPS_INT8", "394")) * 1e12
+
+
+def bench_ingest(on_tpu: bool, quant: bool = False, batch: int | None = None):
     """Headline metric: embedded + INDEXED (BASELINE.md's north star) —
     each batch's embeddings are fetched and inserted into a live
     VectorStore while the device runs the next batches (the fetch +
     host-side add overlap the compute stream, exactly like the real
     pipelined ingest path). With ``quant=True`` the tower runs the
     opt-in W8A8 int8 path (IMATCH_EMBED_QUANT=int8,
-    models/clip/quant.py) — reported as an extras tier."""
+    models/clip/quant.py) — reported as an extras tier. ``batch``
+    overrides the device chunk size (the B=512/1024/2048 knee sweep)."""
     cfg = get_config("vit-b32")
     params = init_params(jax.random.key(0), cfg)
     dtype = jnp.bfloat16 if on_tpu else jnp.float32
-    batch = 512 if on_tpu else 16
+    if batch is None:
+        batch = 512 if on_tpu else 16
     src = 256  # typical decoded size; resample 256 -> 224 on device
 
     a_v, a_h = resize_crop_matrices(src, src, 224)
@@ -215,7 +242,7 @@ def bench_search_pipelined(store: VectorStore, on_tpu: bool, depth: int = 8):
     q = store._emb[:1]
     store.query(q, n_results=10)  # warm
     total = 96 if on_tpu else 12
-    per = total // depth
+    per = max(1, total // depth)
     times = []
     tlock = threading.Lock()
 
@@ -272,7 +299,57 @@ def _make_jpegs(n: int, src: int, seed: int = 1):
     return out
 
 
-def bench_e2e_ingest(embedder, on_tpu: bool):
+def _stage_story(snap, wall_ms, n, src, link_up_mb_s):
+    """Per-stage breakdown that reads as the pipeline (round-3 review:
+    'stream: 9500, embed: 0' told no story). Top-level stages are
+    sequential; ``dedup_overlapped_ms`` runs INSIDE the device stream
+    (its time is included in the stream stage, shown for visibility);
+    ``upload_at_link_rate_ms`` is the raw frames' bytes divided by the
+    measured host->device rate — on this tunnel it explains most of the
+    stream stage, on real PCIe it vanishes."""
+
+    def t(key):
+        v = snap.get(key)
+        return round(v["total_s"] * 1e3, 1) if v else 0.0
+
+    stream, dup = t("ingest.stream"), t("ingest.dup")
+    stages = {
+        "decode_jpeg_ms": t("ingest.decode"),
+        "to_arrays_ms": t("ingest.to_array"),
+        "device_upload_dispatch_fetch_ms": round(stream, 1),
+        "dedup_overlapped_ms": dup,
+        "png_save_ms": t("ingest.save"),
+        "png_save_wait_ms": t("ingest.save_wait"),
+        "index_add_ms": t("ingest.add"),
+    }
+    # non-fused-path stages (segmentation on / host fallback): only
+    # shown when they actually ran
+    for key, label in (
+        ("ingest.phash", "host_phash_ms"),
+        ("ingest.segment", "segment_ms"),
+        ("ingest.embed", "embed_ms"),
+    ):
+        if t(key):
+            stages[label] = t(key)
+    seq = (
+        stages["decode_jpeg_ms"]
+        + stages["to_arrays_ms"]
+        + stream
+        + stages["png_save_ms"]
+        + stages["png_save_wait_ms"]
+        + stages["index_add_ms"]
+    )
+    stages["wall_other_ms"] = round(max(wall_ms - seq, 0.0), 1)
+    upload_mb = n * src * src * 3 / 1e6
+    stages["upload_frames_mb"] = round(upload_mb, 1)
+    if link_up_mb_s:
+        stages["upload_at_link_rate_ms"] = round(
+            upload_mb / link_up_mb_s * 1e3, 1
+        )
+    return stages
+
+
+def bench_e2e_ingest(embedder, on_tpu: bool, link_up_mb_s: float = 0.0):
     """The real folder-ingest chain, measured from encoded bytes to
     store.add, with the per-stage breakdown."""
     from PIL import Image
@@ -316,30 +393,75 @@ def bench_e2e_ingest(embedder, on_tpu: bool):
 
         ok = sum(1 for r in results if r["status"] == "success")
         snap = METRICS.snapshot()["timings"]
-        stages = {
-            k.split(".", 1)[1]: round(v["total_s"] * 1e3, 1)
-            for k, v in snap.items()
-            if k.startswith("ingest.") or k == "embed.image"
-        }
-        stages["embed"] = stages.pop("image", stages.get("embed", 0.0))
+        stages = _stage_story(snap, dt * 1e3, n, src, link_up_mb_s)
         return ok / dt, round(dt * 1e3, 1), stages
 
 
-def _make_big_store(n: int, d: int) -> VectorStore:
+def _make_big_store(n: int, d: int, slack: int = 65536) -> VectorStore:
     """1M-row store, guts assembled directly (row-wise add of 1M vectors
-    is host-copy bound and not what we're measuring)."""
+    is host-copy bound and not what we're measuring). ``slack`` unused
+    capacity rows let post-build mutations exercise the O(batch) patch
+    path instead of a capacity-growth rebuild (index/patch.py) — the
+    same padding a normally-grown store would carry."""
     corpus = jax.random.normal(jax.random.key(1), (n, d), jnp.float32)
     corpus = corpus / jnp.linalg.norm(corpus, axis=-1, keepdims=True)
-    host = np.asarray(corpus)
+    host = np.zeros((n + slack, d), np.float32)
+    host[:n] = np.asarray(corpus)
     store = VectorStore(dim=d)
     store._emb = host
-    store._alive = np.ones((n,), bool)
+    store._alive = np.zeros((n + slack,), bool)
+    store._alive[:n] = True
     store._ids = [f"v{i:07d}" for i in range(n)]
     store._meta = [None] * n
     store._docs = [None] * n
     store._slot = {s: i for i, s in enumerate(store._ids)}
     store._n = n
     return store
+
+
+def bench_mutation_latency(store: VectorStore, on_tpu: bool):
+    """Post-mutation first-query latency at corpus scale — the VERDICT
+    round-3 architectural gap: an invalidating mutation made the next
+    query re-copy and re-upload the ENTIRE corpus (~3 GB at 1M x 512);
+    the incremental patch (index/patch.py) makes it O(batch). Reports
+    both paths on the same store so the gap is a recorded number.
+    Fail-soft: never costs the headline."""
+    try:
+        batch = 2048
+        d = store.dim
+        rng = np.random.default_rng(7)
+        q = store._emb[:1]
+        store.query(q, n_results=10)  # device state hot
+
+        def mutate_and_time(prefix):
+            rows = rng.standard_normal((batch, d)).astype(np.float32)
+            rows /= np.linalg.norm(rows, axis=1, keepdims=True)
+            ids = [f"{prefix}{i:05d}" for i in range(batch)]
+            t0 = time.perf_counter()
+            store.add(ids=ids, embeddings=rows)
+            add_s = time.perf_counter() - t0
+            t0 = time.perf_counter()
+            store.query(q, n_results=10)
+            return add_s, time.perf_counter() - t0
+
+        add_p, first_q_patched = mutate_and_time("mp")
+        os.environ["IMATCH_INCREMENTAL"] = "0"
+        try:
+            add_r, first_q_rebuild = mutate_and_time("mr")
+        finally:
+            os.environ.pop("IMATCH_INCREMENTAL", None)
+        st = store.stats()
+        return {
+            "mutation_batch_rows": batch,
+            "mutation_add_patched_ms": round(add_p * 1e3, 1),
+            "mutation_first_query_patched_ms": round(first_q_patched * 1e3, 1),
+            "mutation_first_query_rebuild_ms": round(
+                first_q_rebuild * 1e3, 1
+            ),
+            "mutation_patched_count": st["patched_mutations"],
+        }
+    except Exception as e:  # pragma: no cover - diagnostics only
+        return {"mutation_tier_error": str(e)[:200]}
 
 
 def bench_search(store: VectorStore, on_tpu: bool):
@@ -394,13 +516,16 @@ def bench_http_search(embedder, store: VectorStore, on_tpu: bool):
             s.bind(("127.0.0.1", 0))
             port = s.getsockname()[1]
         loop = asyncio.new_event_loop()
+        started = threading.Event()
 
         def run():
             asyncio.set_event_loop(loop)
             loop.create_task(serve_async(app, "127.0.0.1", port))
+            started.set()
             loop.run_forever()
 
-        threading.Thread(target=run, daemon=True).start()
+        server_thread = threading.Thread(target=run, daemon=True)
+        server_thread.start()
         url = f"http://127.0.0.1:{port}/api/search/text?query=red%20drill&limit=10"
         deadline = time.time() + 30
         while time.time() < deadline:
@@ -451,16 +576,48 @@ def bench_http_search(embedder, store: VectorStore, on_tpu: bool):
             import sys
 
             print(f"[bench] batch-search tier failed: {e}", file=sys.stderr)
+        # drain the loop before stopping it: cancel + await the server
+        # task (and any in-flight connection handlers) so the shutdown
+        # leaves no "Task was destroyed but it is pending!" noise in the
+        # bench tail (round-3 review item)
+        started.wait(5)
+
+        async def _drain():
+            pending = asyncio.all_tasks() - {asyncio.current_task()}
+            for t in pending:
+                t.cancel()
+            await asyncio.gather(*pending, return_exceptions=True)
+
+        try:
+            asyncio.run_coroutine_threadsafe(_drain(), loop).result(
+                timeout=10
+            )
+        except Exception:
+            pass
         loop.call_soon_threadsafe(loop.stop)
+        server_thread.join(timeout=10)
+        loop.close()
         return round(float(np.median(times)) * 1e3, 3), batch_p50, per_q
 
 
 def bench_ivf_incremental(on_tpu: bool):
-    """ANN-tier rebuild cost per ingest batch: repair (assign only the
-    new rows against existing centroids, round-3) vs the old full
-    k-means. Fail-soft: the bench must never die on an optional tier."""
-    import time
+    """ANN-tier mutation cost per ingest batch, decomposed so the
+    numbers reconcile with DESIGN.md (round-3's ivf tier timed the
+    first post-mutation query, which bundled XLA compiles and the full
+    corpus re-upload into 'repair' — the recorded 156 s contradicted
+    the design table). Tiers, all on the same store:
 
+    - cold build (train + pack + upload + compiles) and a warm rebuild
+      of the SAME state (pack + upload only — the pure re-upload cost
+      every invalidating mutation used to pay);
+    - patched mutation (default path): add 2048 rows -> O(batch)
+      member-table scatter, first query after;
+    - repair rebuild (IMATCH_INCREMENTAL=0): assign only the new rows
+      + repack + re-upload; repair COMPUTE = this minus the warm
+      re-upload;
+    - full k-means retrain (IMATCH_IVF_REBUILD_FRAC=0).
+
+    Fail-soft: the bench must never die on an optional tier."""
     try:
         rows = 400_000 if on_tpu else 30_000
         d = 512
@@ -472,26 +629,52 @@ def bench_ivf_incremental(on_tpu: bool):
         store.add(ids=[f"r{i:08d}" for i in range(rows)], embeddings=emb)
         t0 = time.perf_counter()
         store.query(q, n_results=10)
-        build_s = time.perf_counter() - t0
-        batch = emb[:2048] * -1.0
-        store.add(
-            ids=[f"x{i:05d}" for i in range(2048)], embeddings=batch
-        )
-        t0 = time.perf_counter()
-        store.query(q, n_results=10)
-        repair_s = time.perf_counter() - t0
-        os.environ["IMATCH_IVF_REBUILD_FRAC"] = "0"
-        store.add(ids=["y0"], embeddings=emb[:1])
-        t0 = time.perf_counter()
-        store.query(q, n_results=10)
-        retrain_s = time.perf_counter() - t0
-        os.environ.pop("IMATCH_IVF_REBUILD_FRAC", None)
+        build_cold_s = time.perf_counter() - t0
+
+        def invalidate_and_time():
+            # drop ONLY the device state: next query re-packs and
+            # re-uploads the unchanged host corpus (no repair work, no
+            # mutation) — the isolated re-upload term
+            with store._lock:
+                store._device = None
+                store._gen += 1
+            t0 = time.perf_counter()
+            store.query(q, n_results=10)
+            return time.perf_counter() - t0
+
+        reupload_s = invalidate_and_time()
+
+        def add_and_time(prefix):
+            batch = rng.standard_normal((2048, d)).astype(np.float32)
+            batch /= np.linalg.norm(batch, axis=1, keepdims=True)
+            store.add(
+                ids=[f"{prefix}{i:05d}" for i in range(2048)],
+                embeddings=batch,
+            )
+            t0 = time.perf_counter()
+            store.query(q, n_results=10)
+            return time.perf_counter() - t0
+
+        patched_s = add_and_time("p")
+        os.environ["IMATCH_INCREMENTAL"] = "0"
+        try:
+            repair_s = add_and_time("x")
+            os.environ["IMATCH_IVF_REBUILD_FRAC"] = "0"
+            retrain_s = add_and_time("y")
+        finally:
+            os.environ.pop("IMATCH_IVF_REBUILD_FRAC", None)
+            os.environ.pop("IMATCH_INCREMENTAL", None)
         return {
             "ivf_rows": rows,
-            "ivf_initial_build_s": round(build_s, 3),
+            "ivf_build_cold_s": round(build_cold_s, 3),
+            "ivf_reupload_only_s": round(reupload_s, 3),
+            "ivf_mutation_patched_s": round(patched_s, 4),
             "ivf_repair_rebuild_s": round(repair_s, 3),
+            "ivf_repair_compute_s": round(max(repair_s - reupload_s, 0.0), 3),
             "ivf_full_retrain_s": round(retrain_s, 3),
-            "ivf_repair_speedup": round(retrain_s / max(repair_s, 1e-9), 1),
+            "ivf_patch_vs_retrain_speedup": round(
+                retrain_s / max(patched_s, 1e-9), 1
+            ),
         }
     except Exception as e:
         return {"ivf_incremental_error": str(e)[:200]}
@@ -516,13 +699,38 @@ def main():
     # recorded number, not a claim (TPU only — int8 means nothing on the
     # CPU fallback).
     int8_imgs_per_sec = None
+    chunk_sweep = {}
     if on_tpu:
         mark(f"headline {imgs_per_sec:.0f} img/s; int8 (W8A8) tier…")
         int8_imgs_per_sec = bench_ingest(on_tpu, quant=True)
+        # chunk-size knee: is the default B=512 leaving MXU on the table?
+        chunk_sweep["512"] = round(imgs_per_sec, 1)
+        for b in (1024, 2048):
+            mark(f"chunk sweep B={b}…")
+            try:
+                chunk_sweep[str(b)] = round(bench_ingest(on_tpu, batch=b), 1)
+            except Exception as e:  # pragma: no cover
+                chunk_sweep[str(b)] = f"error: {e}"[:80]
+
+    # MFU: headline img/s x ViT-B/32 matmul FLOPs vs chip peak — the
+    # scale the brief actually judges throughput on
+    flops_img = vit_flops_per_image(get_config("vit-b32"))
+    mfu_bf16 = (
+        round(100.0 * flops_img * imgs_per_sec / V5E_PEAK_BF16, 2)
+        if on_tpu
+        else None
+    )
+    mfu_int8 = (
+        round(100.0 * flops_img * int8_imgs_per_sec / V5E_PEAK_INT8, 2)
+        if int8_imgs_per_sec
+        else None
+    )
 
     mark(f"headline {imgs_per_sec:.0f} img/s; e2e folder ingest…")
     embedder = ClipEmbedder(config="vit-b32")
-    e2e_rate, e2e_ms, stages = bench_e2e_ingest(embedder, on_tpu)
+    e2e_rate, e2e_ms, stages = bench_e2e_ingest(
+        embedder, on_tpu, link_up_mb_s=link_up
+    )
 
     mark(f"e2e {e2e_rate:.1f} img/s; building 1M store…")
     store = _make_big_store(1_000_000 if on_tpu else 50_000, 512)
@@ -531,10 +739,26 @@ def main():
     rtt_ms = bench_rtt_noop(on_tpu)
     qps_pipelined, p50_pipelined = bench_search_pipelined(store, on_tpu)
     qps_coal, p50_coal = bench_search_coalesced(store, on_tpu)
+    depth32 = {}
+    if on_tpu:
+        # the coalescer decision point (round-3 review): does sharing
+        # one dispatch ever beat pipelining on this backend? Compare at
+        # a saturating depth too, not just 8.
+        qp32, pp32 = bench_search_pipelined(store, on_tpu, depth=32)
+        qc32, pc32 = bench_search_coalesced(store, on_tpu, depth=32)
+        depth32 = {
+            "search_qps_pipelined_depth32": qp32,
+            "search_p50_pipelined_depth32_ms": pp32,
+            "search_qps_coalesced_depth32": qc32,
+            "search_p50_coalesced_depth32_ms": pc32,
+        }
     mark(f"rtt {rtt_ms} ms, qps {qps_pipelined} ({qps_coal} coalesced); http…")
     http_p50, http_batch_p50, http_batch_per_q = bench_http_search(
         embedder, store, on_tpu
     )
+    mark("mutation-latency tier (patch vs rebuild)…")
+    mut_stats = bench_mutation_latency(store, on_tpu)
+    mark(f"mutation {mut_stats}")
     del store  # free the 1M corpus before the IVF tier builds its own
     mark("incremental IVF tier…")
     ivf_stats = bench_ivf_incremental(on_tpu)
@@ -554,6 +778,14 @@ def main():
                         if int8_imgs_per_sec is not None
                         else {}
                     ),
+                    **({"mfu_pct_bf16": mfu_bf16} if mfu_bf16 else {}),
+                    **({"mfu_pct_int8": mfu_int8} if mfu_int8 else {}),
+                    **(
+                        {"ingest_chunk_sweep_imgs_per_sec": chunk_sweep}
+                        if chunk_sweep
+                        else {}
+                    ),
+                    "vit_b32_gflops_per_image": round(flops_img / 1e9, 2),
                     "e2e_ingest_imgs_per_sec": round(e2e_rate, 1),
                     "e2e_ingest_wall_ms": e2e_ms,
                     "e2e_stage_ms": stages,
@@ -567,10 +799,12 @@ def main():
                     "search_p50_pipelined_ms": p50_pipelined,
                     "search_qps_coalesced_depth8": qps_coal,
                     "search_p50_coalesced_ms": p50_coal,
+                    **depth32,
                     "search_corpus_rows": n_vec,
                     "search_dim": 512,
                     "link_down_mb_s": link_down,
                     "link_up_mb_s": link_up,
+                    **mut_stats,
                     **ivf_stats,
                 },
             }

@@ -176,19 +176,32 @@ def assign_rows(rows, cents, *, chunk: int = 8192) -> np.ndarray:
     return np.array(_assign_chunked(rows, cents, chunk=chunk))
 
 
+def member_slack(max_count: int) -> int:
+    """Headroom columns appended to the member table so incremental
+    appends (index/patch.py) can scatter new rows into existing clusters
+    without a repack: 25% of the deepest cluster, at least 16. Costs
+    C * slack int32s of HBM (~4 MB at 1M rows) and buys O(batch)
+    mutations between rebuilds."""
+    return max(16, -(-max_count // 4))
+
+
 def pack_members(
-    assign: np.ndarray, ok: np.ndarray, n_clusters: int
+    assign: np.ndarray, ok: np.ndarray, n_clusters: int, slack: int = 0
 ) -> Tuple[np.ndarray, np.ndarray]:
     """Vectorized member-list scatter: live rows into a (C, M) padded
-    int32 table. Returns (members, per-cluster counts). Shared by the
-    single-device pack and the per-shard pack in parallel/dist_ivf.py."""
+    int32 table (M = deepest cluster + ``slack`` append headroom).
+    Returns (members, per-cluster counts). Shared by the single-device
+    pack and the per-shard pack in parallel/dist_ivf.py. Rows within a
+    cluster ascend by row id — the incremental append (index/patch.py)
+    relies on this to place new (highest-id) rows at the fill point and
+    stay list-identical to a repack."""
     rows = np.nonzero(ok)[0].astype(np.int64)
     a = assign[rows]
     order = np.argsort(a, kind="stable")
     rows_sorted = rows[order].astype(np.int32)
     a_sorted = a[order]
     counts = np.bincount(a, minlength=n_clusters)
-    m = max(1, int(counts.max()) if counts.size else 1)
+    m = max(1, (int(counts.max()) if counts.size else 1) + slack)
     starts = np.cumsum(counts) - counts
     pos = np.arange(len(rows_sorted)) - np.repeat(starts, counts)
     members = np.full((n_clusters, m), -1, np.int32)
@@ -201,11 +214,29 @@ def pack_ivf(corpus, valid, cents, assign: np.ndarray) -> IVFIndex:
     (C, M) padded table, then empty-cluster prune. ``assign`` indexes
     the UNPRUNED centroid space; the returned IVFIndex carries the
     pruned view (probe matmul only sees clusters that can contribute)."""
+    index, _ = pack_ivf_stats(corpus, valid, cents, assign)
+    return index
+
+
+def pack_ivf_stats(
+    corpus, valid, cents, assign: np.ndarray
+) -> Tuple[IVFIndex, dict]:
+    """:func:`pack_ivf` plus the host-side bookkeeping the incremental
+    append path (index/patch.py) needs to scatter future rows straight
+    into the packed table:
+
+    - ``counts``: (C_pruned,) per-cluster fill of the member table;
+    - ``pruned_map``: (C_unpruned,) int32 mapping unpruned cluster ids
+      (the ``assign`` space) to pruned member-table rows, -1 where the
+      cluster was pruned out.
+    """
     corpus, valid = _coerce_corpus(corpus, valid)
     cents = jnp.asarray(cents, jnp.float32)
     n_clusters = cents.shape[0]
     ok = np.asarray(valid)
-    members, counts = pack_members(assign, ok, n_clusters)
+    members, counts = pack_members(
+        assign, ok, n_clusters, slack=member_slack(int(counts_max(assign, ok)))
+    )
     # prune empty clusters: their centroids are k-means leftovers
     # (random-init positions, dead-row artifacts) that would compete
     # for probe slots against real clusters — on a near-empty
@@ -213,13 +244,28 @@ def pack_ivf(corpus, valid, cents, assign: np.ndarray) -> IVFIndex:
     # and return nothing. Pruning also shrinks the (Q, C) probe matmul
     # to the clusters that can possibly contribute.
     nonempty = np.nonzero(counts > 0)[0]
+    pruned_map = np.full((n_clusters,), -1, np.int32)
     if nonempty.size and nonempty.size < n_clusters:
         members = members[nonempty]
         cents = cents[jnp.asarray(nonempty, dtype=jnp.int32)]
+        pruned_map[nonempty] = np.arange(nonempty.size, dtype=np.int32)
+        counts = counts[nonempty]
     elif not nonempty.size:
         members = members[:1]
         cents = cents[:1]
-    return IVFIndex(cents, jnp.asarray(members), corpus, valid)
+        counts = counts[:1]
+    else:
+        pruned_map[:] = np.arange(n_clusters, dtype=np.int32)
+    stats = {"counts": counts.astype(np.int64), "pruned_map": pruned_map}
+    return IVFIndex(cents, jnp.asarray(members), corpus, valid), stats
+
+
+def counts_max(assign: np.ndarray, ok: np.ndarray) -> int:
+    """Deepest live cluster (for member-table slack sizing)."""
+    a = assign[ok]
+    if not a.size:
+        return 1
+    return int(np.bincount(a).max())
 
 
 def build_ivf(

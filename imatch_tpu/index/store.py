@@ -34,6 +34,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from imatch_tpu.index import patch as _patch
 from imatch_tpu.index.search import prepare_device_corpus, tilemax_topk
 from imatch_tpu.runtime.scheduler import GATE
 from imatch_tpu.utils.metrics import METRICS
@@ -125,6 +126,14 @@ class VectorStore:
         self._dead = 0
         self._device = None  # cached (corpus jnp, valid jnp)
         self._gen = 0  # bumped on every invalidation (build-outside-lock)
+        # queries currently holding a reference to the prepared device
+        # state (between snapshot capture and device_get). While zero,
+        # incremental patches donate the live buffers to XLA — a true
+        # in-place HBM update; otherwise the patch copies so in-flight
+        # readers keep a valid state (index/patch.py).
+        self._inflight = 0
+        self._patched = 0  # mutations absorbed by an O(batch) patch
+        self._patch_rebuilds = 0  # mutations that fell back to invalidate
         # IVF host state surviving _device invalidations: trained
         # centroids + per-slot cluster assignment (int32, -1 = not yet
         # assigned). Lets a mutation-invalidated ivf build REPAIR the
@@ -242,6 +251,91 @@ class VectorStore:
             if force or self._journal_len >= max(256, self.count() // 4):
                 self.save(self.persist_dir)
 
+    # -- incremental device-state maintenance --------------------------------
+
+    def _patch_or_invalidate(self, kind: str, slots, rows=None):
+        """Mutation epilogue (caller holds the lock): absorb the mutation
+        into the cached prepared state with an O(batch) scatter
+        (index/patch.py) instead of dropping it — dropping means the
+        next query re-copies and re-uploads the ENTIRE corpus (~3 GB at
+        1M x 512), the one place the design lost to hnswlib's
+        incremental insert (/root/reference/backend/app/main.py:735).
+
+        Falls back to invalidate-and-rebuild when the engine or the
+        patch declines (IVF staleness budget exceeded, member table
+        full, capacity grew — _ensure_capacity/_maybe_compact null the
+        state before we get here). Buffers are donated (true in-place
+        HBM update) only while no in-flight query holds the current
+        state."""
+        self._gen += 1
+        dc = self._device
+        if dc is None:
+            return
+        if not (_patch.enabled() and len(slots)):
+            self._device = None
+            self._patch_rebuilds += 1
+            return
+        slots = np.asarray(slots, np.int64)
+        tag = dc[0]
+        ivf_host = None
+        if kind == "append" and tag in ("ivf", "ivf-sharded"):
+            h = self._ivf_host
+            frac = float(os.environ.get("IMATCH_IVF_REBUILD_FRAC", "0.3"))
+            if (
+                h is None
+                or h.get("kind") != tag
+                or "counts" not in h
+                or (self._n - self._dead) > h["built_live"] * (1.0 + frac)
+            ):
+                # stale clustering (or a pre-counts host state): let the
+                # next build retrain/repair instead of packing new rows
+                # into a layout that is about to be replaced
+                self._device = None
+                self._patch_rebuilds += 1
+                return
+            ivf_host = h
+        donate = self._inflight == 0
+        try:
+            if kind == "append":
+                res = _patch.append_rows(
+                    dc, slots, rows, donate=donate, ivf_host=ivf_host
+                )
+                if res is not None:
+                    new_dc, host_upd = res
+                    self._device = new_dc
+                    if host_upd is not None:
+                        cl, counts_upd = host_upd
+                        ivf_host["assign"][slots] = cl
+                        if isinstance(counts_upd, dict):
+                            for s, nc in counts_upd.items():
+                                ivf_host["counts"][s] = nc
+                        else:
+                            ivf_host["counts"] = counts_upd
+                    self._patched += 1
+                    return
+            elif kind == "delete":
+                res = _patch.delete_rows(dc, slots, donate=donate)
+                if res is not None:
+                    self._device = res
+                    self._patched += 1
+                    return
+            else:
+                res = _patch.update_rows(dc, slots, rows, donate=donate)
+                if res is not None:
+                    self._device = res
+                    self._patched += 1
+                    return
+        except Exception:
+            # a failed patch must degrade to the always-correct rebuild,
+            # never poison the serving path (donated inputs are dead
+            # either way — the state is dropped below)
+            logger.exception(
+                "incremental %s patch failed — falling back to a rebuild",
+                kind,
+            )
+        self._device = None
+        self._patch_rebuilds += 1
+
     # -- chroma-like API ----------------------------------------------------
 
     def add(
@@ -292,8 +386,11 @@ class VectorStore:
             self._docs.extend(documents)
             self._slot.update(zip(ids, range(base, base + len(ids))))
             self._n = base + len(ids)
-            self._device = None
-            self._gen += 1
+            self._patch_or_invalidate(
+                "append",
+                np.arange(base, self._n, dtype=np.int64),
+                embeddings,
+            )
             if self.persist_dir is not None:
                 # build ops only when a journal exists: the base64
                 # embedding encode is ~40% of a non-persistent bulk
@@ -346,6 +443,7 @@ class VectorStore:
         metadatas: Optional[Sequence[dict]] = None,
     ):
         with self._lock:
+            emb_slots: List[int] = []
             for i, id_ in enumerate(ids):
                 slot = self._slot.get(id_)
                 if slot is None or not self._alive[slot]:
@@ -360,27 +458,39 @@ class VectorStore:
                         # vector changed — its nearest centroid may have
                         # too; -1 re-enters it through the repair pass
                         self._ivf_host["assign"][slot] = -1
-                    self._device = None
-                    self._gen += 1
+                    emb_slots.append(slot)
                 op = {"op": "update", "id": id_}
                 if metadatas is not None:
                     op["metadata"] = metadatas[i]
                 if embeddings is not None:
                     op["embedding"] = self._enc_emb(embeddings[i])
                 self._journal(op)
+            if emb_slots:
+                self._patch_or_invalidate(
+                    "update",
+                    np.asarray(emb_slots, np.int64),
+                    self._emb[emb_slots],
+                )
 
     def delete(self, ids: Sequence[str]):
         with self._lock:
             deleted = []
+            slots = []
             for id_ in ids:
                 slot = self._slot.pop(id_, None)
                 if slot is not None and self._alive[slot]:
                     self._alive[slot] = False
                     self._dead += 1
                     deleted.append(id_)
-            self._maybe_compact()
-            self._device = None
-            self._gen += 1
+                    slots.append(slot)
+            if deleted:
+                gen0 = self._gen
+                self._maybe_compact()
+                if self._gen == gen0:
+                    # no compaction — a validity-mask flip suffices
+                    self._patch_or_invalidate(
+                        "delete", np.asarray(slots, np.int64)
+                    )
             self._journal(*({"op": "delete", "id": i} for i in deleted))
 
     def count(self) -> int:
@@ -405,6 +515,10 @@ class VectorStore:
                 "coalescing": self._coalescer is not None,
                 "device_ready": self._device is not None,
                 "journal_ops": self._journal_len,
+                # incremental mutation health: patched should dominate
+                # rebuilds in steady state (index/patch.py)
+                "patched_mutations": self._patched,
+                "rebuild_mutations": self._patch_rebuilds,
             }
             h = self._ivf_host
             if h is not None:
@@ -515,7 +629,7 @@ class VectorStore:
         Returns ``(state, host_state)``."""
         from imatch_tpu.index.ivf import (
             assign_rows,
-            pack_ivf,
+            pack_ivf_stats,
             train_centroids,
         )
 
@@ -540,7 +654,7 @@ class VectorStore:
             if fresh.size:
                 assign[fresh] = assign_rows(emb_copy[fresh], snap["cents"])
             try:
-                state = pack_ivf(
+                state, pack_stats = pack_ivf_stats(
                     emb_copy, alive_copy, snap["cents"], assign
                 )
             except (IndexError, ValueError) as e:
@@ -558,6 +672,7 @@ class VectorStore:
                 "assign": assign,
                 "built_live": snap["built_live"],
                 "last_mode": "repair",
+                **pack_stats,
             }
             return state, host
         cents = train_centroids(emb_copy, alive_copy)
@@ -569,13 +684,16 @@ class VectorStore:
         # would be treated as already-placed by the repair pass and
         # packed into the wrong member list (invisible at low n_probe).
         assign[~alive_copy] = -1
-        state = pack_ivf(emb_copy, alive_copy, cents_np, assign)
+        state, pack_stats = pack_ivf_stats(
+            emb_copy, alive_copy, cents_np, assign
+        )
         return state, {
             "kind": "ivf",
             "cents": cents_np,
             "assign": assign,
             "built_live": live,
             "last_mode": "train",
+            **pack_stats,
         }
 
     def _build_device(
@@ -683,7 +801,11 @@ class VectorStore:
     def _device_state(self):
         """Prepared device state; caller must hold the lock. Kept for
         non-query internal uses — the query path goes through
-        _snapshot_for_query, which builds outside the lock."""
+        _snapshot_for_query, which builds outside the lock. NOT
+        donation-safe: a mutation after this returns may patch the state
+        in place (buffer donation, index/patch.py) — don't hold the
+        result across store mutations (benches/tests use it strictly
+        read-only)."""
         if self._device is None:
             cap = 0 if self._emb is None else self._emb.shape[0]
             if cap == 0:
@@ -756,6 +878,11 @@ class VectorStore:
                 emb = self._emb.copy()
                 alive = self._alive.copy()
                 ivf_snap = self._capture_ivf()
+            else:
+                # holding a reference: mutations must not DONATE these
+                # buffers out from under us (released in the caller's
+                # finally via _release_snapshot)
+                self._inflight += 1
         if dc is None:
             dc, ivf_host = self._build_device(emb, alive, ivf_snap)
             with self._lock:
@@ -766,8 +893,18 @@ class VectorStore:
                 # a concurrent mutation invalidated us: dc is still
                 # consistent with the ids/meta captured above, so THIS
                 # query uses it (and the stale-gen host state is
-                # discarded); the next query rebuilds fresh
+                # discarded); the next query rebuilds fresh. Either way
+                # we now hold a state a later patch could donate.
+                self._inflight += 1
         return live, dc, ids_l, meta_l, docs_l
+
+    def _release_snapshot(self, dc):
+        """Drop the in-flight hold taken by _snapshot_for_query (no-op
+        for the empty-store case where no state was captured)."""
+        if dc is None:
+            return
+        with self._lock:
+            self._inflight -= 1
 
     def warm(
         self,
@@ -780,17 +917,20 @@ class VectorStore:
         these query-count buckets (the coalescer and /api/search/batch
         dispatch (Q, d) blocks; Q is pow2-bucketed like k)."""
         live, dc, _, _, _ = self._snapshot_for_query()
-        if dc is None or live == 0:
-            return
-        seen = set()
-        for qc in q_counts:
-            q = np.zeros((self._k_bucket(qc), self.dim), np.float32)
-            for nr in n_results_list:
-                k_c = self._k_bucket(min(nr, live))
-                if (q.shape[0], k_c) in seen:
-                    continue
-                seen.add((q.shape[0], k_c))
-                jax.device_get(self._run_engine(q, dc, k_c))
+        try:
+            if dc is None or live == 0:
+                return
+            seen = set()
+            for qc in q_counts:
+                q = np.zeros((self._k_bucket(qc), self.dim), np.float32)
+                for nr in n_results_list:
+                    k_c = self._k_bucket(min(nr, live))
+                    if (q.shape[0], k_c) in seen:
+                        continue
+                    seen.add((q.shape[0], k_c))
+                    jax.device_get(self._run_engine(q, dc, k_c))
+        finally:
+            self._release_snapshot(dc)
 
     def set_coalescing(self, enabled: bool):
         """Public toggle for the dynamic-batching front (see __init__);
@@ -858,39 +998,42 @@ class VectorStore:
     ) -> dict:
         qn = q.shape[0]
         live, dc, ids_l, meta_l, docs_l = self._snapshot_for_query()
-        k = min(n_results, live)
-        out = {
-            "ids": [],
-            "distances": [],
-            "metadatas": [],
-            "documents": [],
-        }
-        if live == 0 or k == 0:
-            for key in out:
-                out[key] = [[] for _ in range(qn)]
-            return out
-        k_c = self._k_bucket(k)
-        # bucket the query COUNT too: the engines are jit-compiled per
-        # (Q, k) shape, so without this every distinct batch size on
-        # /api/search/batch would pay a fresh XLA compile. Zero-row
-        # padding is dropped below; worst-case extra score work is <2x
-        # and only on already-batched requests.
-        q_c = self._k_bucket(qn)
-        if q_c != qn:
-            pad = ((0, q_c - qn), (0, 0))
-            q = (
-                jnp.pad(q, pad)
-                if isinstance(q, jax.Array)
-                else np.pad(q, pad)
-            )
-        with METRICS.timer("index.dispatch"), GATE.priority():
-            # one transfer for both outputs: each np.asarray would be its
-            # own blocking host round-trip (2x the tunnel RTT).
-            # GATE.priority(): bulk streams (caption decode segments,
-            # VQA/embed chunks) park at their next checkpoint while this
-            # dispatch+fetch is in flight — searches never queue behind
-            # a whole caption batch (runtime/scheduler.py).
-            scores, idx = jax.device_get(self._run_engine(q, dc, k_c))
+        try:
+            k = min(n_results, live)
+            out = {
+                "ids": [],
+                "distances": [],
+                "metadatas": [],
+                "documents": [],
+            }
+            if live == 0 or k == 0:
+                for key in out:
+                    out[key] = [[] for _ in range(qn)]
+                return out
+            k_c = self._k_bucket(k)
+            # bucket the query COUNT too: the engines are jit-compiled
+            # per (Q, k) shape, so without this every distinct batch size
+            # on /api/search/batch would pay a fresh XLA compile.
+            # Zero-row padding is dropped below; worst-case extra score
+            # work is <2x and only on already-batched requests.
+            q_c = self._k_bucket(qn)
+            if q_c != qn:
+                pad = ((0, q_c - qn), (0, 0))
+                q = (
+                    jnp.pad(q, pad)
+                    if isinstance(q, jax.Array)
+                    else np.pad(q, pad)
+                )
+            with METRICS.timer("index.dispatch"), GATE.priority():
+                # one transfer for both outputs: each np.asarray would be
+                # its own blocking host round-trip (2x the tunnel RTT).
+                # GATE.priority(): bulk streams (caption decode segments,
+                # VQA/embed chunks) park at their next checkpoint while
+                # this dispatch+fetch is in flight — searches never queue
+                # behind a whole caption batch (runtime/scheduler.py).
+                scores, idx = jax.device_get(self._run_engine(q, dc, k_c))
+        finally:
+            self._release_snapshot(dc)
         scores = scores[:qn, :k]
         idx = idx[:qn, :k]
         for qi in range(qn):

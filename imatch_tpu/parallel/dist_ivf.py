@@ -121,7 +121,7 @@ def prepare_sharded_ivf_incremental(
         # malformed host state (e.g. a hand-edited sidecar): the probe
         # itself must degrade to retrain, same as a failing repair
         repair = False
-    cents, membs, masks = [], [], []
+    cents, membs, masks, fills = [], [], [], []
     if repair:
         assign = snap["assign"]
         if assign.shape[0] < corpus.shape[0]:
@@ -148,15 +148,21 @@ def prepare_sharded_ivf_incremental(
                     a_s[fresh] = _ivf.assign_rows(
                         corpus[sl][fresh], cents[s]
                     )
-                m, counts = _ivf.pack_members(a_s, ok_s, cents[s].shape[0])
+                m, counts = _ivf.pack_members(
+                    a_s,
+                    ok_s,
+                    cents[s].shape[0],
+                    slack=_ivf.member_slack(_ivf.counts_max(a_s, ok_s)),
+                )
                 membs.append(m)
                 masks.append(counts > 0)
+                fills.append(counts.astype(np.int64))
         except (IndexError, ValueError):
             # semantically-corrupt host state (e.g. a bad sidecar whose
             # assignments exceed a shard's cluster count) degrades to a
             # full per-shard retrain, never a poisoned serving path
             repair = False
-            cents, membs, masks = [], [], []
+            cents, membs, masks, fills = [], [], [], []
     if not repair:
         assign = np.full((corpus.shape[0],), -1, np.int32)
         built_live = live
@@ -170,10 +176,16 @@ def prepare_sharded_ivf_incremental(
             )
             a_s = _ivf.assign_rows(corpus[sl], c)
             assign[sl] = a_s
-            m, counts = _ivf.pack_members(a_s, valid[sl], c.shape[0])
+            m, counts = _ivf.pack_members(
+                a_s,
+                valid[sl],
+                c.shape[0],
+                slack=_ivf.member_slack(_ivf.counts_max(a_s, valid[sl])),
+            )
             cents.append(c)
             membs.append(m)
             masks.append(counts > 0)
+            fills.append(counts.astype(np.int64))
         # the streamed argmax assigned EVERY slot — dead/padding rows
         # (zero vectors) landed in an arbitrary cluster; stamp them
         # unassigned so rows added into those slots later get repaired
@@ -187,6 +199,9 @@ def prepare_sharded_ivf_incremental(
         "built_live": built_live,
         "dp": dp,
         "rows": rows,
+        # per-shard member-table fill, consumed by the incremental
+        # append path (index/patch.py) to place new rows in O(batch)
+        "counts": fills,
         "last_mode": "repair" if repair else "train",
     }
     c_max = max(c.shape[0] for c in cents)

@@ -123,6 +123,37 @@ def apply_profile(env: os._Environ | dict | None = None) -> dict[str, str]:
             name,
             env.get("IMATCH_MD_QUANT"),
         )
+    # Unblessed-numerics klaxon: the int8/W8A8 tiers' ACCEPTANCE gates
+    # (real-weight retrieval parity, caption quality, LM activation
+    # outliers — WEIGHTS.md §5) cannot run until a real checkpoint has
+    # flowed once. A deployment that types IMATCH_PROFILE=throughput
+    # gets those tiers by default, so it must be told, loudly, exactly
+    # what is unproven. Silence the warning ONLY by setting
+    # IMATCH_QUANT_BLESSED=1 after the §5 gates pass.
+    _QUANT_KEYS = (
+        "IMATCH_EMBED_QUANT",
+        "IMATCH_MD_QUANT",
+        "IMATCH_MD_ACT",
+        "IMATCH_MD_CACHE",
+        "IMATCH_SCORE_DTYPE",
+    )
+    quant_on = sorted(k for k in _QUANT_KEYS if applied.get(k) == "int8")
+    if quant_on and env.get("IMATCH_QUANT_BLESSED", "") not in (
+        "1",
+        "true",
+        "yes",
+    ):
+        log.warning(
+            "profile %s enables int8/W8A8 tiers (%s) whose quality "
+            "gates have NOT been run against real checkpoints. Run the "
+            "WEIGHTS.md §5 blessing gates "
+            "(tests/test_golden_weights.py with the matching env vars) "
+            "once real weights are installed, then set "
+            "IMATCH_QUANT_BLESSED=1 to confirm — or override the "
+            "individual flags to opt out.",
+            name,
+            ", ".join(quant_on),
+        )
     if applied:
         log.info("profile %s: %s", name,
                  " ".join(f"{k}={v}" for k, v in sorted(applied.items())))

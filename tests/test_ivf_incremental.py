@@ -366,8 +366,24 @@ def test_stats_reports_ivf_state(train_counter, full_probe):
     st.add(ids=_ids(88, base=512), embeddings=emb[512:])
     st.query(emb[:1], n_results=5)
     s = st.stats()
-    assert s["ivf"]["last_mode"] == "repair"
+    # the O(batch) patch absorbed the add without any rebuild
+    # (index/patch.py); the trained clustering stays live
+    assert s["patched_mutations"] == 1
+    assert s["ivf"]["last_mode"] == "train"
     assert s["live"] == 600 and s["ivf"]["built_live"] == 512
+    # forcing the patch off exercises the REPAIR rebuild the old
+    # mutate-invalidates contract took (assign only the new rows)
+    import os as _os
+
+    _os.environ["IMATCH_INCREMENTAL"] = "0"
+    try:
+        st.add(ids=_ids(30, base=600), embeddings=_corpus(30, d=d, seed=15))
+        st.query(emb[:1], n_results=5)
+    finally:
+        _os.environ.pop("IMATCH_INCREMENTAL", None)
+    s = st.stats()
+    assert s["ivf"]["last_mode"] == "repair"
+    assert s["live"] == 630 and s["ivf"]["built_live"] == 512
 
 
 def test_semantically_corrupt_sidecar_degrades_to_retrain(

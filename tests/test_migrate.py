@@ -34,9 +34,9 @@ def _vec(seed: int) -> np.ndarray:
     return np.random.default_rng(seed).normal(size=(DIM,)).astype("<f4")
 
 
-def make_chroma_db(dirpath, *, prune_wal_for=(), topic_column=True):
-    os.makedirs(dirpath, exist_ok=True)
-    con = sqlite3.connect(os.path.join(dirpath, "chroma.sqlite3"))
+def _create_schema(con, topic_column=True):
+    """The sqlite DDL Chroma 0.4-0.6 writes — ONE definition shared by
+    every fixture variant, so schema drift is fixed in one place."""
     con.executescript(
         """
         CREATE TABLE collections (
@@ -63,6 +63,16 @@ def make_chroma_db(dirpath, *, prune_wal_for=(), topic_column=True):
             " created_at TEXT, operation INTEGER, id TEXT,"
             " vector BLOB, encoding TEXT, metadata TEXT)"
         )
+
+
+def make_chroma_db(dirpath, *, prune_wal_for=(), topic_column=True, ids=None):
+    """Synthetic reference deployment. Default: the 3-live-row scenario
+    with WAL add/update/delete replay and typed metadata. With ``ids``:
+    a simple N-row corpus (one filename metadata + one WAL add per id)
+    for scale-shaped tests."""
+    os.makedirs(dirpath, exist_ok=True)
+    con = sqlite3.connect(os.path.join(dirpath, "chroma.sqlite3"))
+    _create_schema(con, topic_column=topic_column)
     con.execute(
         "INSERT INTO collections VALUES ('col-1', 'image-match', ?)", (DIM,)
     )
@@ -73,6 +83,31 @@ def make_chroma_db(dirpath, *, prune_wal_for=(), topic_column=True):
             ("seg-vec", "urn:chroma:segment/vector/hnsw-local", "VECTOR"),
         ],
     )
+    if ids is not None:
+        con.executemany(
+            "INSERT INTO embeddings (id, segment_id, embedding_id)"
+            " VALUES (?, 'seg-md', ?)",
+            list(enumerate(ids, start=1)),
+        )
+        con.executemany(
+            "INSERT INTO embedding_metadata VALUES (?, 'filename', ?,"
+            " NULL, NULL, NULL)",
+            [(pk, f"{i}.jpg") for pk, i in enumerate(ids, start=1)],
+        )
+        con.executemany(
+            "INSERT INTO embeddings_queue VALUES (?, '', 0, 'col-1', ?, ?,"
+            " 'FLOAT32', '{}')"
+            if topic_column
+            else "INSERT INTO embeddings_queue VALUES (?, '', 0, ?, ?,"
+            " 'FLOAT32', '{}')",
+            [
+                (pk, i, _vec(pk).tobytes())
+                for pk, i in enumerate(ids, start=1)
+            ],
+        )
+        con.commit()
+        con.close()
+        return
     # Live set: img_a, img_b, img_c (img_d was added then deleted — it
     # appears only in the WAL, not in embeddings).
     for pk, emb_id in ((1, "img_a"), (2, "img_b"), (3, "img_c")):
@@ -232,50 +267,8 @@ def test_migrate_many_rows_crosses_bind_chunks(tmp_path):
     builds). Verifies metadata survives intact across chunk edges."""
     n = 1203
     chroma = tmp_path / "chroma_data"
-    os.makedirs(chroma, exist_ok=True)
-    con = sqlite3.connect(os.path.join(chroma, "chroma.sqlite3"))
-    con.executescript(
-        """
-        CREATE TABLE collections (
-            id TEXT PRIMARY KEY, name TEXT, dimension INTEGER);
-        CREATE TABLE segments (
-            id TEXT PRIMARY KEY, type TEXT, scope TEXT, collection TEXT);
-        CREATE TABLE embeddings (
-            id INTEGER PRIMARY KEY AUTOINCREMENT, segment_id TEXT,
-            embedding_id TEXT, seq_id BLOB, created_at TEXT);
-        CREATE TABLE embedding_metadata (
-            id INTEGER, key TEXT, string_value TEXT, int_value INTEGER,
-            float_value REAL, bool_value INTEGER);
-        CREATE TABLE embeddings_queue (seq_id INTEGER PRIMARY KEY,
-            created_at TEXT, operation INTEGER, topic TEXT, id TEXT,
-            vector BLOB, encoding TEXT, metadata TEXT);
-        """
-    )
-    con.execute(
-        "INSERT INTO collections VALUES ('col-1', 'image-match', ?)", (DIM,)
-    )
-    con.execute(
-        "INSERT INTO segments VALUES "
-        "('seg-md', 't', 'METADATA', 'col-1')"
-    )
     ids = [f"img_{i:05d}" for i in range(n)]
-    con.executemany(
-        "INSERT INTO embeddings (id, segment_id, embedding_id)"
-        " VALUES (?, 'seg-md', ?)",
-        list(enumerate(ids, start=1)),
-    )
-    con.executemany(
-        "INSERT INTO embedding_metadata VALUES (?, 'filename', ?,"
-        " NULL, NULL, NULL)",
-        [(pk, f"{i}.jpg") for pk, i in enumerate(ids, start=1)],
-    )
-    con.executemany(
-        "INSERT INTO embeddings_queue VALUES (?, '', 0, 'col-1', ?, ?,"
-        " 'FLOAT32', '{}')",
-        [(pk, i, _vec(pk).tobytes()) for pk, i in enumerate(ids, start=1)],
-    )
-    con.commit()
-    con.close()
+    make_chroma_db(str(chroma), ids=ids)
     summary = migrate(
         chroma_dir=str(chroma), root=str(tmp_path), collection="image-match"
     )

@@ -54,6 +54,38 @@ def test_every_profile_key_is_documented_env_var():
             assert key.startswith("IMATCH_"), (name, key)
 
 
+def test_unblessed_quant_profiles_warn(caplog):
+    """throughput/capacity enable int8/W8A8 tiers whose WEIGHTS.md §5
+    quality gates cannot run without real checkpoints — the startup log
+    must say so loudly, naming the flags, until the operator confirms
+    the blessing with IMATCH_QUANT_BLESSED=1."""
+    import logging
+
+    for name in ("throughput", "capacity"):
+        caplog.clear()
+        with caplog.at_level(logging.WARNING, logger="imatch.profiles"):
+            apply_profile({"IMATCH_PROFILE": name})
+        warns = [r for r in caplog.records if r.levelno == logging.WARNING]
+        assert warns, name
+        msg = warns[0].getMessage()
+        assert "WEIGHTS.md" in msg and "IMATCH_QUANT_BLESSED" in msg
+        assert "IMATCH_EMBED_QUANT" in msg
+
+    # blessed marker silences it
+    caplog.clear()
+    with caplog.at_level(logging.WARNING, logger="imatch.profiles"):
+        apply_profile(
+            {"IMATCH_PROFILE": "capacity", "IMATCH_QUANT_BLESSED": "1"}
+        )
+    assert not [r for r in caplog.records if r.levelno == logging.WARNING]
+
+    # latency enables no quantized tier — no warning
+    caplog.clear()
+    with caplog.at_level(logging.WARNING, logger="imatch.profiles"):
+        apply_profile({"IMATCH_PROFILE": "latency"})
+    assert not [r for r in caplog.records if r.levelno == logging.WARNING]
+
+
 def test_profile_md_act_degrades_when_quant_overridden():
     """Explicit IMATCH_MD_QUANT != int8 must not turn a profile's
     IMATCH_MD_ACT=int8 into a startup crash — the profile drops the
