@@ -680,6 +680,167 @@ def bench_ivf_incremental(on_tpu: bool):
         return {"ivf_incremental_error": str(e)[:200]}
 
 
+def bench_baseline_multimodal(embedder, on_tpu: bool):
+    """BASELINE config #2: multimodal weighted image+text search on a
+    10k-image index (/root/reference/backend/app/main.py:829-867) —
+    the composed pipeline (image tower + text tower + device blend +
+    index matmul), not its unit pieces. Fail-soft."""
+    try:
+        from PIL import Image
+
+        from imatch_tpu.pipeline.captioner import NullCaptioner
+        from imatch_tpu.pipeline.search import search_multimodal
+        from imatch_tpu.pipeline.state import AppState
+
+        n = 10_000 if on_tpu else 2_000
+        rng = np.random.default_rng(3)
+        emb = rng.standard_normal((n, 512)).astype(np.float32)
+        emb /= np.linalg.norm(emb, axis=1, keepdims=True)
+        with tempfile.TemporaryDirectory() as root:
+            state = AppState(
+                root=root,
+                embedder=embedder,
+                captioner=NullCaptioner(),
+                autoload=False,
+            )
+            state.store.add(
+                ids=[f"m{i:05d}" for i in range(n)], embeddings=emb
+            )
+            img = Image.fromarray(
+                rng.integers(0, 256, (256, 256, 3), np.uint8)
+            )
+            for _ in range(3):  # warm both towers + blend + query path
+                search_multimodal(state, img, "a red power drill", 0.5, 10)
+            reps = 20 if on_tpu else 4
+            times = []
+            for _ in range(reps):
+                t0 = time.perf_counter()
+                r = search_multimodal(
+                    state, img, "a red power drill", 0.5, 10
+                )
+                times.append(time.perf_counter() - t0)
+            assert len(r) == 10
+            return {
+                "baseline2_multimodal_rows": n,
+                "baseline2_multimodal_p50_ms": round(
+                    float(np.median(times)) * 1e3, 2
+                ),
+            }
+    except Exception as e:  # pragma: no cover - diagnostics only
+        return {"baseline2_error": str(e)[:200]}
+
+
+def bench_baseline_batch_upload(embedder, on_tpu: bool):
+    """BASELINE config #3: the composed batch-upload pipeline — fused
+    preprocess + pHash duplicate detection + LIVE filter scoring (a
+    saved filter VQA-scores every fresh image during ingest, the
+    reference's main.py:707-731 + 1124-1188 chain) with captions on
+    (tiny-md geometry; real-weights quality is gated in WEIGHTS.md).
+    N defaults to 8192 with 25% injected duplicates; scale with
+    IMATCH_BENCH_B3_N (the config names 100k — the stages are
+    streaming, corpus-size-independent rates). Fail-soft."""
+    try:
+        from imatch_tpu.models.moondream.runtime import MoondreamJax
+        from imatch_tpu.pipeline.ingest import process_batch
+        from imatch_tpu.pipeline.state import AppState
+        from imatch_tpu.runtime.loader import default_loader
+
+        n = int(
+            os.environ.get("IMATCH_BENCH_B3_N", "8192" if on_tpu else "48")
+        )
+        n_dup = n // 4
+        src = 256
+        blobs = _make_jpegs(n, src, seed=11)
+        blobs = blobs + blobs[:n_dup]  # 25% duplicates for the dedup path
+        loader = default_loader()
+        with tempfile.TemporaryDirectory() as root:
+            state = AppState(
+                root=root,
+                embedder=embedder,
+                captioner=MoondreamJax(config="tiny-md"),
+                autoload=False,
+            )
+            state.save_filters(["is it red"])  # scored live during ingest
+            warm = _make_jpegs(min(n, 256), src, seed=12)
+            imgs = [loader.wait(loader.submit_bytes(b)) for b in warm]
+            process_batch(
+                state, imgs, [f"w{i}.jpg" for i in range(len(imgs))]
+            )
+            t0 = time.perf_counter()
+            tickets = [loader.submit_bytes(b) for b in blobs]
+            images = [loader.wait(t) for t in tickets]
+            results = process_batch(
+                state,
+                images,
+                [f"b3_{i}.jpg" for i in range(len(blobs))],
+                raw_bytes=blobs,
+            )
+            dt = time.perf_counter() - t0
+        ok = sum(1 for r in results if r["status"] == "success")
+        skipped = sum(1 for r in results if r["status"] == "skipped")
+        return {
+            "baseline3_images": len(blobs),
+            "baseline3_imgs_per_sec": round(len(blobs) / dt, 1),
+            "baseline3_successful": ok,
+            "baseline3_dup_skipped": skipped,
+        }
+    except Exception as e:  # pragma: no cover - diagnostics only
+        return {"baseline3_error": str(e)[:200]}
+
+
+def bench_baseline_rembg_l14(on_tpu: bool):
+    """BASELINE config #4: U²-Net segmentation + ViT-L/14 embed fused
+    upload path (/root/reference/backend/app/main.py:654-661 +
+    utils.py:73-80) — background removal per image, then the L/14
+    tower, through the real process_batch. Fail-soft."""
+    try:
+        from imatch_tpu.models.u2net.runtime import U2NetSegmenter
+        from imatch_tpu.pipeline.captioner import NullCaptioner
+        from imatch_tpu.pipeline.embedder import ClipEmbedder
+        from imatch_tpu.pipeline.ingest import process_batch
+        from imatch_tpu.pipeline.state import AppState
+        from imatch_tpu.runtime.loader import default_loader
+
+        n = 256 if on_tpu else 6
+        src = 256
+        blobs = _make_jpegs(n, src, seed=21)
+        loader = default_loader()
+        with tempfile.TemporaryDirectory() as root:
+            state = AppState(
+                root=root,
+                embedder=ClipEmbedder(config="vit-l14"),
+                captioner=NullCaptioner(),
+                segmenter=U2NetSegmenter(),
+                autoload=False,
+            )
+            warm = _make_jpegs(min(n, 64), src, seed=22)
+            imgs = [loader.wait(loader.submit_bytes(b)) for b in warm]
+            process_batch(
+                state,
+                imgs,
+                [f"w{i}.jpg" for i in range(len(imgs))],
+                remove_bg=True,
+            )
+            t0 = time.perf_counter()
+            tickets = [loader.submit_bytes(b) for b in blobs]
+            images = [loader.wait(t) for t in tickets]
+            results = process_batch(
+                state,
+                images,
+                [f"b4_{i}.jpg" for i in range(n)],
+                raw_bytes=blobs,
+                remove_bg=True,
+            )
+            dt = time.perf_counter() - t0
+        ok = sum(1 for r in results if r["status"] == "success")
+        return {
+            "baseline4_images": n,
+            "baseline4_rembg_l14_imgs_per_sec": round(ok / dt, 1),
+        }
+    except Exception as e:  # pragma: no cover - diagnostics only
+        return {"baseline4_error": str(e)[:200]}
+
+
 def main():
     import sys
 
@@ -762,7 +923,13 @@ def main():
     del store  # free the 1M corpus before the IVF tier builds its own
     mark("incremental IVF tier…")
     ivf_stats = bench_ivf_incremental(on_tpu)
-    mark(f"ivf {ivf_stats}")
+    mark(f"ivf {ivf_stats}; BASELINE config #2 (multimodal 10k)…")
+    b2 = bench_baseline_multimodal(embedder, on_tpu)
+    mark(f"{b2}; BASELINE config #3 (batch upload + dedup + filters)…")
+    b3 = bench_baseline_batch_upload(embedder, on_tpu)
+    mark(f"{b3}; BASELINE config #4 (U²-Net + ViT-L/14 upload)…")
+    b4 = bench_baseline_rembg_l14(on_tpu)
+    mark(f"{b4}")
 
     print(
         json.dumps(
@@ -806,6 +973,9 @@ def main():
                     "link_up_mb_s": link_up,
                     **mut_stats,
                     **ivf_stats,
+                    **b2,
+                    **b3,
+                    **b4,
                 },
             }
         )
