@@ -17,10 +17,9 @@ each flag.
   readers. Monolithic decode dispatches (no segmentation overhead,
   100% caption rate), double-size embed chunks, W8A8 int8 image tower
   (ViT-B/32 1.11x / ViT-L/14 1.27x encode), int8 VLM weights + W8A8
-  prefill (VQA backfill 73 -> 96.5 answers/s at B=128), and coalesced
-  single-query reads (any searches that do arrive share engine
-  dispatches instead of stealing N of them; the store ignores the
-  flag on CPU backends where batched scoring is FLOP-bound —
+  prefill (VQA backfill 73 -> 96.5 answers/s at B=128). Request
+  coalescing is deliberately NOT in this profile — measured losing to
+  pipelining on TPU at every depth (see the PROFILES entry below and
   docs/DESIGN.md).
 - ``capacity``    — largest corpus per chip. ``auto`` engine (which
   escalates tilemax → sharded → tilemax-host by HBM budget), int8
@@ -55,9 +54,13 @@ PROFILES: dict[str, dict[str, str]] = {
         "IMATCH_MD_SEG": "0",
         "IMATCH_EMBED_CHUNK": "1024",
         "IMATCH_INDEX_ENGINE": "auto",
-        # saturated single-query readers share one engine dispatch
-        # instead of pipelining N (runtime/coalesce.py)
-        "IMATCH_COALESCE": "1",
+        # NOT here: IMATCH_COALESCE. Coalescing measured LOSING to
+        # depth-N pipelining on TPU at every depth tried (BENCH_r04:
+        # depth-8 111 vs 196 QPS, depth-32 15 vs 414 — the engine is
+        # HBM-bound, not dispatch-bound, so batching only adds queueing
+        # delay). Stays available as an explicit opt-in for
+        # dispatch-rate-limited backends; docs/DESIGN.md "Dynamic
+        # request coalescing" has the full ledger.
         # W8A8 image tower: ViT-B/32 1.11x, ViT-L/14 1.27x encode
         # (scripts/exp_w8a8_vit.py; bless per WEIGHTS.md §5)
         "IMATCH_EMBED_QUANT": "int8",
