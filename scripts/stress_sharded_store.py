@@ -31,10 +31,14 @@ os.environ.setdefault("IMATCH_WARMUP", "0")
 # parallel/dist_ivf.py), so a numpy oracle can check it bit-for-bit
 os.environ.setdefault("IMATCH_IVF_NPROBE", "100000")
 
+sys.path.insert(
+    0, os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+)
+
 import jax
 
-if jax.default_backend() != "cpu":
-    jax.config.update("jax_platforms", "cpu")
+# before backend init: the axon plugin ignores JAX_PLATFORMS (conftest)
+jax.config.update("jax_platforms", "cpu")
 
 import numpy as np
 
@@ -96,7 +100,7 @@ def main():
     d = int(sys.argv[2]) if len(sys.argv) > 2 else 256
     rng = np.random.default_rng(0)
     oracle = Oracle(d)
-    summary = {"n": n, "d": d, "devices": len(jax.devices()), "checks": 0}
+    summary = {"n": n, "d": d, "devices": len(jax.devices())}
     ok = True
     t_start = time.perf_counter()
 
