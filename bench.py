@@ -850,6 +850,23 @@ def main():
         print(f"[bench] {msg}", file=sys.stderr, flush=True)
 
     on_tpu = jax.default_backend() == "tpu"
+    # Soft wall-clock budget: the tier list has grown (mutation, IVF
+    # decomposition, BASELINE configs #2-#4) and several tiers are
+    # link-rate-bound, so on a degraded-tunnel day the full run can
+    # exceed an hour. The headline metric must ALWAYS reach the driver:
+    # once the deadline passes, remaining optional tiers are skipped
+    # (recorded as <tier>_skipped) and the JSON line prints with
+    # everything measured so far.
+    t_start = time.perf_counter()
+    deadline_s = float(os.environ.get("IMATCH_BENCH_DEADLINE_S", "3300"))
+
+    def have_time(tier: str) -> bool:
+        left = deadline_s - (time.perf_counter() - t_start)
+        if left > 0:
+            return True
+        mark(f"deadline reached — skipping {tier}")
+        return False
+
     mark("link bandwidth…")
     link_down, link_up = bench_link_bandwidth()
     mark(f"link {link_down}/{link_up} MB/s; headline ingest (embed+index)…")
@@ -917,19 +934,32 @@ def main():
     http_p50, http_batch_p50, http_batch_per_q = bench_http_search(
         embedder, store, on_tpu
     )
-    mark("mutation-latency tier (patch vs rebuild)…")
-    mut_stats = bench_mutation_latency(store, on_tpu)
-    mark(f"mutation {mut_stats}")
+    mut_stats = {"mutation_skipped": "deadline"}
+    if have_time("mutation tier"):
+        mark("mutation-latency tier (patch vs rebuild)…")
+        mut_stats = bench_mutation_latency(store, on_tpu)
+        mark(f"mutation {mut_stats}")
     del store  # free the 1M corpus before the IVF tier builds its own
-    mark("incremental IVF tier…")
-    ivf_stats = bench_ivf_incremental(on_tpu)
-    mark(f"ivf {ivf_stats}; BASELINE config #2 (multimodal 10k)…")
-    b2 = bench_baseline_multimodal(embedder, on_tpu)
-    mark(f"{b2}; BASELINE config #3 (batch upload + dedup + filters)…")
-    b3 = bench_baseline_batch_upload(embedder, on_tpu)
-    mark(f"{b3}; BASELINE config #4 (U²-Net + ViT-L/14 upload)…")
-    b4 = bench_baseline_rembg_l14(on_tpu)
-    mark(f"{b4}")
+    ivf_stats = {"ivf_skipped": "deadline"}
+    if have_time("ivf tier"):
+        mark("incremental IVF tier…")
+        ivf_stats = bench_ivf_incremental(on_tpu)
+        mark(f"ivf {ivf_stats}")
+    b2 = {"baseline2_skipped": "deadline"}
+    if have_time("baseline #2"):
+        mark("BASELINE config #2 (multimodal 10k)…")
+        b2 = bench_baseline_multimodal(embedder, on_tpu)
+        mark(f"{b2}")
+    b3 = {"baseline3_skipped": "deadline"}
+    if have_time("baseline #3"):
+        mark("BASELINE config #3 (batch upload + dedup + filters)…")
+        b3 = bench_baseline_batch_upload(embedder, on_tpu)
+        mark(f"{b3}")
+    b4 = {"baseline4_skipped": "deadline"}
+    if have_time("baseline #4"):
+        mark("BASELINE config #4 (U²-Net + ViT-L/14 upload)…")
+        b4 = bench_baseline_rembg_l14(on_tpu)
+        mark(f"{b4}")
 
     print(
         json.dumps(
