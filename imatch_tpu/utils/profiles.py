@@ -15,7 +15,7 @@ each flag.
   on.
 - ``throughput``  — bulk ingest / backfill boxes with no interactive
   readers. Monolithic decode dispatches (no segmentation overhead,
-  100% caption rate), double-size embed chunks, W8A8 int8 image tower
+  100% caption rate), W8A8 int8 image tower
   (ViT-B/32 1.11x / ViT-L/14 1.27x encode), int8 VLM weights + W8A8
   prefill (VQA backfill 73 -> 96.5 answers/s at B=128). Request
   coalescing is deliberately NOT in this profile — measured losing to
@@ -52,7 +52,13 @@ PROFILES: dict[str, dict[str, str]] = {
     },
     "throughput": {
         "IMATCH_MD_SEG": "0",
-        "IMATCH_EMBED_CHUNK": "1024",
+        # NOT here: IMATCH_EMBED_CHUNK=1024. The clean-host chunk sweep
+        # (TPU v5e, 2026-08-19) measured B=512 at 9,068 img/s vs 8,353
+        # (B=1024) and 8,152 (B=2048) — the default IS the knee. An
+        # earlier contended run showed B=1024 "winning" only because a
+        # concurrent CPU job starved B=512's more-frequent host
+        # iterations (DESIGN.md "Ingest chunk knee"); larger chunks are
+        # more contention-robust, not faster.
         "IMATCH_INDEX_ENGINE": "auto",
         # NOT here: IMATCH_COALESCE. Coalescing measured LOSING to
         # depth-N pipelining on TPU at every depth tried (BENCH_r04:
