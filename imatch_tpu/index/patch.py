@@ -85,12 +85,37 @@ def _pad_idx(idx: np.ndarray) -> np.ndarray:
     )
 
 
-def _pad_rows(rows: np.ndarray, b: int) -> np.ndarray:
+def _pad_rows(rows, b: int):
+    """Pad a row batch to its pow2 bucket by repeating row 0 (idempotent
+    under the duplicate-index scatter, same as _pad_idx). Device arrays
+    pad with device ops — np.concatenate on a jax.Array would force a
+    host round-trip, defeating the device-resident ingest path."""
     if rows.shape[0] == b:
         return rows
+    if isinstance(rows, jax.Array):
+        return jnp.concatenate(
+            [rows, jnp.broadcast_to(rows[:1], (b - rows.shape[0],) + rows.shape[1:])]
+        )
     return np.concatenate(
         [rows, np.repeat(rows[:1], b - rows.shape[0], axis=0)]
     )
+
+
+def _rows_f32(rows, tag: str):
+    """Normalize a mutation row batch to fp32 for the patch kernels.
+
+    numpy input stays numpy (one contiguous cast). jax.Array input stays
+    ON DEVICE for the engines whose patch is a pure device scatter
+    (tilemax / sharded / pallas) — the whole point of the device-resident
+    add (store.add with a jax.Array): the embeddings computed by the
+    model never cross the link. Engines whose patch needs host-side work
+    (tilemax-host numpy quantization, IVF centroid assignment + member
+    bookkeeping) materialize here instead."""
+    if isinstance(rows, jax.Array):
+        if tag in ("tilemax", "sharded", "pallas"):
+            return rows if rows.dtype == jnp.float32 else rows.astype(jnp.float32)
+        return np.ascontiguousarray(jax.device_get(rows), np.float32)
+    return np.ascontiguousarray(rows, np.float32)
 
 
 # ---------------------------------------------------------------------------
@@ -433,7 +458,7 @@ def append_rows(
     ``slots`` are the store slot indices (contiguous from the old row
     count); ``rows`` the fp32 (b, D) embeddings."""
     tag, state = dc
-    rows = np.ascontiguousarray(rows, np.float32)
+    rows = _rows_f32(rows, tag)
     if tag in ("tilemax", "sharded"):
         new = _dense_patch(tag, state, slots, rows, True, donate)
         return None if new is None else ((tag, new), None)
@@ -499,7 +524,7 @@ def update_rows(dc, slots: np.ndarray, rows: np.ndarray, *, donate: bool):
     under concurrent lock-free rescores). Returns (tag, new_state) or
     None."""
     tag, state = dc
-    rows = np.ascontiguousarray(rows, np.float32)
+    rows = _rows_f32(rows, tag)
     if tag in ("tilemax", "sharded"):
         new = _dense_patch(tag, state, slots, rows, True, donate)
         return None if new is None else (tag, new)

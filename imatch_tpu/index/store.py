@@ -83,6 +83,7 @@ class VectorStore:
         engine: Optional[str] = None,
         score_dtype=None,
         coalesce: Optional[bool] = None,
+        capacity: Optional[int] = None,
     ):
         self.dim = dim
         self.engine = (engine or _env_engine()).lower()
@@ -122,6 +123,13 @@ class VectorStore:
         self._docs: List[Optional[str]] = []
         self._emb: Optional[np.ndarray] = None  # (cap, D) fp32
         self._alive: Optional[np.ndarray] = None  # (cap,) bool
+        # Device-resident adds (add() with a jax.Array) defer the host
+        # mirror + journal: each entry is (base_slot, count, device_rows,
+        # ids, metadatas, documents) whose d2h copy was started async at
+        # add time. _drain_pending() completes them FIFO before anything
+        # reads self._emb or appends a later op to the journal, so the
+        # journal order always equals the operation order.
+        self._pending: List[tuple] = []
         self._n = 0  # slots in use (incl. tombstones)
         self._dead = 0
         self._device = None  # cached (corpus jnp, valid jnp)
@@ -150,6 +158,18 @@ class VectorStore:
         # accelerator backends — batched host scoring is FLOP-bound and
         # counterproductive (docs/DESIGN.md); pass True to force (tests,
         # benches).
+        # Pre-reserve slot capacity (reference parity: hnswlib indexes
+        # are created with a max_elements budget). Growth past the
+        # reservation still works — it doubles like always — but a
+        # right-sized reservation means steady-state ingest NEVER hits
+        # a capacity rebuild: every add lands as an O(batch) device
+        # patch inside the already-uploaded padding (index/patch.py).
+        # IMATCH_STORE_CAPACITY applies when the constructor doesn't
+        # pass one (run.py serving store).
+        if capacity is None:
+            capacity = int(os.environ.get("IMATCH_STORE_CAPACITY", "0")) or None
+        if capacity and dim:
+            self._ensure_capacity(int(capacity))
         self._coalescer = None
         if coalesce is None:
             coalesce = os.environ.get("IMATCH_COALESCE", "").lower() in (
@@ -336,6 +356,105 @@ class VectorStore:
         self._device = None
         self._patch_rebuilds += 1
 
+    # -- device-resident ingest ----------------------------------------------
+
+    def _drain_pending(self):
+        """Complete deferred device-resident adds: fill the host mirror
+        rows and append their journal entries (FIFO — journal order ==
+        op order). The d2h copies were started async at add() time, so
+        by the time a drain point is reached the bytes have usually
+        already flowed under the device compute. Caller need not hold
+        the lock (RLock; every caller in this file already does)."""
+        if not self._pending:
+            return
+        with self._lock:
+            pending, self._pending = self._pending, []
+            for base, k, rows_dev, ids, mds, docs in pending:
+                host = np.asarray(rows_dev, np.float32)
+                self._emb[base : base + k] = host
+                if self.persist_dir is not None:
+                    self._journal(
+                        *(
+                            {
+                                "op": "add",
+                                "id": id_,
+                                "metadata": md,
+                                "document": doc,
+                                "embedding": self._enc_emb(host[i]),
+                            }
+                            for i, (id_, md, doc) in enumerate(
+                                zip(ids, mds, docs)
+                            )
+                        )
+                    )
+
+    def _add_device(self, ids, emb, metadatas, documents):
+        """add() with embeddings already ON DEVICE (a jax.Array, e.g.
+        straight out of the CLIP tower): the rows are scattered
+        device-to-device into the capacity-padded index buffers
+        (index/patch.py) and NEVER cross the host link on the hot path —
+        the tpu-native answer to hnswlib's incremental insert
+        (/root/reference/backend/app/main.py:735), which is
+        intrinsically host-resident. The host fp32 mirror and the
+        journal entry are deferred: a non-blocking d2h copy starts here
+        and completes at the next drain point (any journaled op, a
+        rebuild, save/get(embeddings) — see _drain_pending). With a
+        journal this widens per-op durability to the next drain;
+        flush()/checkpoint()/SIGTERM-save all drain first.
+
+        Caller (add) holds the lock and has validated ids non-empty."""
+        if emb.ndim == 1:
+            emb = emb[None]
+        if emb.shape[0] != len(ids):
+            raise ValueError(f"{len(ids)} ids but {emb.shape[0]} embeddings")
+        if self.dim is None:
+            self.dim = int(emb.shape[1])
+        elif int(emb.shape[1]) != self.dim:
+            # the numpy path would raise at the slice copy; the device
+            # path must not discover this at drain time
+            raise ValueError(
+                f"embedding dim {emb.shape[1]} != store dim {self.dim}"
+            )
+        metadatas = metadatas or [None] * len(ids)
+        documents = documents or [None] * len(ids)
+        seen = set()
+        for i in ids:
+            if i in self._slot or i in seen:
+                raise ValueError(f"duplicate id {i}")
+            seen.add(i)
+        if emb.dtype != jnp.float32:
+            emb = emb.astype(jnp.float32)
+        try:
+            emb.copy_to_host_async()
+        except Exception:  # pragma: no cover - backend without async d2h
+            pass
+        self._ensure_capacity(len(ids))
+        base = self._n
+        self._alive[base : base + len(ids)] = True
+        self._ids.extend(ids)
+        self._meta.extend(metadatas)
+        self._docs.extend(documents)
+        self._slot.update(zip(ids, range(base, base + len(ids))))
+        self._n = base + len(ids)
+        self._pending.append(
+            (base, len(ids), emb, list(ids), list(metadatas), list(documents))
+        )
+        self._patch_or_invalidate(
+            "append", np.arange(base, self._n, dtype=np.int64), emb
+        )
+        # bound the HBM held by undrained batches (each is also live in
+        # the index buffers, so pending rows cost 2x until drained)
+        if len(self._pending) >= int(
+            os.environ.get("IMATCH_PENDING_MAX", "64")
+        ):
+            self._drain_pending()
+
+    def flush(self):
+        """Complete any deferred device-resident adds (host mirror +
+        journal). No-op unless add() was called with device arrays."""
+        with self._lock:
+            self._drain_pending()
+
     # -- chroma-like API ----------------------------------------------------
 
     def add(
@@ -351,6 +470,12 @@ class VectorStore:
             # permanently poison the store with dim=0).
             raise ValueError("expected non-empty ids for add")
         with self._lock:
+            if isinstance(embeddings, jax.Array):
+                return self._add_device(ids, embeddings, metadatas, documents)
+            if self._pending and self.persist_dir is not None:
+                # journal order == op order: deferred device adds must
+                # hit the journal before this add's entries
+                self._drain_pending()
             embeddings = np.asarray(embeddings, dtype=np.float32)
             if embeddings.ndim == 1:
                 embeddings = embeddings[None]
@@ -417,6 +542,8 @@ class VectorStore:
         include: Sequence[str] = ("metadatas", "documents"),
     ) -> dict:
         with self._lock:
+            if "embeddings" in include:
+                self._drain_pending()
             if ids is None:
                 slots = [i for i in range(self._n) if self._alive[i]]
             else:
@@ -443,6 +570,11 @@ class VectorStore:
         metadatas: Optional[Sequence[dict]] = None,
     ):
         with self._lock:
+            # an update may target a slot whose device-resident add is
+            # still pending — drain first or the deferred host fill
+            # would overwrite the new value (and the journal would
+            # record the ops out of order)
+            self._drain_pending()
             emb_slots: List[int] = []
             for i, id_ in enumerate(ids):
                 slot = self._slot.get(id_)
@@ -474,6 +606,8 @@ class VectorStore:
 
     def delete(self, ids: Sequence[str]):
         with self._lock:
+            # journal order + compaction reads self._emb
+            self._drain_pending()
             deleted = []
             slots = []
             for id_ in ids:
@@ -519,6 +653,10 @@ class VectorStore:
                 # rebuilds in steady state (index/patch.py)
                 "patched_mutations": self._patched,
                 "rebuild_mutations": self._patch_rebuilds,
+                # device-resident adds whose host mirror/journal entry
+                # is still deferred (drained at the next journaled op,
+                # rebuild, save, or flush())
+                "pending_host_syncs": len(self._pending),
             }
             h = self._ivf_host
             if h is not None:
@@ -810,6 +948,7 @@ class VectorStore:
             cap = 0 if self._emb is None else self._emb.shape[0]
             if cap == 0:
                 return None
+            self._drain_pending()  # rebuild reads the host mirror
             dc, ivf_host = self._build_device(
                 self._emb.copy(), self._alive.copy(), self._capture_ivf()
             )
@@ -875,6 +1014,7 @@ class VectorStore:
                 cap = 0 if self._emb is None else self._emb.shape[0]
                 if cap == 0:
                     return live, None, ids_l, meta_l, docs_l
+                self._drain_pending()  # rebuild reads the host mirror
                 emb = self._emb.copy()
                 alive = self._alive.copy()
                 ivf_snap = self._capture_ivf()
@@ -1073,6 +1213,7 @@ class VectorStore:
         if path is None:
             raise ValueError("no path and no persist_dir")
         with self._lock:
+            self._drain_pending()  # snapshot reads the host mirror
             os.makedirs(path, exist_ok=True)
             slots = [i for i in range(self._n) if self._alive[i]]
             gen = int(time.time() * 1e6)

@@ -424,7 +424,11 @@ class ClipEmbedder:
         return outs[0] if len(outs) == 1 else jnp.concatenate(outs)
 
     def ids_and_embed_images_stream(
-        self, images: Sequence[np.ndarray], pool=None, max_in_flight: int = 4
+        self,
+        images: Sequence[np.ndarray],
+        pool=None,
+        max_in_flight: int = 4,
+        device_embeddings: bool = False,
     ):
         """Bulk-ingest fast path, streamed: pHash ids AND CLIP embeddings
         from one device upload per geometry chunk (the fused _fused_fn
@@ -446,6 +450,14 @@ class ClipEmbedder:
         (failed decodes) are not yielded.
 
         Yields (indices, ids, embeddings (len(indices), proj) fp32).
+
+        With ``device_embeddings=True`` the big-bucket chunks yield
+        their embeddings as jax.Arrays still ON DEVICE (only the hash
+        bits/confidence cross the link per chunk) — for consumers that
+        insert device-resident (store.add with a jax.Array scatters d2d,
+        index/patch.py) so the embedding matrix never round-trips the
+        host. The small-bucket tail still yields numpy; consumers must
+        accept either.
         """
         from PIL import Image as _Image
 
@@ -476,7 +488,11 @@ class ClipEmbedder:
 
         def _drain_one():
             idxs_chunk, handles = in_flight.pop(0)
-            e, bits, conf, small = jax.device_get(handles)
+            if device_embeddings:
+                e = handles[0]  # stays on device for a d2d store insert
+                bits, conf, small = jax.device_get(handles[1:])
+            else:
+                e, bits, conf, small = jax.device_get(handles)
             # metric counted per FINISHED chunk: a stream that dies
             # mid-bucket must not pre-count work the caller's fallback
             # (embed_images, which counts too) will redo

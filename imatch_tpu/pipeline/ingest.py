@@ -75,6 +75,44 @@ def _now_iso() -> str:
     return datetime.datetime.now().isoformat()
 
 
+def _gather_device_rows(chunks, pairs):
+    """Assemble the (chunk_no, row) pairs of the device-resident ingest
+    path into ONE device array in pair order — a gather per source
+    chunk plus one permutation, all d2d, no host round-trip."""
+    import jax.numpy as jnp
+
+    ks = np.asarray([p[0] for p in pairs])
+    js = np.asarray([p[1] for p in pairs])
+    parts, order = [], []
+    for k in np.unique(ks):
+        sel = np.nonzero(ks == k)[0]
+        parts.append(jnp.take(chunks[int(k)], jnp.asarray(js[sel]), axis=0))
+        order.append(sel)
+    order = np.concatenate(order)
+    out = jnp.concatenate(parts) if len(parts) > 1 else parts[0]
+    if np.array_equal(order, np.arange(order.size)):
+        return out
+    inv = np.empty_like(order)
+    inv[order] = np.arange(order.size)
+    return jnp.take(out, jnp.asarray(inv), axis=0)
+
+
+def _materialize_rows(chunks, vals):
+    """Mixed-path fallback: replace (chunk_no, row) pairs with host
+    rows (one fetch per referenced chunk), pass numpy rows through."""
+    cache: Dict[int, np.ndarray] = {}
+    out = []
+    for v in vals:
+        if isinstance(v, tuple):
+            k, j = v
+            if k not in cache:
+                cache[k] = np.asarray(chunks[k], np.float32)
+            out.append(cache[k][j])
+        else:
+            out.append(v)
+    return out
+
+
 def _caption_and_encode(state: AppState, image_np: np.ndarray):
     """generate_image_caption equivalent (main.py:587-611)."""
     cap = state.captioner
@@ -381,15 +419,34 @@ def process_batch(
     # happens after segmentation, so only the hash runs now.
     use_fused = not (remove_bg and state.segmenter is not None)
     emb_by_idx: Dict[int, np.ndarray] = {}
+    # Device-resident ingest (IMATCH_DEVICE_INGEST=1, throughput
+    # profile): big-bucket chunks keep their embeddings ON DEVICE — the
+    # stream fetches only hash bits per chunk, and the final store.add
+    # gets a jax.Array that scatters d2d into the index buffers
+    # (index/patch.py) instead of round-tripping the embedding matrix
+    # through the host. emb_by_idx then holds (chunk_no, row) pairs
+    # into emb_chunks for those rows; numpy rows otherwise (small-
+    # bucket tail, fallback paths) — both forms compose below.
+    device_mode = use_fused and os.environ.get(
+        "IMATCH_DEVICE_INGEST", "0"
+    ).lower() in ("1", "true", "yes", "on")
+    emb_chunks: List = []
     if use_fused:
         try:
             with METRICS.timer("ingest.stream"):
                 for idxs, ids_c, e in state.get_embedder().ids_and_embed_images_stream(
-                    arrays, pool=pool
+                    arrays, pool=pool, device_embeddings=device_mode
                 ):
-                    for j, i in enumerate(idxs):
-                        ids[i] = ids_c[j]
-                        emb_by_idx[i] = e[j]
+                    if device_mode and not isinstance(e, np.ndarray):
+                        k = len(emb_chunks)
+                        emb_chunks.append(e)
+                        for j, i in enumerate(idxs):
+                            ids[i] = ids_c[j]
+                            emb_by_idx[i] = (k, j)
+                    else:
+                        for j, i in enumerate(idxs):
+                            ids[i] = ids_c[j]
+                            emb_by_idx[i] = e[j]
                     _dup_check(idxs, submit_saves=True)
         except Exception as e:
             # The fused stream died mid-flight (device error, corrupt
@@ -609,6 +666,15 @@ def process_batch(
         _reap_orphan_saves(state, results, ids, save_futs, save_ext)
         return results
 
+    # device-resident rows: all-device batches assemble into ONE jax
+    # array (d2d gathers) so store.add scatters without a host round
+    # trip; mixed batches (fallback tail, small buckets) materialize
+    if any(isinstance(v, tuple) for v in add_embs):
+        if all(isinstance(v, tuple) for v in add_embs):
+            add_embs = _gather_device_rows(emb_chunks, add_embs)
+        else:
+            add_embs = _materialize_rows(emb_chunks, add_embs)
+
     with state.lock, METRICS.timer("ingest.add"):
         inserted = set(add_ids)
         try:
@@ -621,6 +687,8 @@ def process_batch(
         except ValueError:
             # a concurrent upload added one of these ids after our dup
             # check; fall back to per-id adds, reclassifying collisions
+            if not isinstance(add_embs, list):
+                add_embs = list(np.asarray(add_embs, np.float32))
             inserted = set()
             for j, img_id in enumerate(add_ids):
                 try:
@@ -641,5 +709,18 @@ def process_batch(
         for md in add_mds:
             if md["id"] in inserted:
                 state.image_metadata[md["id"]] = md
+    if device_mode and os.environ.get(
+        "IMATCH_DEVICE_INGEST_FLUSH", "1"
+    ) != "0":
+        # keep chroma-grade per-request durability: the deferred host
+        # mirror + journal entries land before the HTTP response. The
+        # d2h copy started at add() and overlapped everything above, so
+        # this is a completion wait, not a fresh transfer — and the h2d
+        # re-upload the host path would have paid never happens.
+        # IMATCH_DEVICE_INGEST_FLUSH=0 defers fully to the next drain
+        # point for maximum throughput (crash window: rows since the
+        # last drain).
+        with METRICS.timer("ingest.flush"):
+            state.store.flush()
     _reap_orphan_saves(state, results, ids, save_futs, save_ext)
     return results

@@ -80,6 +80,14 @@ PROFILES: dict[str, dict[str, str]] = {
         # HBM ceiling that set the 64 default
         "IMATCH_VLM_VQA_CHUNK": "128",
         "IMATCH_BACKFILL_BATCH": "128",
+        # Device-resident ingest: bulk-upload embeddings scatter d2d
+        # into the index (store.add with a jax.Array, index/patch.py)
+        # instead of round-tripping host<->device per batch; the host
+        # mirror + journal still land before each HTTP response
+        # (IMATCH_DEVICE_INGEST_FLUSH=1 default), so durability is
+        # unchanged — only the h2d re-upload disappears and the d2h
+        # fetch overlaps compute.
+        "IMATCH_DEVICE_INGEST": "1",
     },
     "capacity": {
         "IMATCH_INDEX_ENGINE": "auto",

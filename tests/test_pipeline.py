@@ -389,6 +389,57 @@ def test_process_batch_fused_equals_serial(state):
         assert md["id"] == results[i]["id"]
 
 
+@pytest.mark.parametrize("odd_tail", [False, True])
+def test_process_batch_device_ingest_matches_host(
+    tmp_path, embedder, monkeypatch, odd_tail
+):
+    """IMATCH_DEVICE_INGEST=1 (throughput profile): the fused stream
+    yields device-resident embeddings and store.add scatters them d2d
+    (index/patch.py) — ids, store state, and search answers must be
+    identical to the host path. With an odd-geometry tail the batch
+    mixes device chunks and host rows (the small-bucket fallback) and
+    must materialize cleanly; the post-response flush leaves no
+    deferred host syncs (durability unchanged)."""
+    rng = np.random.default_rng(7)
+    images = [
+        Image.fromarray(rng.integers(0, 256, (64, 48, 3), np.uint8))
+        for _ in range(10)
+    ]
+    if odd_tail:
+        images.append(
+            Image.fromarray(rng.integers(0, 256, (40, 32, 3), np.uint8))
+        )
+    names = [f"f{i}.png" for i in range(len(images))]
+
+    def run(dev):
+        monkeypatch.setenv("IMATCH_DEVICE_INGEST", "1" if dev else "0")
+        st = AppState(
+            root=str(tmp_path / ("dev" if dev else "host")),
+            embedder=embedder,
+            captioner=NullCaptioner(),
+        )
+        res = process_batch(st, images, names)
+        assert all(r["status"] == "success" for r in res)
+        hits = search_by_text(st, "anything", limit=len(images))
+        return st, res, hits
+
+    st_d, res_d, hits_d = run(True)
+    st_h, res_h, hits_h = run(False)
+    assert [r["id"] for r in res_d] == [r["id"] for r in res_h]
+    assert st_d.store.count() == st_h.store.count() == len(images)
+    assert [h["id"] for h in hits_d] == [h["id"] for h in hits_h]
+    np.testing.assert_allclose(
+        [h["similarity_score"] for h in hits_d],
+        [h["similarity_score"] for h in hits_h],
+        atol=1e-5,
+    )
+    # IMATCH_DEVICE_INGEST_FLUSH default: drained before the response
+    assert st_d.store.stats()["pending_host_syncs"] == 0
+    # restart from disk sees every row (journal/snapshot complete)
+    reloaded = st_d.store.load(st_d.store.persist_dir)
+    assert reloaded.count() == len(images)
+
+
 def test_chunk_bounds_divisible_by_any_dp():
     """Padded device batches must be divisible by the dp mesh for ANY
     dp (sharding over 'data' requires batch % dp == 0), including
