@@ -117,7 +117,12 @@ V5E_PEAK_BF16 = float(os.environ.get("IMATCH_PEAK_TFLOPS", "197")) * 1e12
 V5E_PEAK_INT8 = float(os.environ.get("IMATCH_PEAK_TOPS_INT8", "394")) * 1e12
 
 
-def bench_ingest(on_tpu: bool, quant: bool = False, batch: int | None = None):
+def bench_ingest(
+    on_tpu: bool,
+    quant: bool = False,
+    batch: int | None = None,
+    device_adds: bool = False,
+):
     """Headline metric: embedded + INDEXED (BASELINE.md's north star) —
     each batch's embeddings are fetched and inserted into a live
     VectorStore while the device runs the next batches (the fetch +
@@ -125,7 +130,16 @@ def bench_ingest(on_tpu: bool, quant: bool = False, batch: int | None = None):
     pipelined ingest path). With ``quant=True`` the tower runs the
     opt-in W8A8 int8 path (IMATCH_EMBED_QUANT=int8,
     models/clip/quant.py) — reported as an extras tier. ``batch``
-    overrides the device chunk size (the B=512/1024/2048 knee sweep)."""
+    overrides the device chunk size (the B=512/1024/2048 knee sweep).
+
+    With ``device_adds=True`` (the device-resident ingest tier) the
+    tower's output is store.add()'ed AS A DEVICE ARRAY: the rows
+    scatter device-to-device into the capacity-reserved index buffers
+    (index/patch.py) and the host mirror + journal are deferred behind
+    an async d2h copy — zero host round-trips per batch on the hot
+    path. The timed wall still ends at a materialized top-k answer
+    over the full ingested corpus, so the number is embed + index +
+    queryable, not embed + fire-and-forget."""
     cfg = get_config("vit-b32")
     params = init_params(jax.random.key(0), cfg)
     dtype = jnp.bfloat16 if on_tpu else jnp.float32
@@ -174,10 +188,36 @@ def bench_ingest(on_tpu: bool, quant: bool = False, batch: int | None = None):
     np.asarray(ingest_step(params, frames))  # warmup / compile
 
     iters = 20 if on_tpu else 3
-    store = VectorStore(dim=cfg.projection_dim)
     ids_all = [
         [f"b{it:03d}_{i:04d}" for i in range(batch)] for it in range(iters)
     ]
+    if device_adds:
+        # reserve capacity up front (the reference sizes hnswlib the
+        # same way) so every timed add is an O(batch) device patch —
+        # no mid-loop capacity rebuild
+        store = VectorStore(
+            dim=cfg.projection_dim, capacity=batch * (iters + 2)
+        )
+        qnp = np.asarray(
+            jax.device_get(ingest_step(params, frames))[:1], np.float32
+        )
+        # warmups OUTSIDE the wall: first add (pre-build, host fill),
+        # first query (engine compile + full-capacity corpus upload),
+        # second add (compiles the patch-scatter kernels)
+        store.add([f"w0_{i}" for i in range(batch)], ingest_step(params, frames))
+        store.query(qnp, n_results=10)
+        store.add([f"w1_{i}" for i in range(batch)], ingest_step(params, frames))
+        t0 = time.perf_counter()
+        for it in range(iters):
+            store.add(ids=ids_all[it], embeddings=ingest_step(params, frames))
+        # the query forces every pending patch; its materialized top-k
+        # closes the wall
+        store.query(qnp, n_results=10)
+        dt = time.perf_counter() - t0
+        assert store.count() == batch * (iters + 2)
+        assert store.stats()["patched_mutations"] >= iters
+        return batch * iters / dt
+    store = VectorStore(dim=cfg.projection_dim)
     t0 = time.perf_counter()
     outs = [ingest_step(params, frames) for _ in range(iters)]
     # one bulk materialization (one link round-trip for all batches —
@@ -613,8 +653,15 @@ def bench_ivf_incremental(on_tpu: bool):
     - patched mutation (default path): add 2048 rows -> O(batch)
       member-table scatter, first query after;
     - repair rebuild (IMATCH_INCREMENTAL=0): assign only the new rows
-      + repack + re-upload; repair COMPUTE = this minus the warm
-      re-upload;
+      + repack + re-upload;
+    - repair COMPUTE, measured DIRECTLY (assign 2048 rows against the
+      existing centroids + the full member-table repack — the repair
+      path's non-upload work, store.py "fresh"-row assign +
+      ivf.pack_members). The old subtraction (repair minus warm
+      re-upload) is kept as ``ivf_repair_minus_reupload_s`` but is
+      link-noise-sensitive: its two phases sample the tunnel minutes
+      apart and the rate swings 2x day-to-day, which once clamped the
+      subtraction to 0.0;
     - full k-means retrain (IMATCH_IVF_REBUILD_FRAC=0).
 
     Fail-soft: the bench must never die on an optional tier."""
@@ -644,6 +691,36 @@ def bench_ivf_incremental(on_tpu: bool):
 
         reupload_s = invalidate_and_time()
 
+        # direct, link-independent repair-compute: assign the batch
+        # against the EXISTING centroids (one streamed device argmax,
+        # the FAISS add discipline) + repack the full member table on
+        # host — exactly the work the repair path adds over a plain
+        # re-upload (store.py `assign_rows(emb_copy[fresh], ...)` +
+        # the pack inside _build_device)
+        from imatch_tpu.index.ivf import (
+            assign_rows,
+            counts_max,
+            member_slack,
+            pack_members,
+        )
+
+        with store._lock:
+            h = store._ivf_host
+            cents = np.asarray(h["cents"])
+            assign_full = h["assign"][: store._n].copy()
+            ok_full = np.asarray(store._alive[: store._n]).copy()
+        probe_batch = rng.standard_normal((2048, d)).astype(np.float32)
+        probe_batch /= np.linalg.norm(probe_batch, axis=1, keepdims=True)
+        t0 = time.perf_counter()
+        assign_rows(probe_batch, cents)
+        pack_members(
+            assign_full,
+            ok_full,
+            cents.shape[0],
+            slack=member_slack(int(counts_max(assign_full, ok_full))),
+        )
+        repair_compute_s = time.perf_counter() - t0
+
         def add_and_time(prefix):
             batch = rng.standard_normal((2048, d)).astype(np.float32)
             batch /= np.linalg.norm(batch, axis=1, keepdims=True)
@@ -670,7 +747,8 @@ def bench_ivf_incremental(on_tpu: bool):
             "ivf_reupload_only_s": round(reupload_s, 3),
             "ivf_mutation_patched_s": round(patched_s, 4),
             "ivf_repair_rebuild_s": round(repair_s, 3),
-            "ivf_repair_compute_s": round(max(repair_s - reupload_s, 0.0), 3),
+            "ivf_repair_compute_s": round(repair_compute_s, 3),
+            "ivf_repair_minus_reupload_s": round(repair_s - reupload_s, 3),
             "ivf_full_retrain_s": round(retrain_s, 3),
             "ivf_patch_vs_retrain_speedup": round(
                 retrain_s / max(patched_s, 1e-9), 1
@@ -872,6 +950,19 @@ def main():
     mark(f"link {link_down}/{link_up} MB/s; headline ingest (embed+index)…")
     imgs_per_sec = bench_ingest(on_tpu)
 
+    # device-resident ingest tier: embeddings never leave the device —
+    # d2d scatter into the capacity-reserved index (store.add with a
+    # jax.Array, index/patch.py), host mirror deferred async. The
+    # default headline pays a full d2h fetch + h2d re-upload per corpus
+    # through this tunnel; on-device adds are the architecture's real
+    # ingest ceiling.
+    device_imgs_per_sec = None
+    try:
+        device_imgs_per_sec = bench_ingest(on_tpu, device_adds=True)
+        mark(f"device-resident ingest {device_imgs_per_sec:.0f} img/s")
+    except Exception as e:  # pragma: no cover - fail-soft tier
+        mark(f"device-resident ingest tier failed: {e}")
+
     # opt-in W8A8 tier (IMATCH_EMBED_QUANT=int8): measured alongside the
     # bf16 headline so the throughput-profile operating point is a
     # recorded number, not a claim (TPU only — int8 means nothing on the
@@ -973,6 +1064,28 @@ def main():
                     **(
                         {"ingest_int8_imgs_per_sec": round(int8_imgs_per_sec, 1)}
                         if int8_imgs_per_sec is not None
+                        else {}
+                    ),
+                    **(
+                        {
+                            "ingest_device_resident_imgs_per_sec": round(
+                                device_imgs_per_sec, 1
+                            ),
+                            **(
+                                {
+                                    "mfu_pct_bf16_device_resident": round(
+                                        100.0
+                                        * flops_img
+                                        * device_imgs_per_sec
+                                        / V5E_PEAK_BF16,
+                                        2,
+                                    )
+                                }
+                                if on_tpu
+                                else {}
+                            ),
+                        }
+                        if device_imgs_per_sec is not None
                         else {}
                     ),
                     **({"mfu_pct_bf16": mfu_bf16} if mfu_bf16 else {}),
