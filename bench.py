@@ -170,7 +170,9 @@ def bench_ingest(
         if quant:
             params, qv = params
         x = frames_u8.astype(jnp.float32)
-        hi = jax.lax.Precision.HIGHEST
+        from imatch_tpu.ops.preprocess import _resample_precision
+
+        hi = _resample_precision()  # IMATCH_RESIZE_PRECISION, like prod
         x = jnp.einsum("xw,bhwc->bhxc", a_h, x, precision=hi)
         x = jnp.einsum("yh,bhxc->byxc", a_v, x, precision=hi)
         x = (x - mean) * std_inv
@@ -957,9 +959,19 @@ def main():
     # through this tunnel; on-device adds are the architecture's real
     # ingest ceiling.
     device_imgs_per_sec = None
+    device_int8_imgs_per_sec = None
     try:
         device_imgs_per_sec = bench_ingest(on_tpu, device_adds=True)
         mark(f"device-resident ingest {device_imgs_per_sec:.0f} img/s")
+        if on_tpu:
+            # the two opt-in throughput-profile tiers composed: W8A8
+            # tower + d2d index insert (best recorded ingest number)
+            device_int8_imgs_per_sec = bench_ingest(
+                on_tpu, quant=True, device_adds=True
+            )
+            mark(
+                f"device-resident W8A8 {device_int8_imgs_per_sec:.0f} img/s"
+            )
     except Exception as e:  # pragma: no cover - fail-soft tier
         mark(f"device-resident ingest tier failed: {e}")
 
@@ -1086,6 +1098,22 @@ def main():
                             ),
                         }
                         if device_imgs_per_sec is not None
+                        else {}
+                    ),
+                    **(
+                        {
+                            "ingest_device_resident_int8_imgs_per_sec": round(
+                                device_int8_imgs_per_sec, 1
+                            ),
+                            "mfu_pct_int8_device_resident": round(
+                                100.0
+                                * flops_img
+                                * device_int8_imgs_per_sec
+                                / V5E_PEAK_INT8,
+                                2,
+                            ),
+                        }
+                        if device_int8_imgs_per_sec is not None
                         else {}
                     ),
                     **({"mfu_pct_bf16": mfu_bf16} if mfu_bf16 else {}),

@@ -14,6 +14,7 @@ uploads and restores order.
 from __future__ import annotations
 
 import functools
+import os
 from typing import List, Sequence
 
 import jax
@@ -21,6 +22,36 @@ import jax.numpy as jnp
 import numpy as np
 
 from imatch_tpu.ops.resize import resize_crop_matrices
+
+
+def _resample_precision() -> jax.lax.Precision:
+    """Matmul precision for the two resampling einsums, read at trace
+    time (IMATCH_RESIZE_PRECISION: high [default] | highest | default).
+
+    Measured on TPU v5e (scripts/exp_resize_precision.py + the pixel
+    agreement probe, 2026-08-19, B=512 fused preprocess+ViT-B/32):
+
+    - ``highest`` (fp32 = 6 bf16 MXU passes): 6,485 img/s — the
+      strict CLIPProcessor-parity setting (within 1 uint8 level of PIL
+      bicubic).
+    - ``high`` (bf16_3x): **9,789 img/s (1.51x)**. After the PIL-parity
+      round-to-uint8 between passes, outputs differ from ``highest`` in
+      <0.1% of pixels (0.009% on the drill corpus), every difference
+      exactly 1 uint8 level — i.e. inside the tolerance the HIGHEST
+      emulation itself claims vs PIL, and measured *identical*
+      disagreement stats vs PIL bicubic. Embedding cosine vs highest
+      >=0.99994 even under random-init weights. This is the default.
+    - ``default`` (bf16): 9,812 img/s — only +0.2% over ``high`` but
+      29.5% of pixels shift (max 3 levels). Rejected: all cost, no win.
+
+    pHash is UNAFFECTED — its grid resample (ops/phash.py) pins its own
+    HIGHEST for bit-exact ids."""
+    name = os.environ.get("IMATCH_RESIZE_PRECISION", "high").lower()
+    return {
+        "highest": jax.lax.Precision.HIGHEST,
+        "high": jax.lax.Precision.HIGH,
+        "default": jax.lax.Precision.DEFAULT,
+    }[name]
 
 # OpenAI CLIP normalization constants (transformers OPENAI_CLIP_MEAN/STD).
 CLIP_MEAN = np.array([0.48145466, 0.4578275, 0.40821073], dtype=np.float32)
@@ -37,7 +68,7 @@ def preprocess_core(imgs_u8, a_v, a_h, quantize=True, dtype=jnp.float32):
     normalized floats. Shared by the standalone jit below and the fused
     ingest step (pipeline/embedder.py)."""
     x = imgs_u8.astype(jnp.float32)
-    hi = jax.lax.Precision.HIGHEST
+    hi = _resample_precision()
     # Horizontal then vertical resampling on the MXU — PIL's pass order.
     # PIL rounds + clips to uint8 between passes (bicubic overshoot is
     # clipped); emulating both passes keeps pixels within 1 uint8 level of
