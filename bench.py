@@ -668,7 +668,13 @@ def bench_ivf_incremental(on_tpu: bool):
 
     Fail-soft: the bench must never die on an optional tier."""
     try:
-        rows = 400_000 if on_tpu else 30_000
+        # IMATCH_BENCH_IVF_ROWS: one-off scale runs (e.g. the 1M-row
+        # record in DESIGN.md) without forking the bench
+        rows = int(
+            os.environ.get(
+                "IMATCH_BENCH_IVF_ROWS", "400000" if on_tpu else "30000"
+            )
+        )
         d = 512
         rng = np.random.default_rng(0)
         emb = rng.standard_normal((rows, d)).astype(np.float32)
