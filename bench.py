@@ -705,12 +705,7 @@ def bench_ivf_incremental(on_tpu: bool):
         # host — exactly the work the repair path adds over a plain
         # re-upload (store.py `assign_rows(emb_copy[fresh], ...)` +
         # the pack inside _build_device)
-        from imatch_tpu.index.ivf import (
-            assign_rows,
-            counts_max,
-            member_slack,
-            pack_members,
-        )
+        from imatch_tpu.index.ivf import assign_rows, pack_members
 
         with store._lock:
             h = store._ivf_host
@@ -721,12 +716,7 @@ def bench_ivf_incremental(on_tpu: bool):
         probe_batch /= np.linalg.norm(probe_batch, axis=1, keepdims=True)
         t0 = time.perf_counter()
         assign_rows(probe_batch, cents)
-        pack_members(
-            assign_full,
-            ok_full,
-            cents.shape[0],
-            slack=member_slack(int(counts_max(assign_full, ok_full))),
-        )
+        pack_members(assign_full, ok_full, cents.shape[0])
         repair_compute_s = time.perf_counter() - t0
 
         def add_and_time(prefix):

@@ -186,22 +186,28 @@ def member_slack(max_count: int) -> int:
 
 
 def pack_members(
-    assign: np.ndarray, ok: np.ndarray, n_clusters: int, slack: int = 0
+    assign: np.ndarray, ok: np.ndarray, n_clusters: int, slack=None
 ) -> Tuple[np.ndarray, np.ndarray]:
     """Vectorized member-list scatter: live rows into a (C, M) padded
-    int32 table (M = deepest cluster + ``slack`` append headroom).
-    Returns (members, per-cluster counts). Shared by the single-device
-    pack and the per-shard pack in parallel/dist_ivf.py. Rows within a
-    cluster ascend by row id — the incremental append (index/patch.py)
-    relies on this to place new (highest-id) rows at the fill point and
-    stay list-identical to a repack."""
+    int32 table (M = deepest cluster + ``slack`` append headroom;
+    ``slack=None`` sizes it internally via :func:`member_slack` — the
+    histogram is already in hand here, so callers need not pay a second
+    O(N) bincount through :func:`counts_max`). Returns (members,
+    per-cluster counts). Shared by the single-device pack and the
+    per-shard pack in parallel/dist_ivf.py. Rows within a cluster ascend
+    by row id — the incremental append (index/patch.py) relies on this
+    to place new (highest-id) rows at the fill point and stay
+    list-identical to a repack."""
     rows = np.nonzero(ok)[0].astype(np.int64)
     a = assign[rows]
     order = np.argsort(a, kind="stable")
     rows_sorted = rows[order].astype(np.int32)
     a_sorted = a[order]
     counts = np.bincount(a, minlength=n_clusters)
-    m = max(1, (int(counts.max()) if counts.size else 1) + slack)
+    max_count = int(counts.max()) if counts.size else 1
+    if slack is None:
+        slack = member_slack(max(1, max_count))
+    m = max(1, max_count + slack)
     starts = np.cumsum(counts) - counts
     pos = np.arange(len(rows_sorted)) - np.repeat(starts, counts)
     members = np.full((n_clusters, m), -1, np.int32)
@@ -234,9 +240,7 @@ def pack_ivf_stats(
     cents = jnp.asarray(cents, jnp.float32)
     n_clusters = cents.shape[0]
     ok = np.asarray(valid)
-    members, counts = pack_members(
-        assign, ok, n_clusters, slack=member_slack(int(counts_max(assign, ok)))
-    )
+    members, counts = pack_members(assign, ok, n_clusters)
     # prune empty clusters: their centroids are k-means leftovers
     # (random-init positions, dead-row artifacts) that would compete
     # for probe slots against real clusters — on a near-empty
@@ -258,14 +262,6 @@ def pack_ivf_stats(
         pruned_map[:] = np.arange(n_clusters, dtype=np.int32)
     stats = {"counts": counts.astype(np.int64), "pruned_map": pruned_map}
     return IVFIndex(cents, jnp.asarray(members), corpus, valid), stats
-
-
-def counts_max(assign: np.ndarray, ok: np.ndarray) -> int:
-    """Deepest live cluster (for member-table slack sizing)."""
-    a = assign[ok]
-    if not a.size:
-        return 1
-    return int(np.bincount(a).max())
 
 
 def build_ivf(

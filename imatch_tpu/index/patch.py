@@ -285,6 +285,20 @@ def _dense_patch(tag, state, slots, rows, alive_val, donate):
     shardings = None
     if tag == "sharded":
         shardings = (state.scoring.sharding, state.valid.sharding)
+        if isinstance(rows_p, jax.Array) and (
+            rows_p.sharding.device_set != state.scoring.sharding.device_set
+        ):
+            # a batch committed elsewhere (e.g. the output of a
+            # single-device jit'd model) can't enter the mesh-sharded
+            # patch jit — jax raises "incompatible devices" and every
+            # add would silently degrade to a full rebuild. Replicate
+            # the (tiny) b x D batch over the index's mesh first.
+            rows_p = jax.device_put(
+                rows_p,
+                jax.sharding.NamedSharding(
+                    state.scoring.sharding.mesh, jax.sharding.PartitionSpec()
+                ),
+            )
     if state.scoring.dtype == jnp.float32:
         exact, valid = _shared_rows_fn(donate, shardings)(
             state.exact, state.valid, idx, rows_p, alive

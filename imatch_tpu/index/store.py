@@ -368,8 +368,12 @@ class VectorStore:
         if not self._pending:
             return
         with self._lock:
-            pending, self._pending = self._pending, []
-            for base, k, rows_dev, ids, mds, docs in pending:
+            # pop each batch only AFTER it fully drains: a failed d2h
+            # mid-queue must leave the remainder pending (retried at the
+            # next drain point), not silently dropped with live ids whose
+            # mirror rows are zeros and whose journal entries never land
+            while self._pending:
+                base, k, rows_dev, ids, mds, docs = self._pending[0]
                 host = np.asarray(rows_dev, np.float32)
                 self._emb[base : base + k] = host
                 if self.persist_dir is not None:
@@ -387,6 +391,7 @@ class VectorStore:
                             )
                         )
                     )
+                self._pending.pop(0)
 
     def _add_device(self, ids, emb, metadatas, documents):
         """add() with embeddings already ON DEVICE (a jax.Array, e.g.
@@ -575,11 +580,20 @@ class VectorStore:
             # would overwrite the new value (and the journal would
             # record the ops out of order)
             self._drain_pending()
-            emb_slots: List[int] = []
-            for i, id_ in enumerate(ids):
+            # Validate EVERY id before touching any state: a bad id
+            # mid-batch must not leave the host mirror/journal mutated
+            # for earlier rows while the cached device index (never
+            # patched, gen never bumped) keeps serving their old
+            # vectors — restart and live serving would disagree.
+            slots_all: List[int] = []
+            for id_ in ids:
                 slot = self._slot.get(id_)
                 if slot is None or not self._alive[slot]:
                     raise KeyError(id_)
+                slots_all.append(slot)
+            emb_slots: List[int] = []
+            ops: List[dict] = []
+            for i, (id_, slot) in enumerate(zip(ids, slots_all)):
                 if metadatas is not None:
                     self._meta[slot] = metadatas[i]
                 if embeddings is not None:
@@ -596,7 +610,10 @@ class VectorStore:
                     op["metadata"] = metadatas[i]
                 if embeddings is not None:
                     op["embedding"] = self._enc_emb(embeddings[i])
-                self._journal(op)
+                ops.append(op)
+            # one journal write + fsync for the whole batch, matching
+            # add()/delete() — not one fsync per row
+            self._journal(*ops)
             if emb_slots:
                 self._patch_or_invalidate(
                     "update",

@@ -47,11 +47,19 @@ def _resample_precision() -> jax.lax.Precision:
     pHash is UNAFFECTED — its grid resample (ops/phash.py) pins its own
     HIGHEST for bit-exact ids."""
     name = os.environ.get("IMATCH_RESIZE_PRECISION", "high").lower()
-    return {
+    table = {
         "highest": jax.lax.Precision.HIGHEST,
         "high": jax.lax.Precision.HIGH,
         "default": jax.lax.Precision.DEFAULT,
-    }[name]
+    }
+    if name not in table:
+        # a bare KeyError here would surface from inside a jit trace on
+        # the first ingest, naming neither the knob nor its options
+        raise ValueError(
+            f"IMATCH_RESIZE_PRECISION={name!r} — expected one of "
+            f"{sorted(table)}"
+        )
+    return table[name]
 
 # OpenAI CLIP normalization constants (transformers OPENAI_CLIP_MEAN/STD).
 CLIP_MEAN = np.array([0.48145466, 0.4578275, 0.40821073], dtype=np.float32)

@@ -149,10 +149,7 @@ def prepare_sharded_ivf_incremental(
                         corpus[sl][fresh], cents[s]
                     )
                 m, counts = _ivf.pack_members(
-                    a_s,
-                    ok_s,
-                    cents[s].shape[0],
-                    slack=_ivf.member_slack(_ivf.counts_max(a_s, ok_s)),
+                    a_s, ok_s, cents[s].shape[0]
                 )
                 membs.append(m)
                 masks.append(counts > 0)
@@ -176,12 +173,7 @@ def prepare_sharded_ivf_incremental(
             )
             a_s = _ivf.assign_rows(corpus[sl], c)
             assign[sl] = a_s
-            m, counts = _ivf.pack_members(
-                a_s,
-                valid[sl],
-                c.shape[0],
-                slack=_ivf.member_slack(_ivf.counts_max(a_s, valid[sl])),
-            )
+            m, counts = _ivf.pack_members(a_s, valid[sl], c.shape[0])
             cents.append(c)
             membs.append(m)
             masks.append(counts > 0)

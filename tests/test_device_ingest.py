@@ -200,6 +200,65 @@ def test_pending_cap_bounds_backlog(monkeypatch):
     assert s.count() == 28
 
 
+def test_sharded_patch_accepts_single_device_committed_rows():
+    """A batch COMMITTED to one device (the normal output of an
+    unsharded jit'd model) must still patch the mesh-sharded index —
+    patch.py replicates it over the index's mesh instead of letting the
+    jit raise 'incompatible devices' and degrade every add to a full
+    rebuild."""
+    import jax
+
+    q = _rows(5, 99)
+    s = VectorStore(dim=D, engine="sharded")
+    s.add(_ids("a", 200), _rows(200, 0))
+    s.query(q, n_results=10)  # force the mesh-sharded build
+    rows = _rows(50, 1)
+    s.add(_ids("b", 50), jax.device_put(jnp.asarray(rows), jax.devices()[0]))
+    assert s.stats()["patched_mutations"] == 1
+    f = VectorStore(dim=D, engine="sharded")
+    f.add(_ids("a", 200), _rows(200, 0))
+    f.add(_ids("b", 50), rows)
+    _assert_same(s.query(q, n_results=25), f.query(q, n_results=25))
+
+
+class _FlakyRows:
+    """Raises on the first d2h materialization, then behaves."""
+
+    def __init__(self, arr, fails=1):
+        self.arr = np.asarray(arr, np.float32)
+        self.fails = fails
+
+    def __array__(self, dtype=None, copy=None):
+        if self.fails:
+            self.fails -= 1
+            raise RuntimeError("simulated d2h failure")
+        return self.arr.astype(dtype or np.float32)
+
+
+def test_drain_failure_keeps_batches_pending(tmp_path):
+    """A failed d2h mid-drain must leave the unprocessed batches queued
+    for the next drain point — not silently dropped with live ids whose
+    mirror rows are zeros and whose journal entries never land."""
+    p = str(tmp_path / "s")
+    s = VectorStore(dim=D, engine="tilemax", persist_dir=p)
+    r0, r1 = _rows(8, 0), _rows(4, 1)
+    s.add(_ids("a", 8), jnp.asarray(r0))
+    s.add(_ids("b", 4), jnp.asarray(r1))
+    assert s.stats()["pending_host_syncs"] == 2
+    base, k, rows_dev, ids, mds, docs = s._pending[0]
+    s._pending[0] = (base, k, _FlakyRows(rows_dev), ids, mds, docs)
+    with pytest.raises(RuntimeError, match="simulated"):
+        s.flush()
+    # nothing dropped: both batches still pending, retry succeeds
+    assert s.stats()["pending_host_syncs"] == 2
+    s.flush()
+    assert s.stats()["pending_host_syncs"] == 0
+    assert len(_journal_ops(p)) == 12
+    g = s.get(include=("embeddings",))
+    got = {i: e for i, e in zip(g["ids"], g["embeddings"])}
+    np.testing.assert_allclose(got["b2"], r1[2], rtol=1e-6)
+
+
 def test_device_add_validation():
     s = VectorStore(dim=D, engine="tilemax")
     s.add(_ids("a", 4), jnp.asarray(_rows(4, 0)))

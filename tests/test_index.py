@@ -48,10 +48,10 @@ def test_cosine_topk_respects_mask():
     assert np.asarray(idx)[1][0] == 1  # query 1 still finds itself
 
 
-def make_store(n=100, dim=32, seed=0):
+def make_store(n=100, dim=32, seed=0, persist_dir=None):
     rng = np.random.default_rng(seed)
     emb = norm_rows(rng.standard_normal((n, dim)).astype(np.float32))
-    store = VectorStore()
+    store = VectorStore(persist_dir=persist_dir)
     store.add(
         ids=[f"img_{i:04d}" for i in range(n)],
         embeddings=emb,
@@ -109,6 +109,38 @@ def test_store_update_delete_tombstone_query():
     store.update(ids=["img_0002"], embeddings=[emb[7]])
     res = store.query(query_embeddings=[emb[7]], n_results=1)
     assert res["ids"][0] == ["img_0002"]
+
+
+def test_store_update_unknown_id_is_atomic(tmp_path):
+    """An unknown id ANYWHERE in the batch must leave the store
+    untouched — a partial apply would mutate the host mirror/journal
+    for earlier rows while the cached device index keeps serving their
+    old vectors (live serving and a restart would disagree)."""
+    store, emb = make_store(n=50, persist_dir=str(tmp_path))
+    q = emb[3]
+    before = store.query(query_embeddings=[q], n_results=5)
+    new = norm_rows(
+        np.random.default_rng(7).standard_normal((2, 32)).astype(np.float32)
+    )
+    with pytest.raises(KeyError):
+        store.update(
+            ids=["img_0003", "img_9999"],
+            embeddings=[new[0], new[1]],
+            metadatas=[{"t": 1}, {"t": 2}],
+        )
+    # img_0003 keeps its original vector/metadata everywhere
+    assert store.get(ids=["img_0003"])["metadatas"][0] == {"i": 3}
+    after = store.query(query_embeddings=[q], n_results=5)
+    assert before["ids"] == after["ids"]
+    np.testing.assert_allclose(
+        before["distances"], after["distances"], atol=1e-6
+    )
+    reloaded = VectorStore.load(str(tmp_path))
+    np.testing.assert_allclose(
+        reloaded.query(query_embeddings=[q], n_results=5)["distances"],
+        before["distances"],
+        atol=1e-6,
+    )
 
 
 def test_store_compaction_preserves_results():
