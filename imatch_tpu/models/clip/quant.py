@@ -37,6 +37,7 @@ from imatch_tpu.models.clip.configs import CLIPConfig
 from imatch_tpu.models.clip.model import _act, _layer_norm, _prec
 from imatch_tpu.ops.attention import mha
 from imatch_tpu.ops.quant import (
+    ln_quant_rows_int8,
     qdot_int8,
     quant_rows_int8,
     quantize_weight_int8 as _quantize_weight,
@@ -64,20 +65,16 @@ def quantize_vision_tower(vision: Params) -> Params:
     }
 
 
-# _quant_rows / _qdot live in ops/quant.py (shared with the Moondream
-# W8A8 prefill so the two towers cannot numerically diverge)
+# _quant_rows / _qdot / _ln_quant live in ops/quant.py (shared with
+# the Moondream W8A8 prefill so the two towers cannot numerically
+# diverge). The LN->quant sites use the fused entry point: fp32
+# LayerNorm (no bf16 downcast — one fewer rounding) flowing straight
+# into the dynamic quantize, which XLA fuses on its own (the explicit
+# Pallas kernel behind IMATCH_QUANT_KERNEL=pallas measured slower —
+# see ops/pallas/quantize.py).
 _quant_rows = quant_rows_int8
 _qdot = qdot_int8
-
-
-def _layer_norm_f32(x, p, eps):
-    """model._layer_norm without the output downcast — the quantizer
-    wants the fp32 values (one fewer rounding)."""
-    x32 = x.astype(jnp.float32)
-    mean = jnp.mean(x32, axis=-1, keepdims=True)
-    var = jnp.var(x32, axis=-1, keepdims=True)
-    y = (x32 - mean) * jax.lax.rsqrt(var + eps)
-    return y * p["scale"] + p["bias"]
+_ln_quant = ln_quant_rows_int8
 
 
 def _encoder_w8a8(x, layers: Params, qlayers: Params, *, num_heads, eps, act):
@@ -98,8 +95,7 @@ def _encoder_w8a8(x, layers: Params, qlayers: Params, *, num_heads, eps, act):
 
     def body(h, lp):
         lp, qp = lp
-        y32 = _layer_norm_f32(h, lp["ln1"], eps)
-        xi, asc = _quant_rows(y32)  # one quant feeds q, k and v
+        xi, asc = _ln_quant(h, lp["ln1"], eps)  # one quant feeds q, k, v
         a, qa = lp["attn"], qp["attn"]
         q = _qdot(xi, asc, qa["wq"], a["bq"], h.dtype)
         k = _qdot(xi, asc, qa["wk"], a["bk"], h.dtype)
@@ -109,14 +105,17 @@ def _encoder_w8a8(x, layers: Params, qlayers: Params, *, num_heads, eps, act):
         v = v.reshape(b, s, num_heads, hd).transpose(0, 2, 1, 3)
         o = mha(q, k, v, causal=False, impl="xla", precision=prec)
         o = o.transpose(0, 2, 1, 3).reshape(b, s, d)
-        oi, osc = _quant_rows(o.astype(jnp.float32))
+        # NOTE: pass o in its native dtype — the quantizer upcasts
+        # internally. An .astype(f32) here would materialize a full
+        # fp32 copy in HBM in front of the Pallas kernel (converts
+        # cannot fuse into a custom call).
+        oi, osc = _quant_rows(o)
         h = h + _qdot(oi, osc, qa["wo"], a["bo"], h.dtype)
 
-        y32 = _layer_norm_f32(h, lp["ln2"], eps)
-        xi, asc = _quant_rows(y32)
+        xi, asc = _ln_quant(h, lp["ln2"], eps)
         m, qm = lp["mlp"], qp["mlp"]
         y = _act(_qdot(xi, asc, qm["w1"], m["b1"], h.dtype), act)
-        yi, ysc = _quant_rows(y.astype(jnp.float32))
+        yi, ysc = _quant_rows(y)
         h = h + _qdot(yi, ysc, qm["w2"], m["b2"], h.dtype)
         return h, None
 

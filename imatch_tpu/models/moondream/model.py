@@ -21,6 +21,7 @@ import jax.numpy as jnp
 
 from imatch_tpu.models.moondream.configs import MoondreamConfig
 from imatch_tpu.ops.quant import (
+    ln_quant_rows_int8,
     qdot_int8,
     quant_rows_int8,
     quantize_weight_int8,
@@ -213,6 +214,7 @@ def _layer_norm(x, p, eps):
 # W8A8 primitives shared with the CLIP tower (ops/quant.py) — one
 # implementation, no numerical divergence between the two users
 _quant_rows = quant_rows_int8
+_ln_quant = ln_quant_rows_int8
 _dense_w8a8 = qdot_int8
 
 
@@ -462,7 +464,11 @@ def decoder_forward(
         h, k_all, v_all, ks_all, vs_all = carry
         li, lp = xs
         y = _layer_norm(h, lp["ln"], t.layer_norm_eps)
-        yq = _quant_rows(y) if act_quant else None
+        # Fused LN->quant entry point: the quantizer reads the fp32 LN
+        # values (one fewer bf16 rounding than quantizing y above).
+        # When every projection is int8 (the IMATCH_MD_ACT=int8 path) y
+        # itself is dead and XLA DCEs the unfused LayerNorm away.
+        yq = _ln_quant(h, lp["ln"], t.layer_norm_eps) if act_quant else None
         if "qkv_mlp" in lp:
             # Packed fast path (pack_text_layers): the Phi parallel block
             # feeds attention AND the MLP from the same LN output, so
