@@ -523,13 +523,35 @@ def bench_search(store: VectorStore, on_tpu: bool):
 
     # per-query device time from a pipelined run on the raw engine
     _, dc = store._device_state()
-    outs = [tilemax_topk(jnp.asarray(q), dc, k=16) for _ in range(3)]
-    jax.device_get(outs[-1])
+    qd = jnp.asarray(q)
+    outs = [tilemax_topk(qd, dc, k=16) for _ in range(3)]
+    ids_bf16 = np.asarray(jax.device_get(outs[-1][1]))
     t0 = time.perf_counter()
-    outs = [tilemax_topk(jnp.asarray(q), dc, k=16) for _ in range(20)]
+    outs = [tilemax_topk(qd, dc, k=16) for _ in range(20)]
     jax.device_get(outs[-1])
     dev_ms = (time.perf_counter() - t0) * 1e3 / 20
-    return n, round(store_p50, 3), round(dev_ms, 3)
+
+    # int8-scoring tier (IMATCH_SCORE_DTYPE=int8): half the phase-1 HBM
+    # bytes of bf16. Built device-to-device from the resident fp32
+    # exact matrix — no host upload of the corpus. Fidelity cross-check
+    # rides along: the fp32 rescore should give the same ids as bf16
+    # phase 1 on this probe. Fail-soft: never costs the search tier.
+    dev8_ms = int8_match = None
+    try:
+        dc8 = prepare_device_corpus(
+            dc.exact, dc.valid, tile_n=dc.tile_n, score_dtype=jnp.int8
+        )
+        outs = [tilemax_topk(qd, dc8, k=16) for _ in range(3)]
+        ids_int8 = np.asarray(jax.device_get(outs[-1][1]))
+        t0 = time.perf_counter()
+        outs = [tilemax_topk(qd, dc8, k=16) for _ in range(20)]
+        jax.device_get(outs[-1])
+        dev8_ms = round((time.perf_counter() - t0) * 1e3 / 20, 3)
+        int8_match = bool((ids_bf16 == ids_int8).all())
+        del dc8, outs
+    except Exception as e:  # HBM pressure / engine mismatch: record, move on
+        int8_match = f"skipped: {e}"
+    return n, round(store_p50, 3), round(dev_ms, 3), dev8_ms, int8_match
 
 
 def bench_http_search(embedder, store: VectorStore, on_tpu: bool):
@@ -1011,7 +1033,9 @@ def main():
 
     mark(f"e2e {e2e_rate:.1f} img/s; building 1M store…")
     store = _make_big_store(1_000_000 if on_tpu else 50_000, 512)
-    n_vec, store_p50, dev_ms = bench_search(store, on_tpu)
+    n_vec, store_p50, dev_ms, dev8_ms, int8_match = bench_search(
+        store, on_tpu
+    )
     mark(f"search p50 {store_p50} ms; rtt + pipelined…")
     rtt_ms = bench_rtt_noop(on_tpu)
     qps_pipelined, p50_pipelined = bench_search_pipelined(store, on_tpu)
@@ -1128,6 +1152,8 @@ def main():
                     "search_http_batch16_p50_ms": http_batch_p50,
                     "search_http_batch16_per_query_ms": http_batch_per_q,
                     "search_per_query_device_ms": dev_ms,
+                    "search_per_query_device_int8_ms": dev8_ms,
+                    "search_int8_ids_match_bf16": int8_match,
                     "search_rtt_noop_p50_ms": rtt_ms,
                     "search_qps_pipelined_depth8": qps_pipelined,
                     "search_p50_pipelined_ms": p50_pipelined,
