@@ -24,8 +24,17 @@ dispatch-only semantics and a ~20-25 ms host round-trip floor, so every
 measurement materializes results to numpy (the pipeline does that
 anyway); single-query round-trip numbers include one tunnel RTT.
 
-Prints ONE JSON line:
+Prints the headline JSON line
   {"metric": ..., "value": N, "unit": ..., "vs_baseline": N, "extras": {...}}
+repeatedly: once right after the headline tier, then re-printed (as a
+strict superset — same metric/value, richer extras) after each further
+tier, so an external kill at ANY point past the first few minutes still
+leaves a parsable capture on stdout (BENCH_r04 was rc=124/parsed=null;
+never again). A driver that takes the first line or the last line gets
+a valid record either way. Optional tiers are budgeted by per-tier cost
+estimates against IMATCH_BENCH_DEADLINE_S and hard-capped in daemon
+threads (harness logic: budget_ok / run_capped_tier, unit-tested in
+tests/test_bench_harness.py).
 """
 
 from __future__ import annotations
@@ -974,9 +983,50 @@ def bench_baseline_rembg_l14(on_tpu: bool):
         return {"baseline4_error": str(e)[:200]}
 
 
+def budget_ok(left_s: float, est_s: float, margin_s: float = 60.0) -> bool:
+    """True if a tier estimated to cost ``est_s`` fits in the remaining
+    ``left_s`` with margin. The r04 lesson: `left > 0` lets a tier that
+    STARTS in budget run unbounded; the check must price the tier."""
+    return left_s > est_s + margin_s
+
+
+def run_capped_tier(fn, cap_s: float, skip_key: str, abandoned: dict,
+                    name: str = "", log=None):
+    """Run an optional tier under a hard wall-clock cap in a daemon
+    thread. Returns the tier's dict; on timeout returns
+    ``{skip_key: "timeout: ..."}`` and sets ``abandoned["flag"]`` — the
+    stuck thread may still hold the device, so every LATER capped tier
+    short-circuits to a skip record. Exceptions inside the tier become
+    ``{skip_key: "error: ..."}``; the bench must never die on an
+    optional tier."""
+    import threading
+
+    if abandoned.get("flag"):
+        return {skip_key: "skipped: a prior tier timed out"}
+    box = {}
+
+    def target():
+        try:
+            box["out"] = fn()
+        except BaseException as e:  # noqa: BLE001 — never kill the bench
+            box["out"] = {skip_key: f"error: {e}"[:200]}
+
+    th = threading.Thread(target=target, daemon=True, name=f"tier-{name}")
+    th.start()
+    th.join(cap_s)
+    if th.is_alive():
+        abandoned["flag"] = True
+        if log:
+            log(f"{name} hit its {cap_s:.0f}s hard cap — abandoned")
+        return {skip_key: f"timeout: exceeded {cap_s:.0f}s hard cap"}
+    out = box.get("out")
+    if not isinstance(out, dict):  # None / non-dict: keep extras.update safe
+        return {skip_key: f"error: tier returned {type(out).__name__}"}
+    return out
+
+
 def main():
     import sys
-    import threading
 
     from imatch_tpu.pipeline.embedder import ClipEmbedder
 
@@ -1033,7 +1083,7 @@ def main():
 
     def have_time(tier: str, est_s: float) -> bool:
         left = deadline_s - (time.perf_counter() - t_start)
-        if left > est_s + 60.0:
+        if budget_ok(left, est_s):
             return True
         mark(
             f"budget: {left:.0f}s left < {est_s:.0f}s estimate + 60s "
@@ -1044,28 +1094,7 @@ def main():
     abandoned = {"flag": False}
 
     def run_capped(name: str, fn, cap_s: float, skip_key: str):
-        """Run an optional tier under a hard wall-clock cap. Returns its
-        dict, or a skip record on timeout/abandonment. A timed-out tier
-        thread is daemonic and abandoned; the device may still be busy
-        under it, so subsequent capped tiers are skipped too."""
-        if abandoned["flag"]:
-            return {skip_key: "skipped: a prior tier timed out"}
-        box = {}
-
-        def target():
-            try:
-                box["out"] = fn()
-            except BaseException as e:  # noqa: BLE001 — never kill the bench
-                box["out"] = {skip_key: f"error: {e}"[:200]}
-
-        th = threading.Thread(target=target, daemon=True, name=f"tier-{name}")
-        th.start()
-        th.join(cap_s)
-        if th.is_alive():
-            abandoned["flag"] = True
-            mark(f"{name} hit its {cap_s:.0f}s hard cap — abandoned")
-            return {skip_key: f"timeout: exceeded {cap_s:.0f}s hard cap"}
-        return box.get("out", {skip_key: "error: tier returned nothing"})
+        return run_capped_tier(fn, cap_s, skip_key, abandoned, name, mark)
 
     mark("link bandwidth…")
     link_down, link_up = bench_link_bandwidth()
