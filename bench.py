@@ -76,7 +76,13 @@ def _accelerator_alive(timeout_s: float) -> bool:
 
 
 _PROBE_S = float(os.environ.get("IMATCH_BENCH_PROBE_TIMEOUT", "120"))
-if not _accelerator_alive(_PROBE_S):
+if os.environ.get("IMATCH_BENCH_FORCE_CPU") == "1":
+    # unit tests import this module for the harness helpers: skip the
+    # probe subprocess entirely (it would grab the single-client TPU
+    # tunnel lease — or stall up to the probe timeout on a hung tunnel)
+    # and pin the CPU backend
+    jax.config.update("jax_platforms", "cpu")
+elif not _accelerator_alive(_PROBE_S):
     import sys
 
     print(
@@ -391,6 +397,7 @@ def _stage_story(snap, wall_ms, n, src, link_up_mb_s):
         + stages["index_add_ms"]
     )
     stages["wall_other_ms"] = round(max(wall_ms - seq, 0.0), 1)
+    stages["n_images"] = n  # main() derives the upload-bound rate from this
     upload_mb = n * src * src * 3 / 1e6
     stages["upload_frames_mb"] = round(upload_mb, 1)
     if link_up_mb_s:
@@ -857,6 +864,15 @@ def bench_baseline_multimodal(embedder, on_tpu: bool):
         return {"baseline2_error": str(e)[:200]}
 
 
+def b3_budget_s(on_tpu: bool) -> float:
+    """Config #3's wall-clock budget — ONE definition, read both by the
+    tier itself and by main()'s have_time estimate / hard cap (a drifted
+    duplicate default would desync the estimate from the spend)."""
+    return float(
+        os.environ.get("IMATCH_BENCH_B3_BUDGET_S", "150" if on_tpu else "30")
+    )
+
+
 def bench_baseline_batch_upload(embedder, on_tpu: bool):
     """BASELINE config #3: the composed batch-upload pipeline — fused
     preprocess + pHash duplicate detection + LIVE filter scoring (a
@@ -877,9 +893,7 @@ def bench_baseline_batch_upload(embedder, on_tpu: bool):
         from imatch_tpu.pipeline.state import AppState
         from imatch_tpu.runtime.loader import default_loader
 
-        budget_s = float(
-            os.environ.get("IMATCH_BENCH_B3_BUDGET_S", "150" if on_tpu else "30")
-        )
+        budget_s = b3_budget_s(on_tpu)
         chunk = 1024 if on_tpu else 24
         max_chunks = 8
         src = 256
@@ -1179,8 +1193,8 @@ def main():
     extras["e2e_stage_ms"] = stages
     extras["e2e_link_up_mb_s_at_tier"] = e2e_link_up
     if e2e_link_up and stages.get("upload_frames_mb"):
-        bound = e2e_link_up / stages["upload_frames_mb"] * (
-            2048 if on_tpu else 24
+        bound = (
+            e2e_link_up / stages["upload_frames_mb"] * stages["n_images"]
         )
         extras["e2e_upload_bound_imgs_per_sec"] = round(bound, 1)
         extras["e2e_vs_upload_bound"] = round(e2e_rate / bound, 3)
@@ -1287,9 +1301,7 @@ def main():
         extras["baseline2_skipped"] = "budget"
     emit(imgs_per_sec)
 
-    b3_budget = float(
-        os.environ.get("IMATCH_BENCH_B3_BUDGET_S", "150" if on_tpu else "30")
-    )
+    b3_budget = b3_budget_s(on_tpu)
     if have_time("baseline #3", b3_budget + 120):
         mark("BASELINE config #3 (batch upload + dedup + filters)…")
         extras.update(

@@ -150,11 +150,16 @@ def main():
     act_per_img = 0
     for _ in range(layers):
         # per contraction: read act (int8) + write out (fp32 dequant),
-        # plus the quantize pass: read LN fp32 out + write int8
+        # plus the quantize passes: read fp32 in + write int8. The
+        # shipped layer (models/clip/quant.py body()) quantizes FOUR
+        # times — ln1 out (width d, feeds q/k/v), attn-out o (d),
+        # ln2 out (d), and the mlp hidden y (width mlp=3072) — an
+        # earlier version of this ledger modeled only two d-wide passes
+        # and undercounted activation traffic ~26%
         for (ki, ni) in ((d, 3 * d), (d, d), (d, mlp), (mlp, d)):
             act_per_img += tok * ki * 1  # int8 act read
             act_per_img += tok * ni * 4  # fp32 dequant write
-        act_per_img += 2 * (tok * d * 4 + tok * d * 1)  # two quantize passes
+        act_per_img += 3 * (tok * d * 5) + tok * mlp * 5  # 4 quant passes
         act_per_img += tok * d * 4 * 4  # LN/residual traffic (fp32-ish)
     bytes_img = w_bytes / 512 + act_per_img
     out["ledger"] = {
@@ -165,14 +170,20 @@ def main():
     }
 
     flops_img = 2.0 * layers * tok * (d * 3 * d + d * d + d * mlp + mlp * d)
-    # use the MEASURED effective rates, not the rating
-    eff_int8 = min(
-        rates["qkv_25600x768x2304"]["int8_tops"],
-        rates["mlpin_25600x768x3072"]["int8_tops"],
-        rates["mlpout_25600x3072x768"]["int8_tops"],
-    ) * 1e12
+    # use the MEASURED effective rates, not the rating — per-shape
+    # weighted time (each contraction at ITS measured rate, including
+    # the slowest one, attn-out; a min() over a subset of shapes both
+    # excluded the slowest shape and charged every FLOP at one rate)
+    shape_flops = {
+        "qkv_25600x768x2304": 2.0 * tok * d * 3 * d,
+        "attnout_25600x768x768": 2.0 * tok * d * d,
+        "mlpin_25600x768x3072": 2.0 * tok * d * mlp,
+        "mlpout_25600x3072x768": 2.0 * tok * mlp * d,
+    }
+    compute_s = layers * sum(
+        f / (rates[k]["int8_tops"] * 1e12) for k, f in shape_flops.items()
+    )
     eff_hbm = out["stream_gb_s_rw"] * 1e9
-    compute_s = flops_img / eff_int8
     fetch_s = bytes_img / eff_hbm
     out["derived"] = {
         "flops_per_img_g": round(flops_img / 1e9, 2),

@@ -5,11 +5,17 @@ parses came back empty because the harness's deadline logic could not
 protect the headline (VERDICT r4, weak #1). The fix lives in bench.py
 as module-level `budget_ok` / `run_capped_tier`; these tests pin the
 contract so future tier growth can't silently reintroduce the failure
-mode. bench.py import is safe under JAX_PLATFORMS=cpu (the accelerator
-probe subprocess exits quickly on the CPU backend).
+mode. IMATCH_BENCH_FORCE_CPU=1 is set BEFORE the import: this jax
+build ignores JAX_PLATFORMS (conftest.py — the axon TPU plugin
+self-registers), so without it the import-time accelerator probe
+subprocess would grab the single-client TPU tunnel lease, or stall up
+to the probe timeout on a hung tunnel, from inside a unit-test run.
 """
 
+import os
 import time
+
+os.environ["IMATCH_BENCH_FORCE_CPU"] = "1"
 
 import bench
 
