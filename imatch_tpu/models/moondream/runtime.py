@@ -255,7 +255,9 @@ class MoondreamJax:
             a_h = resample_matrix(w, self._size, "bicubic")
             self._resize_cache[key] = (jnp.asarray(a_v), jnp.asarray(a_h))
         a_v, a_h = self._resize_cache[key]
-        x = jnp.asarray(arr, jnp.float32)[None]
+        # native-dtype upload (uint8 normally), device-side cast: bit-
+        # equal float values at a quarter of the h2d bytes
+        x = jnp.asarray(arr)[None].astype(jnp.float32)
         x = jnp.einsum("xw,bhwc->bhxc", a_h, x)
         x = jnp.einsum("yh,bhxc->byxc", a_v, x)
         return x * (2.0 / 255.0) - 1.0  # SigLIP normalization (mean=std=.5)
