@@ -234,7 +234,6 @@ def _host_tier_fn(donate: bool):
 @functools.lru_cache(maxsize=None)
 def _ivf_append_fn(donate: bool):
     def f(members, corpus, valid, midx, mval, slots, rows):
-        m = members.shape[1]
         flat = members.reshape(-1).at[midx].set(mval)
         members = flat.reshape(members.shape)
         corpus = corpus.at[slots].set(rows.astype(corpus.dtype))
@@ -316,10 +315,6 @@ def _dense_patch(tag, state, slots, rows, alive_val, donate):
             scoring=scoring, exact=exact, valid=valid, scale=scale
         )
     return state._replace(scoring=scoring, exact=exact, valid=valid)
-
-
-def _fp32_shared(state) -> bool:
-    return state.scoring.dtype == jnp.float32
 
 
 def _host_tier_append(state: HostRescoreCorpus, slots, rows, donate):

@@ -43,6 +43,21 @@ logger = logging.getLogger("imatch.store")
 
 _MIN_CAP = 1024
 
+
+def _norm_row_lists(rows, n: int, what: str) -> list:
+    """Normalize a per-row sidecar list (metadatas/documents) to exactly
+    n entries. None / empty -> n Nones; a non-empty list of the wrong
+    length is a client error — the old `rows or [None] * n` silently
+    accepted a short list, permanently misaligning _meta/_docs with
+    _ids (and the journal generator zips short, dropping rows on
+    restart)."""
+    if rows is None or len(rows) == 0:
+        return [None] * n
+    rows = list(rows)
+    if len(rows) != n:
+        raise ValueError(f"{n} ids but {len(rows)} {what}")
+    return rows
+
 _SCORE_DTYPES = {
     "bf16": jnp.bfloat16,
     "bfloat16": jnp.bfloat16,
@@ -168,8 +183,15 @@ class VectorStore:
         # pass one (run.py serving store).
         if capacity is None:
             capacity = int(os.environ.get("IMATCH_STORE_CAPACITY", "0")) or None
-        if capacity and dim:
-            self._ensure_capacity(int(capacity))
+        # the reservation is remembered, not just applied here: the
+        # serving store is built by VectorStore.load() with dim=None
+        # (dim comes from the snapshot manifest), so the first
+        # _ensure_capacity call — whenever dim is known — must still
+        # honor it, or IMATCH_STORE_CAPACITY is a silent no-op for
+        # exactly the run.py case it documents
+        self._reserve = int(capacity) if capacity else 0
+        if self._reserve and dim:
+            self._ensure_capacity(0)
         self._coalescer = None
         if coalesce is None:
             coalesce = os.environ.get("IMATCH_COALESCE", "").lower() in (
@@ -181,7 +203,7 @@ class VectorStore:
     # -- capacity -----------------------------------------------------------
 
     def _ensure_capacity(self, extra: int):
-        need = self._n + extra
+        need = max(self._n + extra, self._reserve)
         cap = 0 if self._emb is None else self._emb.shape[0]
         if need <= cap:
             return
@@ -420,8 +442,8 @@ class VectorStore:
             raise ValueError(
                 f"embedding dim {emb.shape[1]} != store dim {self.dim}"
             )
-        metadatas = metadatas or [None] * len(ids)
-        documents = documents or [None] * len(ids)
+        metadatas = _norm_row_lists(metadatas, len(ids), "metadatas")
+        documents = _norm_row_lists(documents, len(ids), "documents")
         seen = set()
         for i in ids:
             if i in self._slot or i in seen:
@@ -493,8 +515,16 @@ class VectorStore:
                 )
             if self.dim is None:
                 self.dim = int(embeddings.shape[1])
-            metadatas = metadatas or [None] * len(ids)
-            documents = documents or [None] * len(ids)
+            elif embeddings.ndim != 2 or int(embeddings.shape[1]) != self.dim:
+                # the slice copy below does NOT always raise on a dim
+                # mismatch: an (n, 1) batch numpy-broadcasts into
+                # constant dim-D rows with no error
+                raise ValueError(
+                    f"embedding shape {embeddings.shape} != "
+                    f"({len(ids)}, {self.dim})"
+                )
+            metadatas = _norm_row_lists(metadatas, len(ids), "metadatas")
+            documents = _norm_row_lists(documents, len(ids), "documents")
             seen = set()
             for i in ids:
                 # chroma rejects duplicates both against the collection
@@ -591,15 +621,30 @@ class VectorStore:
                 if slot is None or not self._alive[slot]:
                     raise KeyError(id_)
                 slots_all.append(slot)
+            # length/shape validation BEFORE any mutation, same rule as
+            # the id check above: a short metadatas/embeddings list must
+            # not IndexError mid-loop with earlier rows already updated
+            # in memory and no journal entry written
+            if metadatas is not None and len(metadatas) != len(ids):
+                raise ValueError(
+                    f"{len(ids)} ids but {len(metadatas)} metadatas"
+                )
+            if embeddings is not None:
+                embeddings = np.asarray(embeddings, dtype=np.float32)
+                if embeddings.ndim == 1:
+                    embeddings = embeddings[None]
+                if embeddings.shape != (len(ids), self.dim):
+                    raise ValueError(
+                        f"embedding shape {embeddings.shape} != "
+                        f"({len(ids)}, {self.dim})"
+                    )
             emb_slots: List[int] = []
             ops: List[dict] = []
             for i, (id_, slot) in enumerate(zip(ids, slots_all)):
                 if metadatas is not None:
                     self._meta[slot] = metadatas[i]
                 if embeddings is not None:
-                    self._emb[slot] = np.asarray(
-                        embeddings[i], dtype=np.float32
-                    )
+                    self._emb[slot] = embeddings[i]
                     if self._ivf_host is not None:
                         # vector changed — its nearest centroid may have
                         # too; -1 re-enters it through the repair pass
@@ -1166,7 +1211,7 @@ class VectorStore:
             if live == 0 or k == 0:
                 for key in out:
                     out[key] = [[] for _ in range(qn)]
-                return out
+                return self._strip_include(out, include)
             k_c = self._k_bucket(k)
             # bucket the query COUNT too: the engines are jit-compiled
             # per (Q, k) shape, so without this every distinct batch size
@@ -1206,12 +1251,16 @@ class VectorStore:
             out["distances"].append(row_d)
             out["metadatas"].append(row_m)
             out["documents"].append(row_doc)
-        if "metadatas" not in include:
-            out.pop("metadatas")
-        if "documents" not in include:
-            out.pop("documents")
-        if "distances" not in include:
-            out.pop("distances")
+        return self._strip_include(out, include)
+
+    @staticmethod
+    def _strip_include(out: dict, include: Sequence[str]) -> dict:
+        """Drop keys the caller didn't ask for — ONE definition shared
+        by the empty-store early return and the scored path, so the
+        result's key set doesn't change with store occupancy."""
+        for key in ("metadatas", "documents", "distances"):
+            if key not in include:
+                out.pop(key)
         return out
 
     # -- persistence --------------------------------------------------------
@@ -1261,22 +1310,15 @@ class VectorStore:
             )
             tmp = tempfile.mkdtemp(dir=path, prefix=".snapshot-")
             try:
-                for name, writer in (
-                    (
-                        emb_name,
-                        lambda fp: np.save(
-                            fp,
-                            self._emb[slots]
-                            if slots
-                            else np.zeros((0, self.dim or 0), np.float32),
-                        ),
-                    ),
-                ):
-                    fpath = os.path.join(tmp, name)
-                    with open(fpath, "wb") as f:
-                        writer(f)
-                        f.flush()
-                        os.fsync(f.fileno())
+                with open(os.path.join(tmp, emb_name), "wb") as f:
+                    np.save(
+                        f,
+                        self._emb[slots]
+                        if slots
+                        else np.zeros((0, self.dim or 0), np.float32),
+                    )
+                    f.flush()
+                    os.fsync(f.fileno())
                 with open(
                     os.path.join(tmp, rec_name), "w", encoding="utf-8"
                 ) as f:

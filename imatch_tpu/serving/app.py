@@ -166,13 +166,22 @@ def create_app(state: Optional[AppState] = None, root: str = ".") -> App:
                 {"success": False, "error": "file field required"}, 422
             )
         try:
+            # description/custom_metadata sent as FILE parts would ride
+            # into store metadata as UploadFile objects and break every
+            # later journal/snapshot json.dumps — reject as 422 like the
+            # search routes do
+            description = _form_str(form, "description")
+            custom_metadata = _form_str(form, "custom_metadata")
+        except _FieldTypeError as e:
+            return JSONResponse({"success": False, "error": str(e)}, 422)
+        try:
             image = _open_upload(file)
             metadata, is_new = process_image(
                 state,
                 image=image,
                 filename=file.filename,
-                description=form.get("description"),
-                custom_metadata=form.get("custom_metadata"),
+                description=description,
+                custom_metadata=custom_metadata,
                 remove_bg=_parse_bool(form.get("remove_bg")),
             )
         except Exception as e:
@@ -514,7 +523,13 @@ def create_app(state: Optional[AppState] = None, root: str = ".") -> App:
     @app.post("/api/filters")
     def add_filter(req):
         form = req.form()
-        filter_query = form.get("filter_query")
+        try:
+            # a file-part filter_query would be appended into
+            # filters.json (json.dump TypeError -> 500) and handed to
+            # the backfill as a non-string
+            filter_query = _form_str(form, "filter_query")
+        except _FieldTypeError as e:
+            return JSONResponse({"success": False, "error": str(e)}, 422)
         if not filter_query:
             return JSONResponse(
                 {"success": False, "error": "filter_query required"}, 422
@@ -541,7 +556,10 @@ def create_app(state: Optional[AppState] = None, root: str = ".") -> App:
     def add_filters_batch(req):
         """Legacy capability: comma-separated batch add (app.py:2489-2515)."""
         form = req.form()
-        raw = form.get("filter_queries", "")
+        try:
+            raw = _form_str(form, "filter_queries", "")
+        except _FieldTypeError as e:
+            return JSONResponse({"success": False, "error": str(e)}, 422)
         queries = [q.strip() for q in raw.split(",") if q.strip()]
         with state.lock:
             filters = state.load_filters()
@@ -593,7 +611,10 @@ def create_app(state: Optional[AppState] = None, root: str = ".") -> App:
         caption-enhancement of the query (app.py:2583-2691)."""
         form = req.form()
         file = form.get("file")
-        query = (form.get("query") or "").strip()
+        try:
+            query = (_form_str(form, "query") or "").strip()
+        except _FieldTypeError as e:
+            return JSONResponse({"success": False, "error": str(e)}, 422)
         weight_image = _parse_float(form.get("weight_image"), 0.5)
         limit = _parse_int(form.get("limit"), 10)
         filters = form.getlist("filters")

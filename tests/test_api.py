@@ -852,3 +852,36 @@ def test_metadata_update_races_reset_404_not_500(client):
     )
     assert r.status_code == 404
     assert client.get("/api/images").json()["images"] == []
+
+
+def test_file_part_string_fields_are_422(client):
+    """Multipart clients can send ANY field as a FILE part. String
+    fields that reached handlers as UploadFile objects used to either
+    500 (.strip()/.split() AttributeError) or poison persistent state
+    (an UploadFile inside store metadata or filters.json makes every
+    later json.dumps — journal, snapshot, SIGTERM save — raise)."""
+    r = client.post(
+        "/api/upload",
+        files={
+            "file": ("a.jpg", jpg_bytes(), "image/jpeg"),
+            "description": ("d.txt", b"sneaky", "text/plain"),
+        },
+    )
+    assert r.status_code == 422
+    assert client.get("/api/images").json()["images"] == []
+    r = client.post(
+        "/api/filters",
+        files={"filter_query": ("f.txt", b"x", "text/plain")},
+    )
+    assert r.status_code == 422
+    assert client.get("/api/filters").json()["filters"] == []
+    r = client.post(
+        "/api/filters/batch",
+        files={"filter_queries": ("f.txt", b"a,b", "text/plain")},
+    )
+    assert r.status_code == 422
+    assert client.get("/api/filters").json()["filters"] == []
+    r = client.post(
+        "/search", files={"query": ("q.txt", b"drill", "text/plain")}
+    )
+    assert r.status_code == 422

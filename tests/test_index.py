@@ -631,3 +631,92 @@ def test_auto_engine_capacity_escalation(monkeypatch):
     pinned.add(ids=ids, embeddings=e)
     pinned.query(query_embeddings=e[:1], n_results=5)
     assert pinned._device[0] == "tilemax"
+
+
+def test_add_short_metadatas_rejected():
+    """A short metadatas/documents list used to extend _meta by fewer
+    entries than _ids — permanently misaligning the row lists (and the
+    journal generator zipped short, silently dropping rows on restart)."""
+    from imatch_tpu.index.store import VectorStore
+
+    store = VectorStore()
+    with pytest.raises(ValueError):
+        store.add(
+            ids=["a", "b"],
+            embeddings=[[1.0, 0.0], [0.0, 1.0]],
+            metadatas=[{"x": 1}],
+        )
+    assert store.count() == 0
+    store.add(ids=["a", "b"], embeddings=[[1.0, 0.0], [0.0, 1.0]])
+    with pytest.raises(ValueError):
+        store.add(
+            ids=["c", "d"],
+            embeddings=[[1.0, 0.0], [0.0, 1.0]],
+            documents=["only one"],
+        )
+    assert store.count() == 2
+
+
+def test_add_wrong_dim_rejected_not_broadcast():
+    """(n, 1) embeddings numpy-broadcast into constant dim-D rows at the
+    slice copy with no error — must raise up front instead."""
+    from imatch_tpu.index.store import VectorStore
+
+    store = VectorStore()
+    store.add(ids=["a"], embeddings=[[1.0, 0.0, 0.0]])
+    with pytest.raises(ValueError):
+        store.add(ids=["b", "c"], embeddings=[[0.5], [0.25]])
+    assert store.count() == 1
+
+
+def test_update_validates_before_mutation():
+    """A short metadatas / wrong-dim embeddings batch must raise BEFORE
+    any row is touched — the same all-or-nothing rule update() already
+    enforces for unknown ids."""
+    from imatch_tpu.index.store import VectorStore
+
+    store = VectorStore()
+    store.add(
+        ids=["a", "b"],
+        embeddings=[[1.0, 0.0], [0.0, 1.0]],
+        metadatas=[{"v": 1}, {"v": 2}],
+    )
+    with pytest.raises(ValueError):
+        store.update(ids=["a", "b"], metadatas=[{"v": 9}])
+    assert store.get(ids=["a"])["metadatas"][0] == {"v": 1}
+    with pytest.raises(ValueError):
+        store.update(ids=["a", "b"], embeddings=[[1.0], [2.0]])
+    r = store.query(query_embeddings=[[1.0, 0.0]], n_results=1)
+    assert r["ids"][0][0] == "a"
+
+
+def test_empty_store_query_respects_include():
+    """The empty-store early return used to skip the include filtering,
+    so the result's key set changed with store occupancy."""
+    from imatch_tpu.index.store import VectorStore
+
+    store = VectorStore()
+    res = store.query(
+        query_embeddings=[[0.0, 1.0]], n_results=5, include=("distances",)
+    )
+    assert set(res) == {"ids", "distances"}
+    store.add(ids=["a"], embeddings=[[1.0, 0.0]])
+    res2 = store.query(
+        query_embeddings=[[0.0, 1.0]], n_results=5, include=("distances",)
+    )
+    assert set(res2) == set(res)
+
+
+def test_store_capacity_env_applies_on_load(tmp_path, monkeypatch):
+    """IMATCH_STORE_CAPACITY was a silent no-op for the serving store:
+    VectorStore.load() constructs with dim=None, so the reservation must
+    apply at the first capacity check, not only at construction."""
+    from imatch_tpu.index.store import VectorStore
+
+    store = VectorStore(persist_dir=str(tmp_path))
+    store.add(ids=["a"], embeddings=[[1.0, 0.0]])
+    store.save()
+    monkeypatch.setenv("IMATCH_STORE_CAPACITY", "5000")
+    loaded = VectorStore.load(str(tmp_path))
+    assert loaded.count() == 1
+    assert loaded._emb.shape[0] >= 5000
