@@ -385,15 +385,24 @@ def process_batch(
         frames are final — no segmentation pending), overlapping the
         device work of later chunks."""
         with METRICS.timer("ingest.dup"):
+            todo = []
             for i in idx_list:
                 checked[i] = True
-                if results[i] is not None:
-                    continue
+                if results[i] is None:
+                    todo.append(i)
+            # ONE batched store.get per chunk: the per-image form took
+            # the store lock (the same lock queries and adds contend
+            # on) once per file on the stage that gates everything
+            # downstream
+            q_ids = [ids[i] for i in todo if ids[i] is not None]
+            present = (
+                set(state.store.get(ids=q_ids, include=[])["ids"])
+                if q_ids
+                else set()
+            )
+            for i in todo:
                 img_id = ids[i]
-                if (
-                    img_id in seen_batch
-                    or state.store.get(ids=[img_id], include=[])["ids"]
-                ):
+                if img_id in seen_batch or img_id in present:
                     results[i] = {
                         "filename": filenames[i],
                         "status": "skipped",
@@ -417,6 +426,23 @@ def process_batch(
     # producer/consumer the reference's serial per-image chain never has
     # (main.py:613-746,1124-1188). With background removal the embedding
     # happens after segmentation, so only the hash runs now.
+    def _host_hash_into(target, idxs):
+        """Per-image host phash with per-file error isolation — ONE
+        definition for both fallback paths below (they differed only in
+        the output list, inviting silent divergence)."""
+
+        def _hash_one(i):
+            try:
+                target[i] = phash_image_id(Image.fromarray(arrays[i]))
+            except Exception as ee:
+                results[i] = {
+                    "filename": filenames[i],
+                    "status": "error",
+                    "error": str(ee),
+                }
+
+        list(pool.map(_hash_one, idxs))
+
     use_fused = not (remove_bg and state.segmenter is not None)
     emb_by_idx: Dict[int, np.ndarray] = {}
     # Device-resident ingest (IMATCH_DEVICE_INGEST=1, throughput
@@ -456,26 +482,13 @@ def process_batch(
             # the reference's per-file isolation contract
             # (main.py:1180-1187).
             logger.error("fused ingest stream failed, host fallback: %s", e)
-
-            def _hash_one(i):
-                try:
-                    ids[i] = phash_image_id(Image.fromarray(arrays[i]))
-                except Exception as ee:
-                    results[i] = {
-                        "filename": filenames[i],
-                        "status": "error",
-                        "error": str(ee),
-                    }
-
-            list(
-                pool.map(
-                    _hash_one,
-                    [
-                        i
-                        for i, a in enumerate(arrays)
-                        if a is not None and results[i] is None and ids[i] is None
-                    ],
-                )
+            _host_hash_into(
+                ids,
+                [
+                    i
+                    for i, a in enumerate(arrays)
+                    if a is not None and results[i] is None and ids[i] is None
+                ],
             )
     else:
         with METRICS.timer("ingest.phash"):
@@ -486,26 +499,13 @@ def process_batch(
                     "batched hash failed, per-image fallback: %s", e
                 )
                 batch_ids = [None] * n
-
-                def _hash_one(i):
-                    try:
-                        batch_ids[i] = phash_image_id(Image.fromarray(arrays[i]))
-                    except Exception as ee:
-                        results[i] = {
-                            "filename": filenames[i],
-                            "status": "error",
-                            "error": str(ee),
-                        }
-
-                list(
-                    pool.map(
-                        _hash_one,
-                        [
-                            i
-                            for i, a in enumerate(arrays)
-                            if a is not None and results[i] is None
-                        ],
-                    )
+                _host_hash_into(
+                    batch_ids,
+                    [
+                        i
+                        for i, a in enumerate(arrays)
+                        if a is not None and results[i] is None
+                    ],
                 )
             for i in range(n):
                 if results[i] is None and ids[i] is None:

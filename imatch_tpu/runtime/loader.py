@@ -185,6 +185,12 @@ class NativeImageLoader:
     # -- ticketed interface ------------------------------------------------
 
     def submit_bytes(self, data: bytes):
+        if isinstance(data, bytearray):
+            # the native path hands data to a c_char_p argument, which
+            # ctypes rejects for bytearray (ArgumentError) — while the
+            # PIL fallback accepts it, so the bug would only appear on
+            # hosts with the compiled pool
+            data = bytes(data)
         if not self._enter_native():
             return ("pil", data)
         try:
@@ -247,16 +253,29 @@ class NativeImageLoader:
         the pool's results map for the process lifetime. Failures become
         None entries (on_error="none", per-file isolation for bulk
         ingest) or re-raise after the drain (on_error="raise")."""
-        tickets = [
-            self.submit_bytes(x) if isinstance(x, (bytes, bytearray))
-            else self.submit_path(x)
-            for x in items
-        ]
-        out: List[Optional[np.ndarray]] = []
+        tickets: List = []
         first_exc: Optional[Exception] = None
+        for x in items:
+            # submit failures must not abandon already-submitted
+            # tickets (the old comprehension form did exactly that,
+            # leaking their decoded C buffers in the pool's results
+            # map): record a None ticket and keep going so the drain
+            # below still reaps every successful submission
+            try:
+                tickets.append(
+                    self.submit_bytes(x)
+                    if isinstance(x, (bytes, bytearray))
+                    else self.submit_path(x)
+                )
+            except Exception as e:
+                logger.warning("decode submit failed: %s", e)
+                tickets.append(None)
+                if first_exc is None:
+                    first_exc = e
+        out: List[Optional[np.ndarray]] = []
         for t in tickets:
             try:
-                out.append(self.wait(t))
+                out.append(None if t is None else self.wait(t))
             except Exception as e:
                 logger.warning("decode failed: %s", e)
                 out.append(None)

@@ -140,7 +140,11 @@ def _parse_multipart(body: bytes, content_type: str) -> FormData:
                 # only for bytes that are not valid UTF-8.
                 headers[_mp_decode(k).strip().lower()] = _mp_decode(v).strip()
         disp = headers.get("content-disposition", "")
-        name_m = re.search(r'name="([^"]*)"', disp)
+        # anchored: a bare name=" search also matches the substring
+        # inside filename=" — a client that emits filename before name
+        # (RFC 6266 mandates no parameter order) would register the
+        # part under the FILENAME
+        name_m = re.search(r'(?:^|;\s*)name="([^"]*)"', disp)
         if not name_m:
             continue
         name = name_m.group(1)
@@ -344,17 +348,39 @@ class App:
         if method in ("GET", "HEAD"):
             for prefix, directory in self._static:
                 if path.startswith(prefix):
-                    # containment check on the RESOLVED path: normpath alone
-                    # misses absolute inputs (`/static//etc/passwd` would
-                    # make os.path.join discard the mount directory).
-                    base = os.path.realpath(directory)
-                    full = os.path.realpath(
-                        os.path.join(base, path[len(prefix) :].lstrip("/"))
-                    )
-                    if full != base and not full.startswith(base + os.sep):
-                        return JSONResponse({"error": "forbidden"}, 403)
-                    if os.path.isfile(full):
-                        return FileResponse(full)
+                    try:
+                        # containment check on the RESOLVED path: normpath
+                        # alone misses absolute inputs (`/static//etc/passwd`
+                        # would make os.path.join discard the mount
+                        # directory). realpath can itself raise — a
+                        # percent-encoded NUL ('/static/%00x') is a
+                        # ValueError — and the file can vanish between
+                        # isfile() and the read (UI grid racing a delete);
+                        # neither may escape __call__ and kill the whole
+                        # keep-alive connection.
+                        base = os.path.realpath(directory)
+                        full = os.path.realpath(
+                            os.path.join(
+                                base, path[len(prefix) :].lstrip("/")
+                            )
+                        )
+                        if full != base and not full.startswith(
+                            base + os.sep
+                        ):
+                            return JSONResponse({"error": "forbidden"}, 403)
+                        if os.path.isfile(full):
+                            # read on the worker pool, not the event
+                            # loop: the UI grid pulls dozens of multi-MB
+                            # images and a synchronous read here stalls
+                            # every other connection (sync route
+                            # handlers already run in this executor)
+                            return await asyncio.get_running_loop().run_in_executor(
+                                self._executor, FileResponse, full
+                            )
+                    except ValueError:
+                        return JSONResponse({"error": "bad path"}, 400)
+                    except OSError:
+                        pass  # fall through to 404
                     return JSONResponse({"error": "not found"}, 404)
 
         # HEAD serves GET routes (Starlette/FastAPI behavior — the

@@ -54,8 +54,16 @@ async def _handle_connection(app, reader, writer):
             for line in header_lines:
                 if ":" in line:
                     k, v = line.split(":", 1)
+                    # re-encode latin-1, NOT the utf-8 default: the blob
+                    # was decoded latin-1, and ASGI header values are
+                    # latin-1 bytes — a default .encode() would transcode
+                    # raw byte 0xE9 ('é') into two UTF-8 bytes and hand
+                    # the app mojibake
                     headers.append(
-                        (k.strip().lower().encode(), v.strip().encode())
+                        (
+                            k.strip().lower().encode("latin-1"),
+                            v.strip().encode("latin-1"),
+                        )
                     )
             hdict = {k: v for k, v in headers}
             if b"chunked" in hdict.get(b"transfer-encoding", b"").lower():
@@ -85,6 +93,17 @@ async def _handle_connection(app, reader, writer):
                 writer.write(b"HTTP/1.1 413 Payload Too Large\r\n\r\n")
                 await writer.drain()
                 return
+            if (
+                length
+                and b"100-continue"
+                in hdict.get(b"expect", b"").lower()
+            ):
+                # RFC 9110 §10.1.1: clients sending Expect: 100-continue
+                # wait for the interim response before transmitting the
+                # body — curl stalls ~1 s per bulk upload without it,
+                # stricter clients stall until the body timeout
+                writer.write(b"HTTP/1.1 100 Continue\r\n\r\n")
+                await writer.drain()
             try:
                 body = (
                     await asyncio.wait_for(

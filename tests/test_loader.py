@@ -143,3 +143,26 @@ def test_double_wait_returns_instead_of_hanging():
     np.testing.assert_array_equal(a, img)
     np.testing.assert_array_equal(b, img)
     loader.close()
+
+
+def test_decode_batch_accepts_bytearray():
+    """bytearray reached the native pool's c_char_p argument, which
+    ctypes rejects — and the submit failure abandoned already-submitted
+    tickets (leaking their decoded C buffers). The PIL fallback accepted
+    bytearray, so the bug only appeared with the compiled pool."""
+    import io
+
+    import numpy as np
+    from PIL import Image
+
+    from imatch_tpu.runtime.loader import default_loader
+
+    buf = io.BytesIO()
+    Image.fromarray(
+        np.zeros((16, 16, 3), np.uint8) + np.uint8(200)
+    ).save(buf, "JPEG")
+    blob = buf.getvalue()
+    out = default_loader().decode_batch([blob, bytearray(blob)])
+    assert out[0] is not None and out[1] is not None
+    assert out[0].shape == out[1].shape == (16, 16, 3)
+    assert (out[0] == out[1]).all()

@@ -201,3 +201,87 @@ def test_stalled_body_closed_by_timeout(server_url, monkeypatch):
         data = s.recv(65536)
     assert data == b""
     assert time.time() - t0 < 8
+
+
+def test_expect_100_continue_interim_response(server_url):
+    """RFC 9110 §10.1.1: a client sending Expect: 100-continue waits for
+    the interim response before transmitting the body — without it curl
+    stalls ~1 s per upload and stricter clients hit the body timeout."""
+    import socket
+
+    host, port = server_url.rsplit("/", 1)[1].split(":")
+    body = b"filter_query=via100"
+    with socket.create_connection((host, int(port)), timeout=5) as s:
+        s.sendall(
+            b"POST /api/filters HTTP/1.1\r\nhost: x\r\n"
+            b"content-type: application/x-www-form-urlencoded\r\n"
+            b"expect: 100-continue\r\n"
+            + f"content-length: {len(body)}\r\n".encode()
+            + b"connection: close\r\n\r\n"
+        )
+        s.settimeout(5)
+        interim = s.recv(65536)
+        assert interim.startswith(b"HTTP/1.1 100 Continue"), interim[:60]
+        s.sendall(body)
+        chunks = [interim]
+        try:
+            while True:
+                b2 = s.recv(65536)
+                if not b2:
+                    break
+                chunks.append(b2)
+        except socket.timeout:
+            pass
+    raw = b"".join(chunks)
+    assert b"HTTP/1.1 200" in raw
+    assert b"via100" in raw
+
+
+def test_static_bad_path_is_400_not_dead_connection(server_url):
+    """A percent-encoded NUL in a static path made os.path.realpath
+    raise, killing the connection task with no response at all."""
+    raw = _raw_request(
+        server_url,
+        b"GET /static/%00x HTTP/1.1\r\nhost: x\r\nconnection: close\r\n\r\n",
+    )
+    assert raw.split(b"\r\n")[0].split()[1] == b"400"
+
+
+def test_non_ascii_header_value_survives_latin1(server_url):
+    """Header values are latin-1 on the wire (ASGI spec); a default
+    .encode() transcoded raw byte 0xE9 into UTF-8 mojibake."""
+    raw = _raw_request(
+        server_url,
+        b"GET /api/health HTTP/1.1\r\nhost: x\r\n"
+        b"x-probe: caf\xe9\r\nconnection: close\r\n\r\n",
+    )
+    # the request must simply succeed with the raw byte intact in the
+    # parsed scope; the access-log/handler path must not crash on it
+    assert raw.split(b"\r\n")[0].split()[1] == b"200"
+
+
+def test_multipart_filename_before_name_field():
+    """RFC 6266/7578 mandate no parameter order in Content-Disposition:
+    a part with filename before name used to be registered under the
+    FILENAME (the bare name=" regex matched inside filename=")."""
+    from imatch_tpu.serving.asgi import Request
+
+    body = (
+        b"--B\r\n"
+        b'Content-Disposition: form-data; filename="a.jpg"; name="files"\r\n'
+        b"Content-Type: image/jpeg\r\n\r\n"
+        b"JPGDATA\r\n"
+        b"--B--\r\n"
+    )
+    scope = {
+        "type": "http",
+        "method": "POST",
+        "path": "/x",
+        "query_string": b"",
+        "headers": [(b"content-type", b"multipart/form-data; boundary=B")],
+    }
+    form = Request(scope, body).form()
+    uf = form.get("files")
+    assert uf is not None and uf.filename == "a.jpg"
+    assert uf.content == b"JPGDATA"
+    assert form.get("a.jpg") is None
