@@ -149,9 +149,19 @@ def train_centroids(
     n_clusters = min(n_clusters, n)
     key_s, key_k = jax.random.split(jax.random.key(seed))
     if n > sample:
-        # uniform sample (with replacement — duplicate rows are harmless
-        # for Lloyd); invalid rows masked out inside the update
-        idx = jax.random.randint(key_s, (sample,), 0, n)
+        # sample LIVE slots (with replacement — duplicate rows are
+        # harmless for Lloyd). Uniform-over-capacity sampling trained
+        # mostly on dead zero rows after mass deletion on a capacity-
+        # padded buffer (live << capacity), degenerating the centroids;
+        # weighting by liveness keeps the training set all-live.
+        live_idx = np.flatnonzero(np.asarray(valid))
+        if live_idx.size:
+            sel = np.asarray(
+                jax.random.randint(key_s, (sample,), 0, live_idx.size)
+            )
+            idx = live_idx[sel]
+        else:
+            idx = jax.random.randint(key_s, (sample,), 0, n)
         train, tvalid = corpus[idx], valid[idx]
     else:
         train, tvalid = corpus, valid

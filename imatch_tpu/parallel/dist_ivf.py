@@ -116,6 +116,12 @@ def prepare_sharded_ivf_incremental(
             and all(c.ndim == 2 for c in snap["cents"])
             and snap["cents"][0].shape[1] == corpus.shape[1]
             and live <= snap["built_live"] * (1.0 + frac)
+            # probe 'assign' INSIDE the guard: the repair branch below
+            # dereferences snap["assign"].shape, and a snap that is
+            # valid except for a missing/non-ndarray assign must degrade
+            # to retrain like every other malformed-state case
+            and hasattr(snap["assign"], "shape")
+            and snap["assign"].ndim == 1
         )
     except (KeyError, IndexError, AttributeError, TypeError):
         # malformed host state (e.g. a hand-edited sidecar): the probe
@@ -220,9 +226,12 @@ def prepare_sharded_ivf_incremental(
         members=jax.device_put(
             np.stack(membs), lead(P(AXIS_DATA, None, None))
         ),
+        # NO astype here: storage == corpus.dtype (set above), and the
+        # cast forced a full host copy of the corpus (a second ~10-20 GB
+        # buffer at the 10M-row scale this tier exists for) — reshape
+        # alone is a view and device_put handles it
         corpus=jax.device_put(
-            corpus.reshape(dp, rows, -1).astype(storage),
-            lead(P(AXIS_DATA, None, None)),
+            corpus.reshape(dp, rows, -1), lead(P(AXIS_DATA, None, None))
         ),
         valid=jax.device_put(
             valid.reshape(dp, rows), lead(P(AXIS_DATA, None))

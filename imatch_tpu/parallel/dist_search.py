@@ -47,6 +47,11 @@ def sharded_cosine_topk(
     slots, with ties broken by lower global index (matching the
     single-chip path).
     """
+    if score_dtype == jnp.int8:
+        # no per-row dequant scale on the sharded path (see
+        # prepare_sharded_corpus): coerce like the store does instead of
+        # truncating unit vectors to {-1,0,1} and crashing on scale=None
+        score_dtype = jnp.bfloat16
     n = corpus.shape[0]
     dp = mesh.shape[AXIS_DATA]
     if n == 0:
@@ -122,6 +127,13 @@ def prepare_sharded_corpus(
 
     corpus = np.asarray(corpus, np.float32)
     valid = np.asarray(valid, bool)
+    if score_dtype == jnp.int8:
+        # the sharded engine has no per-row dequant scale (a raw astype
+        # would truncate unit vectors to {-1,0,1} and _tilemax_topk's
+        # int8 branch would then crash on scale=None). The store coerces
+        # int8 -> bf16 before calling here (store.py _build_device);
+        # mirror that for direct library users instead of corrupting.
+        score_dtype = jnp.bfloat16
     dp = mesh.shape[AXIS_DATA]
     n = corpus.shape[0]
     pad = (-n) % (dp * tile_n)

@@ -77,7 +77,11 @@ def process_filter_on_all_images(state: AppState, filter_query: str) -> None:
             return
 
         formatted = format_filter_query(filter_query)
-        all_ids = list(state.image_metadata.keys())
+        with state.lock:
+            # snapshot under the lock: a concurrent ingest inserting
+            # into the dict mid-list() is a RuntimeError that would
+            # abort the whole backfill
+            all_ids = list(state.image_metadata.keys())
         total = len(all_ids)
         state.filter_progress[filter_query] = {
             "status": "processing",
@@ -89,6 +93,7 @@ def process_filter_on_all_images(state: AppState, filter_query: str) -> None:
 
         done = 0
         failed = 0
+        skipped = 0  # no cached encoding, or deleted mid-backfill
         batch = _batch_size()
         for lo in range(0, total, batch):
             batch_ids = all_ids[lo : lo + batch]
@@ -108,6 +113,7 @@ def process_filter_on_all_images(state: AppState, filter_query: str) -> None:
                         logger.warning(
                             "no encoded image for %s, skipping", image_id
                         )
+                        skipped += 1
                         continue
                     ids.append(image_id)
                     encs.append(encoded)
@@ -119,28 +125,51 @@ def process_filter_on_all_images(state: AppState, filter_query: str) -> None:
                 )
                 failed += n_fail
                 with state.lock:
+                    updates = []
                     for image_id, raw in zip(ids, answers):
-                        try:
-                            answer = (
-                                raw.strip() if isinstance(raw, str) else raw
-                            )
-                            md = dict(state.image_metadata.get(image_id, {}))
-                            md = merge_filter_result(md, filter_query, answer)
-                            # store FIRST: if the image was deleted
-                            # mid-backfill this raises KeyError before
-                            # the metadata mirror is touched — writing
-                            # the mirror first resurrected deleted
-                            # images as ghost records
-                            state.store.update(
-                                ids=[image_id], metadatas=[md]
-                            )
-                            state.image_metadata[image_id] = md
-                        except KeyError:
-                            # image deleted mid-backfill: skip it without
-                            # discarding the rest of the batch's answers
+                        answer = (
+                            raw.strip() if isinstance(raw, str) else raw
+                        )
+                        if image_id not in state.image_metadata:
+                            skipped += 1
                             logger.warning(
                                 "image %s vanished during backfill", image_id
                             )
+                            continue
+                        md = dict(state.image_metadata[image_id])
+                        updates.append(
+                            (image_id, merge_filter_result(md, filter_query, answer))
+                        )
+                    # ONE batched store.update per chunk: one journal
+                    # write + fsync instead of one per image (a 100k
+                    # backfill paid 100k fsyncs while holding
+                    # state.lock). store FIRST, mirror after: writing
+                    # the mirror first resurrected deleted images as
+                    # ghost records.
+                    try:
+                        if updates:
+                            state.store.update(
+                                ids=[u[0] for u in updates],
+                                metadatas=[u[1] for u in updates],
+                            )
+                            for image_id, md in updates:
+                                state.image_metadata[image_id] = md
+                    except KeyError:
+                        # some id deleted between the mirror check and
+                        # the store write: fall back to per-image so one
+                        # vanished row doesn't discard the whole chunk
+                        for image_id, md in updates:
+                            try:
+                                state.store.update(
+                                    ids=[image_id], metadatas=[md]
+                                )
+                                state.image_metadata[image_id] = md
+                            except KeyError:
+                                skipped += 1
+                                logger.warning(
+                                    "image %s vanished during backfill",
+                                    image_id,
+                                )
             except Exception as e:
                 logger.error("filter error for batch at %d: %s", lo, e)
                 failed += len(batch_ids)
@@ -152,7 +181,7 @@ def process_filter_on_all_images(state: AppState, filter_query: str) -> None:
         final = {
             "status": "completed",
             "progress": 100,
-            "processed": total - failed,
+            "processed": total - failed - skipped,
             "total": total,
         }
         if failed:
@@ -162,6 +191,12 @@ def process_filter_on_all_images(state: AppState, filter_query: str) -> None:
             if failed >= total and total:
                 final["status"] = "error"
                 final["message"] = "every image failed"
+        if skipped:
+            # also honest: images with no cached encoding (or deleted
+            # mid-run) did NOT get the filter applied — counting them as
+            # processed hid that they silently drop out of every
+            # filtered search
+            final["skipped"] = skipped
         state.filter_progress[filter_query] = final
     except Exception as e:
         logger.error("error processing filter: %s", e)

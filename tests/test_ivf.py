@@ -151,3 +151,32 @@ def test_ivf_engine_through_store():
     np.testing.assert_allclose(
         r_a["distances"], r_e["distances"], atol=1e-5
     )
+
+
+def test_train_centroids_on_deletion_heavy_capacity_buffer():
+    """Uniform-over-capacity sampling trained k-means mostly on dead
+    zero rows when live << capacity (mass deletion on a capacity-padded
+    store), degenerating the centroids — the sample must come from LIVE
+    slots."""
+    import numpy as np
+
+    from imatch_tpu.index.ivf import assign_rows, train_centroids
+
+    rng = np.random.default_rng(5)
+    n, d, live_n = 4096, 32, 128
+    corpus = np.zeros((n, d), np.float32)
+    valid = np.zeros((n,), bool)
+    # live rows clustered around 4 distinct centers, scattered over slots
+    centers = rng.standard_normal((4, d)).astype(np.float32) * 3
+    slots = rng.choice(n, live_n, replace=False)
+    for j, s in enumerate(slots):
+        corpus[s] = centers[j % 4] + rng.standard_normal(d) * 0.05
+        valid[s] = True
+    cents = np.asarray(
+        train_centroids(corpus, valid, n_clusters=4, sample=256)
+    )
+    # centroids must be trained on live data: non-degenerate (not the
+    # dead-row zeros) and separating the 4 latent clusters
+    assert np.linalg.norm(cents, axis=1).min() > 0.5
+    assign = assign_rows(corpus[slots], cents)
+    assert len(set(assign.tolist())) >= 3
