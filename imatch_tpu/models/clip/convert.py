@@ -134,8 +134,15 @@ def _stretch_positions(pe: "np.ndarray", target: int, keep: int = 20):
     head = pe[:keep]
     tail = pe[keep:]
     n_out = target - keep
-    # linear interpolation of the remaining src-keep rows onto n_out rows
-    pos = np.linspace(0.0, tail.shape[0] - 1.0, n_out)
+    # LongCLIP's knowledge-preserving stretch uses the FIXED ratio
+    # (src-keep)/(target-keep) — exactly 1/4 for 77->248 with keep=20 —
+    # mapping output row keep+i to source position keep + i*ratio and
+    # extrapolating flat past the last source row. An endpoint-matched
+    # linspace (stride (src-keep-1)/(n_out-1) ~ 0.2467) reproduces the
+    # endpoints but NOT the published initialization for every row in
+    # between.
+    ratio = tail.shape[0] / float(n_out)
+    pos = np.minimum(np.arange(n_out) * ratio, tail.shape[0] - 1.0)
     lo = np.floor(pos).astype(int)
     hi = np.minimum(lo + 1, tail.shape[0] - 1)
     frac = (pos - lo)[:, None].astype(pe.dtype)

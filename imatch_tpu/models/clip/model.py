@@ -161,6 +161,33 @@ def _act(x, name):
     raise ValueError(f"unknown activation {name}")
 
 
+def _vision_stem(vp, vc, pixels, dtype):
+    """Patch conv + CLS + positions + pre-LN — ONE definition for the
+    bf16 tower (encode_image) and the W8A8 tower (clip/quant.py), which
+    previously carried a near-verbatim copy that could drift."""
+    x = pixels.astype(dtype)
+    # Patch embedding: stride-P conv, no bias (HF patch_embedding).
+    # No preferred_element_type here: its fp32 cotangent breaks the conv
+    # transpose rule under AD with bf16 operands, and the TPU conv already
+    # accumulates bf16 inputs in fp32 natively.
+    x = jax.lax.conv_general_dilated(
+        x,
+        vp["patch_embedding"].astype(dtype),
+        window_strides=(vc.patch_size, vc.patch_size),
+        padding="VALID",
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        precision=_prec(dtype),
+    )
+    b = x.shape[0]
+    x = x.reshape(b, vc.num_patches, vc.hidden_size)
+    cls = jnp.broadcast_to(
+        vp["class_embedding"].astype(dtype), (b, 1, vc.hidden_size)
+    )
+    x = jnp.concatenate([cls, x], axis=1)
+    x = x + vp["position_embedding"].astype(dtype)
+    return _layer_norm(x, vp["pre_ln"], vc.layer_norm_eps)
+
+
 def _encoder(x, layers: Params, *, num_heads, eps, act, causal, attn_impl):
     """Scan one compiled residual block over the stacked layer params."""
     b, s, d = x.shape
@@ -206,27 +233,7 @@ def encode_image(
     """
     vc = cfg.vision
     vp = params["vision"]
-    x = pixels.astype(dtype)
-    # Patch embedding: stride-P conv, no bias (HF patch_embedding).
-    # No preferred_element_type here: its fp32 cotangent breaks the conv
-    # transpose rule under AD with bf16 operands, and the TPU conv already
-    # accumulates bf16 inputs in fp32 natively.
-    x = jax.lax.conv_general_dilated(
-        x,
-        vp["patch_embedding"].astype(dtype),
-        window_strides=(vc.patch_size, vc.patch_size),
-        padding="VALID",
-        dimension_numbers=("NHWC", "HWIO", "NHWC"),
-        precision=_prec(dtype),
-    )
-    b = x.shape[0]
-    x = x.reshape(b, vc.num_patches, vc.hidden_size)
-    cls = jnp.broadcast_to(
-        vp["class_embedding"].astype(dtype), (b, 1, vc.hidden_size)
-    )
-    x = jnp.concatenate([cls, x], axis=1)
-    x = x + vp["position_embedding"].astype(dtype)
-    x = _layer_norm(x, vp["pre_ln"], vc.layer_norm_eps)
+    x = _vision_stem(vp, vc, pixels, dtype)
     x = _encoder(
         x,
         vp["layers"],

@@ -34,7 +34,12 @@ import jax
 import jax.numpy as jnp
 
 from imatch_tpu.models.clip.configs import CLIPConfig
-from imatch_tpu.models.clip.model import _act, _layer_norm, _prec
+from imatch_tpu.models.clip.model import (
+    _act,
+    _layer_norm,
+    _prec,
+    _vision_stem,
+)
 from imatch_tpu.ops.attention import mha
 from imatch_tpu.ops.quant import (
     ln_quant_rows_int8,
@@ -138,23 +143,9 @@ def encode_image_w8a8(
     non-matmul stream doesn't silently degrade vs the fp32 default)."""
     vc = cfg.vision
     vp = params["vision"]
-    x = pixels.astype(dtype)
-    x = jax.lax.conv_general_dilated(
-        x,
-        vp["patch_embedding"].astype(dtype),
-        window_strides=(vc.patch_size, vc.patch_size),
-        padding="VALID",
-        dimension_numbers=("NHWC", "HWIO", "NHWC"),
-        precision=_prec(dtype),
-    )
-    b = x.shape[0]
-    x = x.reshape(b, vc.num_patches, vc.hidden_size)
-    cls = jnp.broadcast_to(
-        vp["class_embedding"].astype(dtype), (b, 1, vc.hidden_size)
-    )
-    x = jnp.concatenate([cls, x], axis=1)
-    x = x + vp["position_embedding"].astype(dtype)
-    x = _layer_norm(x, vp["pre_ln"], vc.layer_norm_eps)
+    # stem shared with the bf16 tower (models/clip/model.py) — a local
+    # copy here once drifted stylistically and would drift numerically
+    x = _vision_stem(vp, vc, pixels, dtype)
     x = _encoder_w8a8(
         x,
         vp["layers"],

@@ -167,12 +167,13 @@ def init_md_params(key, cfg: MoondreamConfig) -> Params:
 # ---------------------------------------------------------------------------
 
 
-def _prec(dtype):
-    return (
-        jax.lax.Precision.HIGHEST
-        if dtype == jnp.float32
-        else jax.lax.Precision.DEFAULT
-    )
+# _prec/_layer_norm are the CLIP tower's definitions, imported — a
+# byte-identical local copy once lived here and a precision-policy or
+# layernorm fix applied to one tower would silently miss the other.
+from imatch_tpu.models.clip.model import (  # noqa: E402
+    _layer_norm,
+    _prec,
+)
 
 
 def _dense(x, w, b, prec):
@@ -201,14 +202,6 @@ def _dense(x, w, b, prec):
     if b is not None:
         y = y + b.astype(x.dtype)
     return y
-
-
-def _layer_norm(x, p, eps):
-    x32 = x.astype(jnp.float32)
-    mean = jnp.mean(x32, axis=-1, keepdims=True)
-    var = jnp.var(x32, axis=-1, keepdims=True)
-    y = (x32 - mean) * jax.lax.rsqrt(var + eps)
-    return (y * p["scale"] + p["bias"]).astype(x.dtype)
 
 
 # W8A8 primitives shared with the CLIP tower (ops/quant.py) — one

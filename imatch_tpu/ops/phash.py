@@ -10,15 +10,16 @@ Two implementations:
   the same primitives (PIL convert('L')/LANCZOS resize, scipy DCT), so ids
   are bit-identical to ``imagehash.phash`` and stable across migration.
 - ``phash_batch`` — batched device version for bulk ingest: grayscale +
-  LANCZOS resample + DCT all as matmuls on the MXU. The resample is
-  pixel-exact vs PIL (two-pass uint8 rounding), so the only possible
-  divergence from the host hash is a DCT coefficient within float
-  rounding of the median threshold — ``phash_batch_checked`` reports a
-  per-image confidence flag for exactly that case.
+  LANCZOS resample + DCT all as matmuls on the MXU, with PIL's two-pass
+  uint8 rounding. ``phash_batch_checked`` reports a per-image margin
+  flag: confident ids are provably imagehash.phash's answer; the rest
+  get an exact fp64 DCT of the device grid, which can diverge from the
+  host path only in the measured-rare case where an fp32 pass-sum
+  rounds a boundary pixel differently than PIL AND the shifted
+  coefficient crosses the median (details in ``phash_core``).
 - ``image_ids_batch`` — the bulk-ingest id path (pipeline/ingest.py):
-  device hashes for large same-geometry buckets with host fallback for
-  the rare unconfident images, threaded host hashing for the rest, so
-  ids stay bit-identical to ``imagehash.phash`` at batch throughput.
+  device hashes for large same-geometry buckets, threaded host hashing
+  for the rest.
 """
 
 from __future__ import annotations
@@ -103,13 +104,18 @@ def phash_core(imgs, a_v, a_h, hash_size=8, highfreq_factor=4):
     the fused ingest step (pipeline/embedder.py) that computes hash +
     CLIP embedding from ONE device upload of the frames.
 
-    ``small_u8`` is the 32x32 resampled grayscale grid — pixel-exact vs
-    PIL (two-pass uint8 rounding), i.e. EXACT integers. Unconfident
-    images (a DCT coefficient within fp32 rounding of the median) don't
-    need a full host re-hash: the host runs just the fp64 DCT + median
-    on this 1 KB grid (~60 us) and gets the bit-identical
-    imagehash.phash answer — ~80x cheaper than decode+resize+hash
-    (host_bits_from_small)."""
+    ``small_u8`` is the 32x32 resampled grayscale grid with PIL's
+    two-pass uint8 rounding. It agrees with PIL's grid except where an
+    fp32 pass-sum lands within float rounding of a half-integer
+    boundary (the 2^-22-quantized weights make each PRODUCT a dyadic
+    rational, but a pass sum needs more significand bits than fp32
+    carries — measured ~0.5 boundary pixels per 512x512 frame can round
+    differently). Unconfident images don't need a full host re-hash:
+    the host runs just the fp64 DCT + median on this 1 KB grid (~60 us)
+    — ~80x cheaper than decode+resize+hash (host_bits_from_small).
+    ``confident`` means MORE than "device bits == fp64-DCT bits": the
+    margin makes the bit pattern invariant to single-level grid flips,
+    so confident ids equal PIL's even in the boundary case above."""
     hi = jax.lax.Precision.HIGHEST
     # precision=HIGHEST is exactness, not speed hygiene: at TPU DEFAULT
     # precision fp32 dots demote to bf16 and the 0-255 products lose
@@ -136,15 +142,19 @@ def phash_core(imgs, a_v, a_h, hash_size=8, highfreq_factor=4):
     low = d[:, :hash_size, :hash_size]
     flat = low.reshape(low.shape[0], -1)
     med = jnp.median(flat, axis=1, keepdims=True)
-    # Confidence: the resample is pixel-exact vs PIL, so the device hash
-    # can only differ from the fp64 host hash when a coefficient sits
-    # within float rounding of the median. Flag those images. (With 64
-    # coefficients the two middle order statistics ALWAYS straddle the
-    # median closely, so this is conservative by construction — the
-    # cheap small-grid host path absorbs the fallbacks.)
+    # Confidence: ABSOLUTE margin, not a min/max-gap ratio. The old
+    # ratio test scaled by max(gap) — dominated by the DC coefficient's
+    # ~1e5-size distance from the median — so it demanded a min-gap of
+    # hundreds and measured 0/128 images confident: a dead flag. The
+    # margin instead bounds grid-error damage: a ±1 uint8 flip of one
+    # grid pixel moves any DCT-II coefficient by at most 4
+    # (|2cos x 2cos| <= 4), so min-gap > 16 makes the bit pattern
+    # invariant to up to 4 flipped boundary pixels — a confident id
+    # equals PIL's id even when the fp32 grid rounds a boundary pixel
+    # differently (see the grid caveat in the docstring). Everything
+    # else takes the cheap small-grid fp64 host path.
     gap = jnp.abs(flat - med)
-    scale = jnp.maximum(jnp.max(gap, axis=1), 1e-12)
-    confident = (jnp.min(gap, axis=1) / scale) > 1e-3
+    confident = jnp.min(gap, axis=1) > 16.0
     return (flat > med).reshape(low.shape), confident, x.astype(jnp.uint8)
 
 
@@ -197,10 +207,10 @@ def phash_batch_checked(
     hash_size: int = 8,
     highfreq_factor: int = 4,
 ) -> Tuple[List[str], np.ndarray, np.ndarray]:
-    """Device pHash + per-image confidence + the exact 32x32 grids. A
-    confident hash is bit-identical to ``phash_host``; unconfident
-    images (a DCT coefficient at the median boundary) get the exact
-    answer from ``host_bits_from_small`` on their grid."""
+    """Device pHash + per-image margin confidence + the 32x32 grids. A
+    confident hash is provably ``phash_host``'s answer (margin
+    guarantee, phash_core); callers give unconfident images the fp64
+    ``host_bits_from_small`` answer on their grid."""
     bits, confident, small = _phash_batch_device(
         imgs_u8, hash_size, highfreq_factor
     )
@@ -219,10 +229,14 @@ def image_ids_batch(
     """Bulk ``image_id`` for decoded RGB arrays (None entries skipped).
 
     Same-geometry runs of >= DEVICE_BUCKET_MIN images hash on the device
-    (one MXU dispatch per geometry); everything else — plus the rare
-    median-boundary images the device flags as unconfident — hashes on
-    the host, fanned out over a thread pool (PIL/scipy release the GIL).
-    Ids are bit-identical to the serial host path either way.
+    (one MXU dispatch per geometry); everything else hashes on the
+    host, fanned out over a thread pool (PIL/scipy release the GIL).
+    Device-bucket ids: margin-confident images use the device bits
+    (provably PIL's id — phash_core); the rest get the fp64 DCT of the
+    device grid (host_bits_from_small), which matches the serial host
+    path except the measured-rare case where an fp32 boundary pixel in
+    the 32x32 grid rounds differently than PIL AND the resulting
+    coefficient shift crosses the median.
     """
     out: List[Optional[str]] = [None] * len(arrays)
     buckets: Dict[tuple, List[int]] = {}

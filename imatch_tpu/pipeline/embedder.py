@@ -443,11 +443,12 @@ class ClipEmbedder:
         the host<->device link stay busy while the consumer works.
 
         Same-geometry runs of >= phash.DEVICE_BUCKET_MIN images go
-        through the fused kernel; device hashes flagged unconfident (a
-        DCT coefficient at the median boundary) and small buckets fall
-        back to the host hash (threaded over ``pool``), so ids are
-        bit-identical to the serial path either way. None entries
-        (failed decodes) are not yielded.
+        through the fused kernel; margin-confident device hashes are
+        used directly (provably the host id — ops/phash.py), the rest
+        take the fp64 small-grid tail, and small buckets fall back to
+        the threaded host hash (see image_ids_batch for the one
+        measured-rare divergence case). None entries (failed decodes)
+        are not yielded.
 
         Yields (indices, ids, embeddings (len(indices), proj) fp32).
 
