@@ -1332,6 +1332,16 @@ def main():
     extras["bench_wall_s"] = round(time.perf_counter() - t_start, 1)
     emit(imgs_per_sec)  # final, fully enriched line
     mark(f"done in {extras['bench_wall_s']}s ({emitted['n']} emissions)")
+    if abandoned["flag"]:
+        # a hard-capped tier was abandoned with its daemon thread still
+        # inside a device call; normal interpreter teardown then aborts
+        # in pthread cleanup ("FATAL: exception not rethrown", rc=134 —
+        # observed on a degraded-link night when baseline #2 hit its
+        # cap). Everything is printed and flushed; exit without
+        # teardown so the driver sees rc=0 next to the parsable output.
+        sys.stdout.flush()
+        sys.stderr.flush()
+        os._exit(0)
 
 
 if __name__ == "__main__":
