@@ -78,7 +78,15 @@ def resample_matrix(
             w = w / s
         A[i, xmin:xmax] = w
     if quantize_8bpc:
-        A = np.round(A * (1 << 22)) / (1 << 22)
+        # PIL's normalize_coeffs_8bpc rounds HALF AWAY FROM ZERO
+        # (int(x + 0.5) / int(-0.5 + x) truncation), not numpy's
+        # half-to-even — an exact .5 tie (reachable: the doubles are
+        # finite-precision quotients) would otherwise quantize to a
+        # different fixed-point weight than PIL's
+        s22 = A * (1 << 22)
+        A = np.where(
+            s22 >= 0, np.floor(s22 + 0.5), np.ceil(s22 - 0.5)
+        ) / (1 << 22)
     return A.astype(np.float32)
 
 

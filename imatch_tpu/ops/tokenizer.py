@@ -30,6 +30,7 @@ from __future__ import annotations
 
 import functools
 import json
+import threading
 from collections import OrderedDict
 from typing import Dict, Iterable, List, Optional, Sequence, Tuple
 
@@ -68,6 +69,43 @@ def _get_pairs(word: Tuple[str, ...]):
     return set(zip(word[:-1], word[1:]))
 
 
+def bpe_merge(word: Tuple[str, ...], bpe_ranks: Dict) -> Tuple[str, ...]:
+    """Iterated lowest-rank pair merging — the BPE core, ONE definition
+    shared by the CLIP ('</w>'-suffixed) and GPT-2 (byte-level)
+    tokenizers, which previously carried verbatim copies of this loop."""
+    pairs = _get_pairs(word)
+    while pairs:
+        bigram = min(pairs, key=lambda p: bpe_ranks.get(p, float("inf")))
+        if bigram not in bpe_ranks:
+            break
+        first, second = bigram
+        new_word: List[str] = []
+        i = 0
+        while i < len(word):
+            try:
+                j = word.index(first, i)
+            except ValueError:
+                new_word.extend(word[i:])
+                break
+            new_word.extend(word[i:j])
+            i = j
+            if (
+                i < len(word) - 1
+                and word[i] == first
+                and word[i + 1] == second
+            ):
+                new_word.append(first + second)
+                i += 2
+            else:
+                new_word.append(word[i])
+                i += 1
+        word = tuple(new_word)
+        if len(word) == 1:
+            break
+        pairs = _get_pairs(word)
+    return word
+
+
 _WHITESPACE = _re.compile(r"\s+")
 
 if _HAS_REGEX:
@@ -102,9 +140,13 @@ class CLIPTokenizer:
         self.bos_id = self.vocab[bos_token]
         self.eos_id = self.vocab[eos_token]
         # bounded LRU: a long-lived server seeing unbounded unique words
-        # (filenames, adversarial queries) must not grow memory forever
+        # (filenames, adversarial queries) must not grow memory forever.
+        # Lock-guarded: request handlers tokenize from the serving
+        # thread pool, and an unsynchronized move_to_end can KeyError
+        # against a concurrent eviction.
         self._bpe_cache: "OrderedDict[str, str]" = OrderedDict()
         self._bpe_cache_cap = 32768
+        self._bpe_lock = threading.Lock()
 
     # -- constructors -------------------------------------------------------
 
@@ -144,49 +186,19 @@ class CLIPTokenizer:
     # -- core BPE -----------------------------------------------------------
 
     def bpe(self, token: str) -> str:
-        cached = self._bpe_cache.get(token)
-        if cached is not None:
-            self._bpe_cache.move_to_end(token)
-            return cached
-        word = tuple(token[:-1]) + (token[-1] + "</w>",)
-        pairs = _get_pairs(word)
-        if not pairs:
-            return token + "</w>"
-        while True:
-            bigram = min(
-                pairs, key=lambda p: self.bpe_ranks.get(p, float("inf"))
-            )
-            if bigram not in self.bpe_ranks:
-                break
-            first, second = bigram
-            new_word: List[str] = []
-            i = 0
-            while i < len(word):
-                try:
-                    j = word.index(first, i)
-                except ValueError:
-                    new_word.extend(word[i:])
-                    break
-                new_word.extend(word[i:j])
-                i = j
-                if (
-                    i < len(word) - 1
-                    and word[i] == first
-                    and word[i + 1] == second
-                ):
-                    new_word.append(first + second)
-                    i += 2
-                else:
-                    new_word.append(word[i])
-                    i += 1
-            word = tuple(new_word)
-            if len(word) == 1:
-                break
-            pairs = _get_pairs(word)
+        with self._bpe_lock:
+            cached = self._bpe_cache.get(token)
+            if cached is not None:
+                self._bpe_cache.move_to_end(token)
+                return cached
+        word = bpe_merge(
+            tuple(token[:-1]) + (token[-1] + "</w>",), self.bpe_ranks
+        )
         out = " ".join(word)
-        self._bpe_cache[token] = out
-        if len(self._bpe_cache) > self._bpe_cache_cap:
-            self._bpe_cache.popitem(last=False)
+        with self._bpe_lock:
+            self._bpe_cache[token] = out
+            if len(self._bpe_cache) > self._bpe_cache_cap:
+                self._bpe_cache.popitem(last=False)
         return out
 
     def _tokenize_word(self, token: str) -> List[int]:

@@ -13,9 +13,11 @@ from __future__ import annotations
 
 import json
 import re
+import threading
+from collections import OrderedDict
 from typing import Dict, List, Sequence, Tuple
 
-from imatch_tpu.ops.tokenizer import bytes_to_unicode, _get_pairs
+from imatch_tpu.ops.tokenizer import bpe_merge, bytes_to_unicode
 
 # GPT-2's pre-tokenization pattern, minus the unicode-category classes
 # (the `regex` package isn't a dependency); \w/\s approximate \p{L}\p{N}.
@@ -39,7 +41,13 @@ class GPT2Tokenizer:
         self.byte_decoder = {v: k for k, v in self.byte_encoder.items()}
         self.eos_id = self.vocab[eos_token]
         self.bos_id = self.vocab[bos_token] if bos_token else self.eos_id
-        self._cache: Dict[str, Tuple[str, ...]] = {}
+        # bounded, lock-guarded LRU like CLIPTokenizer's: filter queries
+        # and caption prompts are user-supplied, so an unbounded dict
+        # grows server memory forever, and the serving thread pool
+        # tokenizes concurrently
+        self._cache: "OrderedDict[str, Tuple[str, ...]]" = OrderedDict()
+        self._cache_cap = 32768
+        self._cache_lock = threading.Lock()
         self._byte_mode = not merges and all(
             len(k) == 1 or k.startswith("<|") for k in vocab
         )
@@ -74,42 +82,16 @@ class GPT2Tokenizer:
         return max(self.vocab.values()) + 1
 
     def _bpe(self, token: str) -> Tuple[str, ...]:
-        if token in self._cache:
-            return self._cache[token]
-        word = tuple(token)
-        pairs = _get_pairs(word)
-        while pairs:
-            bigram = min(
-                pairs, key=lambda p: self.bpe_ranks.get(p, float("inf"))
-            )
-            if bigram not in self.bpe_ranks:
-                break
-            first, second = bigram
-            new_word: List[str] = []
-            i = 0
-            while i < len(word):
-                try:
-                    j = word.index(first, i)
-                except ValueError:
-                    new_word.extend(word[i:])
-                    break
-                new_word.extend(word[i:j])
-                i = j
-                if (
-                    i < len(word) - 1
-                    and word[i] == first
-                    and word[i + 1] == second
-                ):
-                    new_word.append(first + second)
-                    i += 2
-                else:
-                    new_word.append(word[i])
-                    i += 1
-            word = tuple(new_word)
-            if len(word) == 1:
-                break
-            pairs = _get_pairs(word)
-        self._cache[token] = word
+        with self._cache_lock:
+            cached = self._cache.get(token)
+            if cached is not None:
+                self._cache.move_to_end(token)
+                return cached
+        word = bpe_merge(tuple(token), self.bpe_ranks)
+        with self._cache_lock:
+            self._cache[token] = word
+            if len(self._cache) > self._cache_cap:
+                self._cache.popitem(last=False)
         return word
 
     def encode(self, text: str) -> List[int]:

@@ -23,6 +23,7 @@ import io
 import json as _json
 import logging
 import os
+import threading
 import urllib.request
 from typing import Any, Dict, Optional
 
@@ -172,8 +173,12 @@ def save_encoded(path_dir: str, image_id: str, encoded: Any) -> str:
     snapshot."""
     os.makedirs(path_dir, exist_ok=True)
     path = os.path.join(path_dir, f"{image_id}.npz")
-    # np.savez appends ".npz" to names lacking it — keep the suffix
-    tmp = f"{path}.{os.getpid()}.tmp.npz"
+    # np.savez appends ".npz" to names lacking it — keep the suffix.
+    # pid + thread id: two serving threads saving the SAME image id
+    # concurrently (double-upload race) must not share a tmp — one
+    # thread's finally-unlink would delete the other's in-progress file
+    # and its os.replace would promote a torn write
+    tmp = f"{path}.{os.getpid()}.{threading.get_ident()}.tmp.npz"
     try:
         if isinstance(encoded, dict):
             np.savez(tmp, **{k: np.asarray(v) for k, v in encoded.items()})

@@ -108,14 +108,22 @@ class AppState:
         """reset_system (main.py:1058-1098): clear collection, wipe
         processed/encoded files, empty filters, clear caches."""
         with self.lock:
+            # logical state FIRST (store rows, mirror, filters): if the
+            # rmtree below fails mid-way (an in-flight ingest writes
+            # files OUTSIDE state.lock and can race directory removal),
+            # the API must not be left with an empty store while
+            # /api/images still lists every image from a stale mirror
             all_ids = self.store.get(include=[])["ids"]
             if all_ids:
                 self.store.delete(all_ids)
-            for d in (self.processed_dir, self.encoded_dir, self.uploads_dir):
-                if os.path.isdir(d):
-                    shutil.rmtree(d)
-                os.makedirs(d, exist_ok=True)
-            self.save_filters([])
             self.image_metadata.clear()
             self.filter_progress.clear()
+            self.save_filters([])
+            for d in (self.processed_dir, self.encoded_dir, self.uploads_dir):
+                if os.path.isdir(d):
+                    # ignore_errors: racing file creation from an
+                    # in-flight upload must not abort the reset — any
+                    # stragglers are orphan files, not logical state
+                    shutil.rmtree(d, ignore_errors=True)
+                os.makedirs(d, exist_ok=True)
             self.snapshot(force=True)

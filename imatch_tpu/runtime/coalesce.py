@@ -29,6 +29,7 @@ import queue
 import threading
 import weakref
 from concurrent.futures import Future
+from concurrent.futures import TimeoutError as FuturesTimeout
 from typing import Callable, Sequence, Tuple
 
 _CLOSE = object()  # sentinel: worker drains and exits
@@ -44,7 +45,10 @@ def _default_max_batch() -> int:
     """IMATCH_COALESCE_MAX (default 16): largest coalesced batch. Kept
     at the warmed pow2 Q-bucket range so saturated batches land on
     pre-compiled shapes instead of jit-compiling mid-request."""
-    return int(os.environ.get("IMATCH_COALESCE_MAX", "16"))
+    # clamp: 0/negative would make the drain loop `while len(batch) < 0`
+    # never batch — every query its own dispatch serialized through ONE
+    # worker thread, strictly worse than coalescing disabled
+    return max(1, int(os.environ.get("IMATCH_COALESCE_MAX", "16")))
 
 
 class QueryCoalescer:
@@ -70,7 +74,11 @@ class QueryCoalescer:
             self._direct_ref = ref
         except TypeError:
             self._direct_ref = lambda d=direct: d
-        self.max_batch = max_batch or _default_max_batch()
+        if max_batch is None:
+            max_batch = _default_max_batch()
+        if max_batch < 1:
+            raise ValueError(f"max_batch must be >= 1, got {max_batch}")
+        self.max_batch = max_batch
         self._q: queue.SimpleQueue = queue.SimpleQueue()
         self._started = False
         self._closed = False
@@ -96,7 +104,22 @@ class QueryCoalescer:
                 ).start()
                 self._started = True
             self._q.put((q, int(n_results), tuple(include), fut))
-        return fut.result()
+        try:
+            return fut.result(
+                timeout=float(
+                    os.environ.get("IMATCH_COALESCE_TIMEOUT_S", "120")
+                )
+            )
+        except FuturesTimeout:
+            # the worker wedged or died (it is belt-and-suspenders
+            # guarded, but an unbounded wait would consume serving
+            # threads one request at a time until the server starves):
+            # degrade to a direct single-row dispatch
+            direct = self._direct_ref()
+            if direct is None:
+                raise CoalescerClosed("coalescer owner was collected")
+            res = direct(q, int(n_results), tuple(include))
+            return {key: [val[0]] for key, val in res.items()}
 
     def close(self):
         """Stop the worker (after it finishes anything already queued)
@@ -174,15 +197,29 @@ class QueryCoalescer:
             elif groups:
                 # distinct (k, include) groups pipeline on device like
                 # independent requests did pre-coalescing — one thread
-                # per group rather than serializing full round-trips
-                ts = [
-                    threading.Thread(
-                        target=self._run_group, args=(k, inc, members)
-                    )
-                    for (k, inc), members in groups.items()
-                ]
-                for t in ts:
-                    t.start()
+                # per group rather than serializing full round-trips.
+                # Thread creation itself can fail (RuntimeError under
+                # thread exhaustion): groups whose thread never started
+                # must have their futures failed, not stranded — an
+                # unresolved future blocks its caller and, worse, an
+                # exception escaping this loop would kill the worker
+                # and strand EVERY later submit.
+                ts = []
+                started = set()
+                try:
+                    for (k, inc), members in groups.items():
+                        t = threading.Thread(
+                            target=self._run_group, args=(k, inc, members)
+                        )
+                        t.start()
+                        ts.append(t)
+                        started.add((k, inc))
+                except BaseException as e:  # noqa: BLE001
+                    for gk, members in groups.items():
+                        if gk not in started:
+                            for _, fut in members:
+                                if not fut.done():
+                                    fut.set_exception(e)
                 for t in ts:
                     t.join()
             if closing:
