@@ -22,10 +22,10 @@ from imatch_tpu.models.clip.configs import CLIPConfig
 
 
 def _np(t) -> np.ndarray:
-    if isinstance(t, np.ndarray):
-        return t
-    # torch tensor without importing torch at module scope
-    return t.detach().cpu().numpy()
+    # shared torch->numpy boundary (handles bf16 checkpoints)
+    from imatch_tpu.models.convert_common import to_np
+
+    return to_np(t)
 
 
 def _stack(sd: Mapping, fmt: str, n: int, transpose: bool = False) -> np.ndarray:

@@ -23,9 +23,10 @@ from imatch_tpu.models.moondream.configs import MoondreamConfig
 
 
 def _np(t):
-    if hasattr(t, "detach"):
-        t = t.detach().cpu().numpy()
-    return np.asarray(t, dtype=np.float32)
+    # shared torch->numpy boundary (handles bf16 checkpoints)
+    from imatch_tpu.models.convert_common import to_np
+
+    return to_np(t, dtype=np.float32)
 
 
 def _split_qkv(wqkv, bqkv, wo, bo):

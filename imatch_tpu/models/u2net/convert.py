@@ -17,9 +17,10 @@ from imatch_tpu.models.u2net.configs import U2NetConfig
 
 
 def _np(t):
-    if hasattr(t, "detach"):
-        t = t.detach().cpu().numpy()
-    return np.asarray(t, dtype=np.float32)
+    # shared torch->numpy boundary (handles bf16 checkpoints)
+    from imatch_tpu.models.convert_common import to_np
+
+    return to_np(t, dtype=np.float32)
 
 
 def _cbr(sd: Mapping, prefix: str) -> Dict:

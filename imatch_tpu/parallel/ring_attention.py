@@ -91,6 +91,13 @@ def ring_attention(
     p = mesh.shape[axis]
     if s % p:
         raise ValueError(f"seq len {s} not divisible by ring size {p}")
+    if k.shape[2] != s or v.shape[2] != s:
+        # self-attention ring: a mismatched k/v length otherwise fails
+        # deep inside the jitted fori_loop with an opaque broadcast
+        # error naming internal intermediates
+        raise ValueError(
+            f"q/k/v seq lens must match: {s}/{k.shape[2]}/{v.shape[2]}"
+        )
     fn = jax.shard_map(
         functools.partial(_local_ring, axis=axis, causal=causal),
         mesh=mesh,

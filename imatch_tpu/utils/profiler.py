@@ -49,8 +49,12 @@ def stop_trace() -> str:
     with _lock:
         if _active_dir is None:
             raise RuntimeError("no active trace")
-        jax.profiler.stop_trace()
+        # clear BEFORE jax stop: if stop_trace() raises (disk full
+        # finalizing the dump), leaving _active_dir set wedges both
+        # endpoints until restart — start refuses ("already active")
+        # and every stop retry re-raises ("no trace running")
         out, _active_dir = _active_dir, None
+        jax.profiler.stop_trace()
         logger.info("profiler trace written -> %s", out)
         return out
 

@@ -71,11 +71,21 @@ if __name__ == "__main__":
     def _graceful(signum, frame):
         log = logging.getLogger("imatch.run")
         log.info("signal %d: snapshotting before exit", signum)
+        # NOTE: the snapshot waits on the store lock, i.e. it DRAINS an
+        # in-flight bulk mutation before compacting — intentional (the
+        # journal already holds every completed op, so even a SIGKILL
+        # past the orchestrator's grace window only costs the next start
+        # a journal replay, never data).
+        ok = True
         try:
             app.state.snapshot(force=True)
         except Exception as e:
+            ok = False
             log.error("shutdown snapshot failed: %s", e)
-        sys.exit(0)
+        # exit 0 only when the shutdown actually did what it promised —
+        # a supervisor watching exit codes must see the failed
+        # compaction (the old handler always reported success)
+        sys.exit(0 if ok else 1)
 
     signal.signal(signal.SIGTERM, _graceful)
     signal.signal(signal.SIGINT, _graceful)
